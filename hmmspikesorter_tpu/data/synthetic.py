@@ -1,0 +1,78 @@
+"""Synthetic spike-train generation and noise estimation — the framework's
+test fixture and benchmark data source.
+
+Reference: src/utils.jl:49-124 (`create_spike_template`, `create_signal`,
+`get_noise_energy`, `get_energy`). Host-side NumPy: data generation is a
+setup-time concern, not a device hot path. RNG streams are NumPy's (the
+reference's MersenneTwister draw order is not reproducible from Python), so
+tests assert statistical intervals rather than reference RNG golden values
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def create_spike_template(K: int, a: float = 1.0, b: float = 0.8, c: float = 0.2):
+    """a*sin(2*pi*x)*exp(-(b-x)^2/c) on x in [0, 1.5] — reference
+    src/utils.jl:49-55. Note the first sample is exactly 0 (sin(0))."""
+    x = np.linspace(0.0, 1.5, K)
+    return a * np.sin(2 * np.pi * x) * np.exp(-((b - x) ** 2) / c)
+
+
+def create_signal(T: int, sigma: float, pp, templates, *, rng=None):
+    """Additive superposition of at-most-one active template + N(0, sigma^2)
+    noise — reference src/utils.jl:57-86 (per-sample Bernoulli onsets, one
+    active cell at a time, sequential template playback).
+
+    templates: (K, n_cells). Returns (signal, true_states) where true_states
+    is the (n_cells, T) ring-position matrix (0 = silent) — the reference
+    discards it; we keep it for label-accuracy metrics.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    templates = np.asarray(templates)
+    K, ncells = templates.shape
+    pp = np.asarray(pp, dtype=np.float64)
+    S = sigma * rng.standard_normal(T)
+    states = np.zeros(ncells, dtype=np.int64)
+    truth = np.zeros((ncells, T), dtype=np.int64)
+    active = -1
+    for i in range(T):
+        if active < 0:
+            for j in range(ncells):
+                if pp[j] > rng.random():
+                    states[j] = 1
+                    active = j
+                    break
+                active = -1
+                states[j] = 0
+        if active >= 0:
+            # reference plays template samples 1..K (1-based) i.e. rows 0..K-1
+            S[i] += templates[states[active] - 1, active]
+            truth[active, i] = states[active]
+            states[active] += 1
+            if states[active] > K:
+                states[active] = 0
+                active = -1
+    return S, truth
+
+
+def get_noise_energy(data, cinv: float, K: int, nsamples: int = 1000, *, rng=None):
+    """Median normalized energy over random length-K windows — reference
+    src/utils.jl:95-110."""
+    if rng is None:
+        rng = np.random.default_rng()
+    data = np.asarray(data)
+    N = len(data)
+    idx = np.sort(rng.integers(0, N - K, size=nsamples))
+    windows = data[idx[:, None] + np.arange(K)[None, :]]
+    samples = (windows * cinv * windows).sum(axis=1)
+    return float(np.median(samples))
+
+
+def get_energy(waveforms, cinv: float):
+    """Per-template normalized energy — reference src/utils.jl:112-124."""
+    w = np.asarray(waveforms)
+    return (w * cinv * w).sum(axis=0)
