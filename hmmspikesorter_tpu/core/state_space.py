@@ -149,6 +149,64 @@ class StateSpace:
         del slot
         return in_idx, in_w
 
+    def in_table_structure(self):
+        """Structural (lp-independent) in-edge table for jitted weight
+        recomputation.
+
+        Returns ``(in_idx, in_n_silent, in_onsets, in_valid)`` with shapes
+        (S, D), (S, D), (S, D, n_neurons), (S, D): the same layout as
+        `in_table` but carrying the structural constants of each edge, so
+        the weights ``valid ? n_silent*lpz + onsets@lp : -inf`` can be
+        evaluated inside a jitted EM step (the topology never changes during
+        EM — only ``lp`` does; reference src/baumwelch.jl:265 rebuilds the
+        whole edge list instead).
+        """
+        S, N = self.nstates, self.n_neurons
+        order = np.lexsort((self.edges_from, self.edges_to))
+        to_sorted = self.edges_to[order]
+        frm_sorted = self.edges_from[order]
+        nsil_sorted = self.edge_n_silent[order]
+        ons_sorted = self.edge_onsets[order]
+        counts = np.bincount(to_sorted, minlength=S)
+        D = int(counts.max())
+        in_idx = np.zeros((S, D), dtype=np.int32)
+        in_nsil = np.zeros((S, D), dtype=np.int32)
+        in_ons = np.zeros((S, D, N), dtype=np.int8)
+        in_valid = np.zeros((S, D), dtype=bool)
+        row_start = np.zeros(S + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        for j in range(S):
+            a, b = row_start[j], row_start[j + 1]
+            in_idx[j, : b - a] = frm_sorted[a:b]
+            in_nsil[j, : b - a] = nsil_sorted[a:b]
+            in_ons[j, : b - a] = ons_sorted[a:b]
+            in_valid[j, : b - a] = True
+        return in_idx, in_nsil, in_ons, in_valid
+
+    def out_table_structure(self):
+        """Structural out-edge table — mirror of `in_table_structure`."""
+        S, N = self.nstates, self.n_neurons
+        order = np.lexsort((self.edges_to, self.edges_from))
+        frm_sorted = self.edges_from[order]
+        to_sorted = self.edges_to[order]
+        nsil_sorted = self.edge_n_silent[order]
+        ons_sorted = self.edge_onsets[order]
+        counts = np.bincount(frm_sorted, minlength=S)
+        D = int(counts.max())
+        out_idx = np.zeros((S, D), dtype=np.int32)
+        out_nsil = np.zeros((S, D), dtype=np.int32)
+        out_ons = np.zeros((S, D, N), dtype=np.int8)
+        out_valid = np.zeros((S, D), dtype=bool)
+        row_start = np.zeros(S + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        for j in range(S):
+            a, b = row_start[j], row_start[j + 1]
+            out_idx[j, : b - a] = to_sorted[a:b]
+            out_nsil[j, : b - a] = nsil_sorted[a:b]
+            out_ons[j, : b - a] = ons_sorted[a:b]
+            out_valid[j, : b - a] = True
+        return out_idx, out_nsil, out_ons, out_valid
+
     def out_table(self, lp):
         """Padded out-edge table (for the backward pass).
 

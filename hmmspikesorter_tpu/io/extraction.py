@@ -1,0 +1,77 @@
+"""Spike extraction and unit export.
+
+Reference src/extraction.jl. The reference's `extract_spiketimes` uses
+Julia-0.6 builtins (`indmin`/`find`/`findin`) and is dead on Julia 1.x
+(SURVEY.md §2 #21); we implement the documented intent: a neuron's spike
+time is every sample where the decoded combined state has that neuron at
+the ring position of its template trough (argmin of the template), i.e. the
+spike's alignment point.
+
+Unit files follow the reference's MAT contract exactly
+(src/extraction.jl:26-36): filename pattern ``g%03dc%02d_spiketrain.mat``
+and dict keys ``timestamps`` / ``sampling_rate`` / ``waveform``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import scipy.io
+
+from ..core.state_space import build_state_space
+from ..models.api import HMMSpikingModel
+
+DEFAULT_SAMPLING_RATE = 40000.0  # reference src/extraction.jl:26
+
+
+def unroll_mlseq(ml_seq, states) -> np.ndarray:
+    """(n_neurons, T) per-neuron ring positions (reference
+    src/extraction.jl:4-13); host NumPy variant of
+    core.reconstruction.unroll_mlseq."""
+    states = np.asarray(states)
+    return states[:, np.asarray(ml_seq)]
+
+
+def extract_spiketimes(model: HMMSpikingModel) -> list[np.ndarray]:
+    """Per-neuron spike sample indices (reference src/extraction.jl:15-24).
+
+    A spike is registered at the samples where the neuron sits at the ring
+    position of its template minimum (the trough alignment point).
+    """
+    tm = model.template_model
+    ss = tm.state_space
+    rolled = unroll_mlseq(model.ml_seq, ss.states)
+    out = []
+    for i in range(tm.n_neurons):
+        qidx = int(np.argmin(tm.mu[:, i]))
+        out.append(np.nonzero(rolled[i] == qidx)[0])
+    return out
+
+
+def extract_units(model: HMMSpikingModel, channel: int,
+                  *, sampling_rate: float = DEFAULT_SAMPLING_RATE) -> dict:
+    """Unit dicts keyed by the reference's filename pattern
+    (src/extraction.jl:26-36)."""
+    pidx = extract_spiketimes(model)
+    units = {}
+    for i, ts in enumerate(pidx):
+        name = "g%03dc%02d_spiketrain.mat" % (channel, i + 1)
+        units[name] = {
+            "timestamps": ts,
+            "sampling_rate": sampling_rate,
+            "waveform": model.template_model.mu[:, i],
+        }
+    return units
+
+
+def save_units(units: dict, outdir: str = "sorted") -> None:
+    """Write one MAT file per unit (reference src/extraction.jl:38-42)."""
+    os.makedirs(outdir, exist_ok=True)
+    for name, payload in units.items():
+        scipy.io.savemat(os.path.join(outdir, name), payload)
+
+
+def load_unit(fname: str) -> dict:
+    """Read a unit MAT file (reference src/extraction.jl:44-46)."""
+    return scipy.io.loadmat(fname, squeeze_me=True)

@@ -1,0 +1,190 @@
+"""Public model-fitting API: the framework's equivalent of the reference's
+StatsBase verbs (src/fit.jl).
+
+* `HMMTemplateModel` — learned templates + noise + onset probs (reference
+  `HMMSpikeTemplateModel`, src/types.jl:15-19).
+* `HMMSpikingModel` — a decoded spike train over a signal (reference
+  `HMMSpikingModel`, src/types.jl:21-37).
+* `fit_template_model` — EM training (reference fit.jl:44-47).
+* `fit_spiking_model` — Viterbi decode, whole-signal or chunked
+  (reference fit.jl:6-9 and the chunked variant fit.jl:11-42).
+* `predict` — reconstruction (fit.jl:54-56), `bic` (fit.jl:68-72),
+  `loglikelihood` (types.jl:32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.emission import state_means
+from ..core.reconstruction import reconstruct_signal
+from ..core.state_space import StateSpace, build_state_space
+from ..core.viterbi import viterbi_decode
+from ..train.em import TrainResult, train_model
+
+
+@dataclasses.dataclass
+class HMMTemplateModel:
+    """Learned spike-template model (reference HMMSpikeTemplateModel).
+
+    mu: (K, N) templates (row 0 = silence); sigma: noise std; lp: (N,) onset
+    log-probs; allow_overlaps controls the *decode* state space (the
+    reference decodes the CLI path with overlaps on, hmmsort.jl:57, while
+    training is always non-overlap).
+    """
+
+    mu: np.ndarray
+    sigma: float
+    lp: np.ndarray
+    allow_overlaps: bool = False
+    pi: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.mu = np.asarray(self.mu, dtype=np.float64)
+        self.lp = np.asarray(self.lp, dtype=np.float64)
+
+    @property
+    def K(self) -> int:
+        return self.mu.shape[0]
+
+    @property
+    def n_neurons(self) -> int:
+        return self.mu.shape[1]
+
+    @property
+    def state_space(self) -> StateSpace:
+        return build_state_space(self.n_neurons, self.K, self.allow_overlaps)
+
+    def decode_tables(self, dtype=jnp.float64):
+        """Device arrays for the Viterbi engine: (in_idx, in_w, state_mu)."""
+        ss = self.state_space
+        in_idx, in_w = ss.in_table(self.lp)
+        smu = state_means(jnp.asarray(ss.states), jnp.asarray(self.mu, dtype))
+        return jnp.asarray(in_idx), jnp.asarray(in_w, dtype), smu
+
+
+@dataclasses.dataclass
+class HMMSpikingModel:
+    """A decoded spike train (reference HMMSpikingModel, types.jl:21-37)."""
+
+    template_model: HMMTemplateModel
+    ml_seq: np.ndarray  # (T,) int decoded combined-state sequence (0-based)
+    ll: float           # reference's cumulative-score sum (viterbi.jl:92-96)
+    y: np.ndarray       # the decoded signal
+
+    @property
+    def loglikelihood(self) -> float:
+        return self.ll
+
+
+def fit_template_model(
+    y,
+    n_neurons: int = 3,
+    K: int = 60,
+    nsteps: int = 10,
+    *,
+    rng: np.random.Generator | None = None,
+    verbose: int = 0,
+    **kwargs,
+) -> HMMTemplateModel:
+    """EM-train a template model (reference fit.jl:44-47 -> train_model)."""
+    res: TrainResult = train_model(
+        y, n_neurons, K, nsteps, rng=rng, verbose=verbose, **kwargs)
+    return HMMTemplateModel(mu=res.mu, sigma=res.sigma, lp=res.lp, pi=res.pi)
+
+
+def refit_template_model(model: HMMTemplateModel, y, nsteps: int,
+                         *, verbose: int = 0) -> HMMTemplateModel:
+    """Warm-start EM from an existing model (reference fit! at fit.jl:49-52)."""
+    from ..train.em import _em_phase
+
+    lp, pi, mu, sigma, _ = _em_phase(
+        np.asarray(y, np.float64), model.lp, model.mu, model.sigma, nsteps,
+        model.K, dtype=jnp.float64, verbose=verbose)
+    return HMMTemplateModel(mu=mu, sigma=sigma, lp=lp, pi=pi,
+                            allow_overlaps=model.allow_overlaps)
+
+
+def fit_spiking_model(
+    templates: HMMTemplateModel,
+    y,
+    chunksize: int | None = None,
+    *,
+    progress=None,
+) -> HMMSpikingModel:
+    """Viterbi MAP decode (reference fit.jl:6-9; chunked: fit.jl:11-42).
+
+    The chunked variant reproduces the reference's silence-snapping boundary
+    protocol exactly: after decoding a chunk, the left edge skips any
+    non-silent prefix (unless it is the signal start) and the right edge
+    retracts to the last silent state, so chunk seams always cut at the
+    all-silent state. `ll` accumulates whole-chunk scores (including
+    retracted tails) — a reference quirk we reproduce (fit.jl:37).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    in_idx, in_w, smu = templates.decode_tables()
+    sigma = templates.sigma
+    if chunksize is None or chunksize >= len(y):
+        x, ll = viterbi_decode(jnp.asarray(y), in_idx, in_w, smu, sigma)
+        return HMMSpikingModel(templates, np.asarray(x), float(ll), y)
+
+    n = len(y)
+    ml_seq = np.zeros(n, dtype=np.int64)  # 0 == all-silent
+    ll = 0.0
+    i = 0
+    while i < n - 1:
+        j = min(i + chunksize, n)
+        x, _ll = viterbi_decode(jnp.asarray(y[i:j]), in_idx, in_w, smu, sigma)
+        x = np.asarray(x)
+        l = 0
+        if i > 0:  # skip a non-silent prefix: we must start from silence
+            while l < len(x) and x[l] > 0:
+                l += 1
+        if j < n:  # retract the right edge back to the last silent state
+            k = len(x)
+            while k > l and x[k - 1] > 0:
+                k -= 1
+                j -= 1
+        else:
+            k = len(x)
+        if j <= i:
+            raise RuntimeError(
+                f"chunk [{i}, {j + (len(x) - k)}) contains no silent state to "
+                "snap to; increase chunksize")
+        ml_seq[i + l : j] = x[l:k]
+        ll += float(_ll)
+        i = j
+        if progress is not None:
+            progress(i, n)
+    return HMMSpikingModel(templates, ml_seq, ll, y)
+
+
+def fit(y, n_neurons: int = 3, K: int = 60, nsteps: int = 10,
+        **kwargs) -> HMMSpikingModel:
+    """Train then decode (reference composite fit, fit.jl:1-4)."""
+    templates = fit_template_model(y, n_neurons, K, nsteps, **kwargs)
+    return fit_spiking_model(templates, y)
+
+
+def predict(model: HMMSpikingModel) -> np.ndarray:
+    """Reconstructed (denoised) signal (reference fit.jl:54-56)."""
+    ss = model.template_model.state_space
+    return np.asarray(reconstruct_signal(
+        jnp.asarray(model.ml_seq), jnp.asarray(ss.states),
+        jnp.asarray(model.template_model.mu)))
+
+
+def loglikelihood(model: HMMSpikingModel) -> float:
+    return model.ll
+
+
+def bic(model: HMMSpikingModel) -> float:
+    """log(n)*k - 2*ll with k = |mu| + 1 + N (reference fit.jl:68-72)."""
+    tm = model.template_model
+    k = tm.mu.size + 1 + tm.n_neurons
+    n = len(model.ml_seq)
+    return math.log(n) * k - 2.0 * model.ll

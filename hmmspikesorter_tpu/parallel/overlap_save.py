@@ -1,0 +1,131 @@
+"""Overlap-save time-parallel Viterbi: halo decode + silence-snapped seams.
+
+The TPU analog of the reference's sequential silence-snapping chunker
+(src/fit.jl:11-42): the reference decodes a chunk, retracts the right edge
+to the last all-silent sample, and restarts the next chunk from silence.
+Here every block decodes *in parallel* over a halo-extended window, and each
+seam is snapped to a sample where the two adjacent block decodes agree on
+silence:
+
+* block b's window is [b*L - H, b*L + L + H) clamped into [0, T] — the first
+  window starts exactly at sample 0 (reproducing the reference's
+  emission-only init + forced silent start, src/viterbi.jl:56-63) and the
+  last ends exactly at T (reproducing the argmax termination), so the signal
+  edges are bit-faithful to the sequential engine; interior windows use
+  emission-only init, absorbed by the halo (a spike spans at most K samples
+  and silence is frequent, so H >> K makes the core decode independent of
+  the init — the same renewal property the reference's chunker relies on);
+* for the seam at p = (b+1)*L, both adjacent blocks decode the window
+  [p-H, p+H); the cut q is the *last* sample <= p where both decodes are
+  all-silent (matching the reference's retract-to-last-silence), else the
+  first such sample > p; the left block supplies labels before the cut, the
+  right block from the cut;
+* a per-seam `seam_ok` flag reports whether a common silent sample existed
+  (if not, the cut falls at p and the decode may disagree with the
+  sequential engine there — callers can re-decode flagged seams).
+
+Everything is fixed-shape: one compile per (T, L, H, topology). All blocks
+decode under one vmap; stitching is pure gathers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.emission import emission_logprob
+
+
+def _decode_blocks(em_win, v0, in_idx, in_w):
+    """vmapped Viterbi over (B, W, S) emission windows with per-block init
+    score vectors v0 (B, S) -> (B, W) labels."""
+
+    def decode_one(em, v_init):
+        def step(carry, em_t):
+            cand = carry[in_idx] + in_w
+            best = jnp.argmax(cand, axis=1)
+            mx = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+            bp = jnp.take_along_axis(in_idx, best[:, None], axis=1)[:, 0]
+            bp = jnp.where(jnp.isfinite(mx), bp, 0).astype(jnp.int32)
+            return mx + em_t, bp
+
+        vT, bps = jax.lax.scan(step, v_init, em[1:])
+        xT = jnp.argmax(vT).astype(jnp.int32)
+
+        def back(x_next, bp_t):
+            x_prev = bp_t[x_next]
+            return x_prev, x_prev
+
+        _, xs = jax.lax.scan(back, xT, bps, reverse=True)
+        return jnp.concatenate([xs, xT[None]])
+
+    return jax.vmap(decode_one)(em_win, v0)
+
+
+@partial(jax.jit, static_argnames=("L", "H"))
+def overlap_save_viterbi(y, in_idx, in_w, state_mu, sigma, *, L: int, H: int):
+    """Parallel overlap-save decode of one sequence.
+
+    Args:
+      y: (T,) observations; T must be a multiple of L and >= L + 2H.
+      L: core block length. H: halo length (choose H >= a few K).
+
+    Returns:
+      x: (T,) labels; seam_ok: (B-1,) bool per interior seam.
+    """
+    dtype = state_mu.dtype
+    y = y.astype(dtype)
+    T = y.shape[0]
+    if T % L != 0:
+        raise ValueError(f"T={T} must be a multiple of L={L}")
+    B = T // L
+    W = L + 2 * H
+    if B > 1 and T < W:
+        raise ValueError(f"T={T} must be >= L + 2H = {W}")
+
+    em = emission_logprob(y, state_mu, sigma)            # (T, S)
+
+    if B == 1:
+        # single block: exactly the sequential engine's semantics
+        v0 = em[0].at[0].set(jnp.asarray(0.0, dtype))
+        x = _decode_blocks(em[None], v0[None], in_idx, in_w)[0]
+        return x, jnp.ones((0,), bool)
+
+    # window starts, clamped so every window lies inside the signal
+    starts = jnp.clip(jnp.arange(B) * L - H, 0, T - W)   # (B,)
+    win_idx = starts[:, None] + jnp.arange(W)[None, :]   # (B, W)
+    em_win = em[win_idx]                                 # (B, W, S)
+    # emission-only init per block; block 0 gets the forced silent start
+    v0 = em_win[:, 0, :]
+    v0 = v0.at[0, 0].set(jnp.asarray(0.0, dtype))
+
+    xb = _decode_blocks(em_win, v0, in_idx, in_w)        # (B, W)
+
+    # Seam s between blocks s, s+1 at absolute p=(s+1)*L, window [p-H, p+H).
+    p = (jnp.arange(B - 1) + 1) * L                      # (B-1,)
+    offs = jnp.arange(2 * H)                             # window offsets
+    left_pos = (p - H - starts[:-1])[:, None] + offs[None, :]   # (B-1, 2H)
+    right_pos = (p - H - starts[1:])[:, None] + offs[None, :]
+    left = jnp.take_along_axis(xb[:-1], left_pos, axis=1)
+    right = jnp.take_along_axis(xb[1:], right_pos, axis=1)
+    both_silent = (left == 0) & (right == 0)             # (B-1, 2H)
+    # last common-silent offset <= H (retract-to-silence), else first > H,
+    # else H (raw cut, flagged)
+    le_mask = both_silent & (offs[None, :] <= H)
+    gt_mask = both_silent & (offs[None, :] > H)
+    has_le = jnp.any(le_mask, axis=1)
+    has_gt = jnp.any(gt_mask, axis=1)
+    last_le = (2 * H - 1) - jnp.argmax(le_mask[:, ::-1], axis=1)
+    first_gt = jnp.argmax(gt_mask, axis=1)
+    q = jnp.where(has_le, last_le, jnp.where(has_gt, first_gt, H))
+    seam_ok = has_le | has_gt                            # (B-1,)
+
+    # Stitch: block b owns absolute range [cut_{b-1}, cut_b).
+    cuts = (p - H) + q                                   # (B-1,) absolute
+    t_abs = jnp.arange(T)
+    owner = jnp.searchsorted(cuts, t_abs, side="right")  # (T,)
+    rel = t_abs - starts[owner]
+    x = xb[owner, rel]
+    return x, seam_ok

@@ -1,0 +1,313 @@
+"""Baum-Welch EM for the ring-HMM spike sorter, as a single jitted step.
+
+Reproduces the reference's live EM semantics (src/baumwelch.jl:205-370):
+
+* gamma[j,t] = alpha + beta - logZ_t (baumwelch.jl:216-224);
+* xi is computed only for edges out of the all-silent state — the only
+  stochastic transitions (baumwelch.jl:226-253); its per-t normalizer (the
+  logsumexp over *all* edges, baumwelch.jl:242-249) equals logZ_{t+1}
+  analytically, which is how we compute it;
+* new onset log-probs xb = lse_t(xi) - lse_t(gamma_silent) with the silent
+  self-loop entry dropped (baumwelch.jl:254-264 `xb[2:end]`) — this sizing
+  assumes a non-overlap state space, which is what the reference trains on
+  (resolve_overlaps=false default, baumwelch.jl:311); we enforce it;
+* mu re-estimated as the gamma-weighted average of the signal over
+  single-active states only (baumwelch.jl:266-287), row 0 pinned to 0;
+* one global sigma from all states (baumwelch.jl:294-307);
+* pi is re-estimated as gamma[:,0] (baumwelch.jl:254) but is dead in the
+  forward/Viterbi inits (dead-pi quirk) — returned for completeness.
+
+TPU-first design: the whole E+M step is one jitted function of
+(y, lp, mu, sigma) with static edge-table structure. Edge weights are
+recomputed from lp *in graph* (no host round-trip, no retrace — the
+reference rebuilds its edge list on the host every iteration,
+baumwelch.jl:265). The reductions over T are matmuls against the posterior
+matrix, which XLA tiles onto the MXU.
+
+Memory note: this materializes alpha/beta (T, S) like the reference
+(baumwelch.jl:28,79). The streaming/checkpointed variant for long T lives in
+`parallel/` (linear-memory sufficient statistics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.emission import emission_logprob, state_means
+from ..core.state_space import StateSpace, build_state_space
+from ..data.synthetic import create_spike_template
+from ..utils.logmath import logsumexp_rows
+from . import template_ops
+
+
+def edge_weights_from_structure(lp, n_silent, onsets, valid):
+    """Edge log-probs from structural tables, differentiably in lp.
+
+    w = n_silent * log1p(-exp(sum(lp))) + onsets @ lp for valid entries,
+    -inf for padding (reference src/types.jl:94-113 semantics).
+    """
+    lp = jnp.asarray(lp)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    w = n_silent.astype(lp.dtype) * lpz + onsets.astype(lp.dtype) @ lp
+    return jnp.where(valid, w, -jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class EMTables:
+    """Device-resident static structure for one (N, K) non-overlap topology."""
+
+    states: jax.Array        # (N, S) int32 ring positions
+    in_idx: jax.Array        # (S, D_in) int32
+    in_n_silent: jax.Array   # (S, D_in) int32
+    in_onsets: jax.Array     # (S, D_in, N) int8
+    in_valid: jax.Array      # (S, D_in) bool
+    out_idx: jax.Array       # (S, D_out) int32
+    out_n_silent: jax.Array
+    out_onsets: jax.Array
+    out_valid: jax.Array
+    onset_targets: jax.Array  # (N+1,) int32: silent self-loop target 0, then
+    #                           ring-position-1 state of each neuron (the
+    #                           reference's tidx edge order, baumwelch.jl:226)
+    onset_n_silent: jax.Array  # (N+1,) int32 — silent-pair count per edge
+    onset_onsets: jax.Array    # (N+1, N) int8 — onset indicator per edge
+
+    @staticmethod
+    def build(ss: StateSpace) -> "EMTables":
+        if ss.allow_overlaps:
+            raise ValueError(
+                "EM training requires a non-overlap state space (the "
+                "reference trains with resolve_overlaps=false, "
+                "src/baumwelch.jl:311; its update mis-sizes otherwise)"
+            )
+        in_idx, in_nsil, in_ons, in_valid = ss.in_table_structure()
+        out_idx, out_nsil, out_ons, out_valid = ss.out_table_structure()
+        oe = ss.state_onset_edges()
+        onset_targets = ss.edges_to[oe]
+        onset_n_silent = ss.edge_n_silent[oe]
+        onset_onsets = ss.edge_onsets[oe]
+        return EMTables(
+            states=jnp.asarray(ss.states, jnp.int32),
+            in_idx=jnp.asarray(in_idx),
+            in_n_silent=jnp.asarray(in_nsil),
+            in_onsets=jnp.asarray(in_ons),
+            in_valid=jnp.asarray(in_valid),
+            out_idx=jnp.asarray(out_idx),
+            out_n_silent=jnp.asarray(out_nsil),
+            out_onsets=jnp.asarray(out_ons),
+            out_valid=jnp.asarray(out_valid),
+            onset_targets=jnp.asarray(onset_targets, jnp.int32),
+            onset_n_silent=jnp.asarray(onset_n_silent, jnp.int32),
+            onset_onsets=jnp.asarray(onset_onsets, jnp.int8),
+        )
+
+
+jax.tree_util.register_dataclass(
+    EMTables,
+    data_fields=[
+        "states", "in_idx", "in_n_silent", "in_onsets", "in_valid",
+        "out_idx", "out_n_silent", "out_onsets", "out_valid", "onset_targets",
+        "onset_n_silent", "onset_onsets",
+    ],
+    meta_fields=[],
+)
+
+
+def _forward_alpha(em, in_idx, in_w):
+    """(T, S) forward log-scores, dead-pi init (baumwelch.jl:25-51)."""
+    def step(a, em_t):
+        a = em_t + logsumexp_rows(a[in_idx] + in_w, axis=1)
+        return a, a
+
+    _, rest = jax.lax.scan(step, em[0], em[1:])
+    return jnp.concatenate([em[0][None], rest], axis=0)
+
+
+def _backward_beta(em, out_idx, out_w):
+    """(T, S) backward log-scores (baumwelch.jl:73-98)."""
+    bT = jnp.zeros_like(em[0])
+
+    def step(b, em_next):
+        b = logsumexp_rows((b + em_next)[out_idx] + out_w, axis=1)
+        return b, b
+
+    _, rest = jax.lax.scan(step, bT, em[1:], reverse=True)
+    return jnp.concatenate([rest, bT[None]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int):
+    """One full EM iteration: (lp, mu, sigma) -> (lp, pi, mu, sigma, ll).
+
+    y: (T,) signal; lp: (N,) onset log-probs; mu: (K, N) templates;
+    sigma: scalar noise std. Returns the sequence log-likelihood
+    logsumexp(alpha[-1]) as a convergence metric (the reference prints
+    nothing; SURVEY.md §5.5 upgrades observability).
+    """
+    N = tables.states.shape[0]
+    in_w = edge_weights_from_structure(
+        lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
+    out_w = edge_weights_from_structure(
+        lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
+
+    smu = state_means(tables.states, mu)
+    em = emission_logprob(y, smu, sigma)               # (T, S)
+    alpha = _forward_alpha(em, tables.in_idx, in_w)    # (T, S)
+    beta = _backward_beta(em, tables.out_idx, out_w)   # (T, S)
+
+    ab = alpha + beta
+    g = logsumexp_rows(ab, axis=1)                     # (T,) logZ_t
+    log_gamma = ab - g[:, None]
+    ll = logsumexp_rows(alpha[-1], axis=-1)
+
+    # --- transition update (silent-state out-edges only, baumwelch.jl:226-264)
+    # onset edges carry the full per-edge weight: each still-silent neuron
+    # contributes lpz on top of the onsetting neuron's lp (types.jl:96-107).
+    onset_w = edge_weights_from_structure(
+        lp, tables.onset_n_silent, tables.onset_onsets,
+        jnp.ones_like(tables.onset_n_silent, dtype=bool))
+    tgt = tables.onset_targets                          # (N+1,)
+    # xi_e(t) = alpha[t,0] + w_e + beta[t+1,tgt_e] + em[t+1,tgt_e] - logZ_{t+1}
+    xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
+          + beta[1:, tgt] + em[1:, tgt] - g[1:, None])  # (T-1, N+1)
+    xx = logsumexp_rows(xi, axis=0)                     # (N+1,)
+    bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
+    new_lp = (xx - bb)[1:]                              # drop silent self-loop
+    new_pi = log_gamma[0]
+
+    # --- template update over single-active states (baumwelch.jl:266-287)
+    # non-overlap layout: state 1 + n*(K-1) + (k-1) == neuron n at ring pos k,
+    # so columns 1..1+N*(K-1) of gamma map bijectively to (n, k).
+    gw = jnp.exp(log_gamma[:, 1 : 1 + N * (K - 1)])     # (T, N*(K-1))
+    num = y @ gw                                        # (N*(K-1),)
+    den = jnp.sum(gw, axis=0)
+    body = (num / den).reshape(N, K - 1).T              # (K-1, N)
+    new_mu = jnp.concatenate([jnp.zeros((1, N), mu.dtype), body], axis=0)
+
+    # --- global sigma (baumwelch.jl:294-307), via MXU-friendly reductions:
+    # x2 = sum_tj gamma_tj (y_t - smu2_j)^2
+    #    = y^2 @ G 1 - 2 smu2 . (y @ G) + smu2^2 . (1 @ G)
+    smu2 = state_means(tables.states, new_mu)
+    gamma = jnp.exp(log_gamma)                          # (T, S)
+    G1 = jnp.sum(gamma, axis=0)                         # (S,)
+    Gy = y @ gamma                                      # (S,)
+    Gy2 = (y * y) @ gamma                               # (S,)
+    x2 = jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy) + jnp.dot(smu2 * smu2, G1)
+    qq = jnp.sum(G1)
+    new_sigma = jnp.sqrt(x2 / qq)
+
+    return new_lp, new_pi, new_mu, new_sigma, ll
+
+
+def init_templates(K: int, N: int, sigma: float, rng: np.random.Generator):
+    """Random template init (reference src/baumwelch.jl:313-321):
+    create_spike_template(K, 3*sigma*U, 0.5 + 0.1*randn, 1.5*U), row 0 = 0."""
+    mu = np.ones((K, N))
+    for i in range(N):
+        mu[:, i] = create_spike_template(
+            K,
+            3.0 * sigma * rng.random(),
+            0.5 + 0.1 * rng.standard_normal(),
+            1.5 * rng.random(),
+        )
+    mu[0, :] = 0.0
+    return mu
+
+
+@dataclasses.dataclass
+class TrainResult:
+    """Outcome of `train_model`: the learned template model pieces."""
+
+    lp: np.ndarray      # (N,) onset log-probs
+    pi: np.ndarray      # (S,) initial log-distribution (dead in decode)
+    mu: np.ndarray      # (K, N) templates
+    sigma: float
+    n_neurons: int
+    K: int
+    ll_history: list
+
+
+def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None):
+    """Run `nsteps` EM iterations on a fixed topology."""
+    N = mu.shape[1]
+    lls = []
+    if N == 0:
+        return lp, np.zeros(1), mu, sigma, lls
+    ss = build_state_space(N, K, False)
+    tables = EMTables.build(ss)
+    y = jnp.asarray(y, dtype)
+    lp_d = jnp.asarray(lp, dtype)
+    mu_d = jnp.asarray(mu, dtype)
+    sigma_d = jnp.asarray(sigma, dtype)
+    pi_d = None
+    for i in range(nsteps):
+        if callback is not None:
+            callback(np.asarray(mu_d))
+        lp_d, pi_d, mu_d, sigma_d, ll = em_step(y, lp_d, mu_d, sigma_d, tables, K=K)
+        lls.append(float(ll))
+        if verbose > 0:
+            print(f"  EM iter {i}: ll={lls[-1]:.2f} sigma={float(sigma_d):.4f}")
+    return (np.asarray(lp_d), np.asarray(pi_d), np.asarray(mu_d),
+            float(sigma_d), lls)
+
+
+def train_model(
+    y,
+    n_neurons: int = 3,
+    K: int = 60,
+    nsteps: int = 8,
+    *,
+    p0: float | None = None,
+    rng: np.random.Generator | None = None,
+    dtype=jnp.float64,
+    verbose: int = 0,
+    callback=None,
+    condense_alpha: float = 0.05,
+    sparse_lp0: float = -70.0,
+    small_alpha: float = 0.05,
+) -> TrainResult:
+    """Full training driver (reference src/baumwelch.jl:311-354):
+
+    nsteps EM iterations -> condense (merge duplicates, chi^2 alpha=0.05) ->
+    remove_sparse (onset lp <= -70) -> remove_small (template energy vs
+    chi^2(K-1) noise) -> nsteps//2 more EM iterations.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    y = np.asarray(y, dtype=np.float64)
+    if p0 is None:
+        p0 = 2.0 ** (-3.0 * K / 2.0)  # reference default, baumwelch.jl:311
+    sigma = float(np.std(y))
+    lp = np.log(np.full(n_neurons, p0))
+    mu = init_templates(K, n_neurons, sigma, rng)
+    ll_hist = []
+
+    lp, pi, mu, sigma, lls = _em_phase(
+        y, lp, mu, sigma, nsteps, K, dtype=dtype, verbose=verbose,
+        callback=callback)
+    ll_hist += lls
+
+    # --- template surgery (host-side, reference baumwelch.jl:338-348)
+    mu, lp = template_ops.condense_templates(mu, lp, sigma, condense_alpha,
+                                             verbose=verbose)
+    if verbose > 0:
+        print(f"{mu.shape[1]} templates remain after merging")
+    keep = template_ops.remove_sparse(lp, sparse_lp0)
+    mu, lp = mu[:, keep], lp[keep]
+    if verbose > 0:
+        print(f"{mu.shape[1]} templates remain after removing sparse")
+    keep = template_ops.remove_small(mu, sigma, small_alpha)
+    mu, lp = mu[:, keep], lp[keep]
+    if verbose > 0:
+        print(f"{mu.shape[1]} templates remain after removing small")
+
+    lp, pi, mu, sigma, lls = _em_phase(
+        y, lp, mu, sigma, nsteps // 2, K, dtype=dtype, verbose=verbose)
+    ll_hist += lls
+
+    return TrainResult(lp=lp, pi=pi, mu=mu, sigma=sigma,
+                       n_neurons=mu.shape[1], K=K, ll_history=ll_hist)

@@ -1,17 +1,16 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh with
 float64 enabled, so parity checks against the float64 reference oracle are
 exact and multi-chip sharding is exercised without TPU hardware
-(SURVEY.md §4: fake-mesh CPU tests)."""
+(SURVEY.md §4: fake-mesh CPU tests).
 
-import os
+Note: the environment's sitecustomize pre-imports jax and registers a TPU
+("axon") backend with JAX_PLATFORMS=axon, so env vars are already baked by
+the time this file runs. jax.config.update still works because no backend
+has been *initialized* yet — it must stay that way until pytest starts.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,133 @@
+"""Model API: decode, chunked decode protocol parity, predict, bic,
+extraction, unit export round-trip."""
+
+import numpy as np
+import pytest
+
+from hmmspikesorter_tpu.core.state_space import build_state_space
+from hmmspikesorter_tpu.io import extraction
+from hmmspikesorter_tpu.models import api
+from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_template
+from tests.oracle import reference_semantics as ref
+
+
+def _model_and_signal(N=2, K=20, T=6000, sigma=0.3, overlaps=True, seed=11):
+    rng = np.random.default_rng(seed)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array([0.004, 0.002][:N])
+    y, truth = create_signal(T, sigma, pp, temps, rng=rng)
+    tm = api.HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log(pp),
+                              allow_overlaps=overlaps)
+    return tm, y, truth
+
+
+def test_whole_signal_decode_matches_oracle():
+    tm, y, _ = _model_and_signal()
+    model = api.fit_spiking_model(tm, y)
+    ss = tm.state_space
+    edges = list(zip(ss.edges_from.tolist(), ss.edges_to.tolist(),
+                     ss.edge_weights(tm.lp).tolist()))
+    x_ref, ll_ref = ref.viterbi(y, ss.states, edges, tm.mu, tm.sigma)
+    np.testing.assert_array_equal(model.ml_seq, x_ref)
+    assert model.ll == pytest.approx(ll_ref, rel=1e-12)
+
+
+def _reference_chunked(y, ss, lp, mu, sigma, chunksize):
+    """Literal transcription of the reference chunk loop (src/fit.jl:11-42),
+    0-based, driving the oracle viterbi."""
+    edges = list(zip(ss.edges_from.tolist(), ss.edges_to.tolist(),
+                     ss.edge_weights(lp).tolist()))
+    n = len(y)
+    ml_seq = np.zeros(n, dtype=np.int64)
+    ll = 0.0
+    i = 0
+    while i < n - 1:
+        j = min(i + chunksize, n)
+        x, _ll = ref.viterbi(y[i:j], ss.states, edges, mu, sigma)
+        l = 0
+        if i > 0:
+            while x[l] > 0:
+                l += 1
+        k = len(x)
+        if j < n:
+            while x[k - 1] > 0:
+                k -= 1
+                j -= 1
+        ml_seq[i + l : j] = x[l:k]
+        ll += _ll
+        i = j
+    return ml_seq, ll
+
+
+def test_chunked_decode_protocol_parity():
+    tm, y, _ = _model_and_signal(K=12, T=3000)
+    model = api.fit_spiking_model(tm, y, chunksize=700)
+    ml_ref, ll_ref = _reference_chunked(
+        y, tm.state_space, tm.lp, tm.mu, tm.sigma, 700)
+    np.testing.assert_array_equal(model.ml_seq, ml_ref)
+    assert model.ll == pytest.approx(ll_ref, rel=1e-12)
+
+
+def test_chunked_close_to_whole_signal():
+    tm, y, _ = _model_and_signal(K=12, T=3000)
+    whole = api.fit_spiking_model(tm, y)
+    chunked = api.fit_spiking_model(tm, y, chunksize=700)
+    agree = (whole.ml_seq == chunked.ml_seq).mean()
+    assert agree > 0.98
+
+
+def test_predict_matches_oracle_reconstruction():
+    tm, y, _ = _model_and_signal(K=12, T=2000)
+    model = api.fit_spiking_model(tm, y)
+    got = api.predict(model)
+    want = ref.reconstruct_signal(model.ml_seq, tm.state_space.states, tm.mu)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_bic_definition():
+    tm, y, _ = _model_and_signal(K=12, T=2000)
+    model = api.fit_spiking_model(tm, y)
+    k = tm.mu.size + 1 + tm.n_neurons
+    want = np.log(len(y)) * k - 2 * model.ll
+    assert api.bic(model) == pytest.approx(want)
+
+
+def test_unroll_mlseq_reference_case():
+    # reference test/runtests.jl:36-42 (translated to 0-based; the reference
+    # StateMatrix ctor defaults to allow_overlaps=true, src/types.jl:135)
+    ss = build_state_space(2, 5, True)
+    mlseq = np.array([0, 0, 0, 1, 2, 3, 4, 0, 5, 6, 7, 8, 0, 9, 14, 19, 24, 0])
+    rolled = extraction.unroll_mlseq(mlseq, ss.states)
+    np.testing.assert_array_equal(
+        rolled[0], [0, 0, 0, 1, 2, 3, 4, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 0])
+    np.testing.assert_array_equal(
+        rolled[1], [0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0])
+
+
+def test_extract_spiketimes_hits_true_onsets():
+    tm, y, truth = _model_and_signal(K=20, T=6000)
+    model = api.fit_spiking_model(tm, y)
+    times = extraction.extract_spiketimes(model)
+    assert len(times) == 2
+    for n in range(2):
+        qidx = int(np.argmin(tm.mu[:, n]))
+        true_trough = np.nonzero(truth[n] == qidx)[0]
+        if len(true_trough) == 0:
+            continue
+        hits = sum(1 for t in true_trough
+                   if len(times[n]) and np.min(np.abs(times[n] - t)) <= 2)
+        assert hits / len(true_trough) > 0.8
+
+
+def test_unit_export_roundtrip(tmp_path):
+    tm, y, _ = _model_and_signal(K=20, T=4000)
+    model = api.fit_spiking_model(tm, y)
+    units = extraction.extract_units(model, channel=3)
+    assert set(units) == {"g003c01_spiketrain.mat", "g003c02_spiketrain.mat"}
+    extraction.save_units(units, outdir=str(tmp_path))
+    back = extraction.load_unit(str(tmp_path / "g003c01_spiketrain.mat"))
+    assert back["sampling_rate"] == 40000.0
+    np.testing.assert_allclose(back["waveform"], tm.mu[:, 0])
+    np.testing.assert_array_equal(np.atleast_1d(back["timestamps"]),
+                                  units["g003c01_spiketrain.mat"]["timestamps"])

@@ -1,0 +1,101 @@
+"""EM parity vs the literal reference oracle, plus end-to-end training
+convergence (mirrors reference test/runtests.jl:71-83 at reduced scale)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmmspikesorter_tpu.core.state_space import build_state_space
+from hmmspikesorter_tpu.train import template_ops
+from hmmspikesorter_tpu.train.em import (
+    EMTables, em_step, edge_weights_from_structure, train_model)
+from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_template
+from tests.oracle import reference_semantics as ref
+
+
+def _small_case(N=2, K=8, T=600, sigma=0.35, seed=7):
+    rng = np.random.default_rng(seed)
+    temps = np.stack(
+        [create_spike_template(K, 3.0, 0.8, 0.2),
+         create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array([0.01, 0.006][:N])
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    ss = build_state_space(N, K, False)
+    lp = np.log(pp)
+    return y, temps, ss, lp, sigma
+
+
+def test_edge_weights_from_structure_matches_host():
+    ss = build_state_space(3, 6, False)
+    lp = np.log([0.01, 0.004, 0.002])
+    in_idx, in_nsil, in_ons, in_valid = ss.in_table_structure()
+    w = np.asarray(edge_weights_from_structure(
+        jnp.asarray(lp), jnp.asarray(in_nsil), jnp.asarray(in_ons),
+        jnp.asarray(in_valid)))
+    _, w_host = ss.in_table(lp)
+    np.testing.assert_allclose(w, w_host, rtol=0, atol=1e-12)
+
+
+def test_em_step_matches_oracle():
+    y, temps, ss, lp, sigma = _small_case()
+    edges = list(zip(ss.edges_from.tolist(), ss.edges_to.tolist(),
+                     ss.edge_weights(lp).tolist()))
+    alpha = ref.forward(y, ss.states, edges, temps, sigma).T
+    beta = ref.backward(y, ss.states, edges, temps, sigma).T
+    lp_ref, pi_ref, mu_ref, sig_ref = ref.em_update(
+        alpha.T, beta.T, ss.states, edges, ss.K, temps, sigma, y)
+
+    tables = EMTables.build(ss)
+    lp_new, pi_new, mu_new, sig_new, ll = em_step(
+        jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+        jnp.asarray(sigma), tables, K=ss.K)
+
+    np.testing.assert_allclose(np.asarray(lp_new), lp_ref, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(pi_new), pi_ref, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_new), mu_ref, rtol=0, atol=1e-8)
+    assert float(sig_new) == pytest.approx(sig_ref, rel=1e-8)
+    # ll is logsumexp(alpha[-1])
+    m = alpha[-1].max()
+    ll_ref = m + np.log(np.exp(alpha[-1] - m).sum())
+    assert float(ll) == pytest.approx(ll_ref, rel=1e-10)
+
+
+def test_em_improves_loglikelihood():
+    y, temps, ss, lp, sigma = _small_case(T=1200)
+    tables = EMTables.build(ss)
+    # start from perturbed templates
+    rng = np.random.default_rng(3)
+    mu = temps + 0.3 * rng.standard_normal(temps.shape)
+    mu[0, :] = 0.0
+    lls = []
+    lp_d, mu_d, sig_d = jnp.asarray(lp), jnp.asarray(mu), jnp.asarray(sigma)
+    yd = jnp.asarray(y)
+    for _ in range(5):
+        lp_d, _, mu_d, sig_d, ll = em_step(yd, lp_d, mu_d, sig_d, tables, K=ss.K)
+        lls.append(float(ll))
+    # The reference's update is approximate EM ("KIND OF WORKS",
+    # baumwelch.jl:204): near convergence ll can wiggle by ~1e-4, so assert
+    # near-monotonicity plus substantial net improvement.
+    assert all(b >= a - 1e-3 for a, b in zip(lls, lls[1:]))
+    assert lls[-1] > lls[0] + 1.0
+
+
+def test_train_model_converges_to_two_templates():
+    # reference test/runtests.jl:71-83, same config: 30k-sample synthetic
+    # 2-cell signal, K=60, EM from 7 random templates; merge+prune must land
+    # on exactly 2 templates matching the truth within 1% of their energy.
+    # RNG-dependent like the reference (which pins a MersenneTwister seed);
+    # seed pinned here the same way.
+    rng = np.random.default_rng(1234)
+    K, T, sigma = 60, 30000, 0.3
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.003, 0.001])
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    res = train_model(y, 7, K, nsteps=10, rng=np.random.default_rng(1))
+    assert res.n_neurons == 2
+    mm, cc = template_ops.match_templates(res.mu, temps)
+    assert set(mm.tolist()) == {0, 1}
+    energies = (temps ** 2).sum(axis=0)
+    for i in range(2):
+        assert cc[i] < 0.01 * energies[mm[i]]

@@ -1,0 +1,70 @@
+"""Time-parallel decode engines vs the sequential scan engine."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmmspikesorter_tpu.core.emission import state_means
+from hmmspikesorter_tpu.core.state_space import build_state_space
+from hmmspikesorter_tpu.core.viterbi import viterbi_decode
+from hmmspikesorter_tpu.parallel.block_viterbi import blocked_viterbi
+from hmmspikesorter_tpu.parallel.overlap_save import overlap_save_viterbi
+from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_template
+
+
+def _setup(N=2, K=20, T=8192, overlaps=False, sigma=0.3, seed=5,
+           pp=(0.004, 0.002)):
+    rng = np.random.default_rng(seed)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array(pp[:N])
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    ss = build_state_space(N, K, overlaps)
+    lp = np.log(pp)
+    in_idx, in_w = ss.in_table(lp)
+    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps))
+    return (jnp.asarray(y), jnp.asarray(in_idx), jnp.asarray(in_w), smu,
+            sigma)
+
+
+@pytest.mark.parametrize("T,L", [(4000, 256), (8192, 512), (1000, 1024)])
+def test_blocked_viterbi_exact(T, L):
+    y, in_idx, in_w, smu, sigma = _setup(T=T)
+    x_seq, ll_seq = viterbi_decode(y, in_idx, in_w, smu, sigma)
+    x_blk, ll_blk = blocked_viterbi(y, in_idx, in_w, smu, sigma, L=L)
+    np.testing.assert_array_equal(np.asarray(x_blk), np.asarray(x_seq))
+    assert float(ll_blk) == pytest.approx(float(ll_seq), rel=1e-9)
+
+
+def test_blocked_viterbi_exact_overlap_space():
+    y, in_idx, in_w, smu, sigma = _setup(T=2000, K=10, overlaps=True)
+    x_seq, ll_seq = viterbi_decode(y, in_idx, in_w, smu, sigma)
+    x_blk, ll_blk = blocked_viterbi(y, in_idx, in_w, smu, sigma, L=128)
+    np.testing.assert_array_equal(np.asarray(x_blk), np.asarray(x_seq))
+    assert float(ll_blk) == pytest.approx(float(ll_seq), rel=1e-9)
+
+
+def test_overlap_save_matches_sequential():
+    y, in_idx, in_w, smu, sigma = _setup(T=8192, K=20)
+    x_seq, _ = viterbi_decode(y, in_idx, in_w, smu, sigma)
+    x_os, seam_ok = overlap_save_viterbi(y, in_idx, in_w, smu, sigma,
+                                         L=1024, H=128)
+    assert bool(seam_ok.all())
+    agree = (np.asarray(x_os) == np.asarray(x_seq)).mean()
+    # halo >> K and seams snapped to common silence: expect near-perfect
+    # agreement (differences only from the first block's init handling)
+    assert agree > 0.999
+
+
+def test_overlap_save_silence_seams_are_silent():
+    y, in_idx, in_w, smu, sigma = _setup(T=4096, K=12)
+    x_os, seam_ok = overlap_save_viterbi(y, in_idx, in_w, smu, sigma,
+                                         L=512, H=64)
+    assert x_os.shape == y.shape
+    assert bool(seam_ok.all())
+
+
+def test_overlap_save_rejects_bad_shapes():
+    y, in_idx, in_w, smu, sigma = _setup(T=1000)
+    with pytest.raises(ValueError):
+        overlap_save_viterbi(y, in_idx, in_w, smu, sigma, L=512, H=64)

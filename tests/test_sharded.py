@@ -1,0 +1,42 @@
+"""Multi-device (8-way virtual CPU mesh) decode == single-device decode,
+bit-for-bit (SURVEY.md §4: fake-mesh shard-equals-single-device checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from hmmspikesorter_tpu.core.viterbi import viterbi_decode
+from hmmspikesorter_tpu.parallel.sharded import (
+    batched_decode_sharded, sharded_blocked_viterbi)
+from tests.test_parallel import _setup
+
+
+def _mesh(n, axis):
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_time_sharded_viterbi_exact(ndev):
+    y, in_idx, in_w, smu, sigma = _setup(T=6000, K=16)
+    x_seq, ll_seq = viterbi_decode(y, in_idx, in_w, smu, sigma)
+    mesh = _mesh(ndev, "time")
+    x_sh, ll_sh = sharded_blocked_viterbi(y, in_idx, in_w, smu, sigma, mesh,
+                                          L=128)
+    np.testing.assert_array_equal(np.asarray(x_sh), np.asarray(x_seq))
+    assert float(ll_sh) == pytest.approx(float(ll_seq), rel=1e-9)
+
+
+def test_channel_sharded_batch_decode():
+    ys = []
+    for seed in range(8):
+        y, in_idx, in_w, smu, sigma = _setup(T=2000, K=12, seed=seed)
+        ys.append(np.asarray(y))
+    y_batch = jnp.asarray(np.stack(ys))
+    mesh = _mesh(8, "channel")
+    xs, lls = batched_decode_sharded(y_batch, in_idx, in_w, smu, sigma, mesh)
+    for c in range(8):
+        x_one, ll_one = viterbi_decode(y_batch[c], in_idx, in_w, smu, sigma)
+        np.testing.assert_array_equal(np.asarray(xs[c]), np.asarray(x_one))
+        assert float(lls[c]) == pytest.approx(float(ll_one), rel=1e-12)
