@@ -1,0 +1,139 @@
+"""Batch spike-sorting CLI — the framework's `hmmsort` entry point.
+
+Contract matches the reference CLI (src/hmmsort.jl:36-118):
+
+* input HDF5 template file with keys `spikeForms` (K x nchannels x
+  ntemplates in the file's Julia/MATLAB layout), `cinv`, `p`; only
+  channel 1 of spikeForms is used (hmmsort.jl:56);
+* bail to an empty result if `spikeForms` is missing (hmmsort.jl:40-45) or
+  more than `max_templates` (default 4) templates are present
+  (hmmsort.jl:50-53);
+* data HDF5 file read from `rh/data/analogData` else
+  `highpassdata/data/data` (hmmsort.jl:66-78); 2-D data uses channel 1;
+* decode-only (templates come from an upstream tool), overlaps ON,
+  chunked at 100_000 samples (hmmsort.jl:90);
+* MAT output dict {mlseq, ll, waveforms, lp, sigma} (hmmsort.jl:94-101),
+  where mlseq is the *unrolled* per-neuron state matrix with the
+  reference's 1-based ring-position convention (state 1 = silent);
+* exit code 23 when input files don't exist (hmmsort.jl:110-113).
+
+Layout note: Julia/MATLAB read HDF5 datasets column-major; h5py reads the
+same bytes row-major, so a Julia (K, nchan, N) dataset appears here as
+(N, nchan, K) — we transpose back.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+MAX_TEMPLATES = 4          # reference hmmsort.jl:36
+CHUNKSIZE = 100_000        # reference hmmsort.jl:90
+
+
+def load_template_file(inputfile: str, max_templates: int = MAX_TEMPLATES):
+    """Read {spikeForms, cinv, p} -> HMMTemplateModel or None (bail)."""
+    import h5py
+
+    from .models.api import HMMTemplateModel
+
+    with h5py.File(inputfile, "r") as ff:
+        if "spikeForms" not in ff:
+            print("No spike forms found. Bailing...")
+            return None
+        wf = np.asarray(ff["spikeForms"])
+        if wf.ndim == 2:                       # (N, K) single-channel file
+            wf = wf[:, None, :]
+        wf = wf.T                              # -> (K, nchan, N) Julia layout
+        cinv = np.ravel(np.asarray(ff["cinv"]))
+        pp = np.ravel(np.asarray(ff["p"]))
+        if len(pp) > max_templates:
+            print("The number of templates exceeds the maximum. Bailing out...")
+            return None
+        mu = wf[:, 0, :]                       # channel 1 only (hmmsort.jl:56)
+        sigma = float(np.sqrt(1.0 / cinv[0]))
+        return HMMTemplateModel(mu=mu, sigma=sigma, lp=np.log(pp),
+                                allow_overlaps=True)
+
+
+def load_data_file(datafile: str) -> np.ndarray:
+    """Read the voltage trace (reference hmmsort.jl:66-88)."""
+    import h5py
+
+    with h5py.File(datafile, "r") as ff:
+        if "rh" in ff:
+            ds = ff["rh/data/analogData"]
+        else:
+            ds = ff["highpassdata/data/data"]
+        data = np.asarray(ds)
+    if data.ndim == 2:
+        # Julia reads (T, ncols) and takes column 1; the same dataset is
+        # (ncols, T) through h5py — pick the orientation with T long.
+        data = data[0] if data.shape[0] < data.shape[1] else data[:, 0]
+    return np.asarray(data, dtype=np.float64)
+
+
+def sort_data(inputfile: str, datafile: str, outputfile: str, *,
+              dosave: bool = True, max_templates: int = MAX_TEMPLATES,
+              chunksize: int = CHUNKSIZE, progress=None) -> dict:
+    """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104)."""
+    import scipy.io
+
+    from .io.extraction import unroll_mlseq
+    from .models.api import fit_spiking_model
+
+    print("Loading templates...")
+    tm = load_template_file(inputfile, max_templates)
+    if tm is None:
+        return {}
+    print("Creating template model...")
+    print("Loading data...")
+    data = load_data_file(datafile)
+    print("Fitting model...")
+    model = fit_spiking_model(tm, data, chunksize=chunksize,
+                              progress=progress)
+    # reference output convention: unrolled per-neuron ring positions,
+    # 1-based with 1 == silent (StateMatrix stores positions + 1,
+    # types.jl:150)
+    mlseq = unroll_mlseq(model.ml_seq, tm.state_space.states) + 1
+    output = {
+        "mlseq": mlseq,
+        "ll": model.ll,
+        "waveforms": tm.mu,
+        "lp": tm.lp,
+        "sigma": tm.sigma,
+    }
+    if dosave:
+        scipy.io.savemat(outputfile, output)
+        print(f"Done! Results saved to {outputfile}")
+    return output
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="hmmsort",
+        description="HMM spike sorting (TPU-native): decode a recording "
+                    "with known templates")
+    p.add_argument("--inputfile", required=True,
+                   help="File containing templates to be used for sorting")
+    p.add_argument("--datafile", required=True,
+                   help="Data file containing data to be sorted")
+    p.add_argument("--outputfile", required=True,
+                   help="File to save the spiking model to")
+    p.add_argument("--chunksize", type=int, default=CHUNKSIZE)
+    args = p.parse_args(argv)
+
+    import os
+
+    if not (os.path.isfile(args.inputfile) and os.path.isfile(args.datafile)):
+        print("Both inputfile and data file must exist")
+        return 23                               # reference hmmsort.jl:113
+    sort_data(args.inputfile, args.datafile, args.outputfile,
+              chunksize=args.chunksize)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.emission import emission_logprob
 
@@ -129,3 +130,102 @@ def overlap_save_viterbi(y, in_idx, in_w, state_mu, sigma, *, L: int, H: int):
     rel = t_abs - starts[owner]
     x = xb[owner, rel]
     return x, seam_ok
+
+
+@partial(jax.jit, static_argnames=())
+def _decode_blocks_from_y(y_win, v0, in_idx, in_w, state_mu, sigma):
+    """Like _decode_blocks but computes emissions inside the scan step, so
+    the (B, W, S) emission tensor is never materialized — required for
+    overlap state spaces (S ~ 10^3-10^4) at long T."""
+    dtype = state_mu.dtype
+    sigma = jnp.asarray(sigma, dtype)
+    log_sigma = jnp.log(sigma)
+    inv_2s2 = 1.0 / (2.0 * sigma * sigma)
+
+    def em(v):
+        d = v - state_mu
+        return -0.9189385332046727 - log_sigma - d * d * inv_2s2
+
+    def decode_one(yy, v_init):
+        def step(carry, y_t):
+            cand = carry[in_idx] + in_w
+            best = jnp.argmax(cand, axis=1)
+            mx = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+            bp = jnp.take_along_axis(in_idx, best[:, None], axis=1)[:, 0]
+            bp = jnp.where(jnp.isfinite(mx), bp, 0).astype(jnp.int32)
+            return mx + em(y_t), bp
+
+        vT, bps = jax.lax.scan(step, v_init, yy[1:])
+        xT = jnp.argmax(vT).astype(jnp.int32)
+
+        def back(x_next, bp_t):
+            return bp_t[x_next], bp_t[x_next]
+
+        _, xs = jax.lax.scan(back, xT, bps, reverse=True)
+        return jnp.concatenate([xs, xT[None]])
+
+    return jax.vmap(decode_one)(y_win, jax.vmap(em)(y_win[:, 0])
+                                if v0 is None else v0)
+
+
+def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
+                             H: int, blocks_per_call: int = 8):
+    """Host-driven overlap-save decode of arbitrarily long signals.
+
+    Streams batches of `blocks_per_call` halo-extended blocks through the
+    device (backpointer memory is bounded by blocks_per_call * (L+2H) * S),
+    then snaps every seam to common silence and stitches on the host —
+    the production path for overlap state spaces where S^2 operators and
+    whole-signal emission tensors don't fit (SURVEY.md §2b).
+
+    Returns (x (T,) int32, seam_ok (B-1,) bool).
+    """
+    if L < 2 * H:
+        raise ValueError("need L >= 2H so seam cuts are monotone")
+    y = np.asarray(y)
+    T = len(y)
+    Tp = -(-T // L) * L
+    ypad = np.pad(y, (0, Tp - T))          # tail pad decodes ~silent
+    B = Tp // L
+    W = L + 2 * H
+    if Tp < W:
+        raise ValueError("signal shorter than one window; decode directly")
+    starts = np.clip(np.arange(B) * L - H, 0, Tp - W)
+    labels = np.empty((B, W), np.int32)
+    dtype = np.dtype(state_mu.dtype)
+    for c0 in range(0, B, blocks_per_call):
+        c1 = min(c0 + blocks_per_call, B)
+        idx = starts[c0:c1, None] + np.arange(W)[None, :]
+        y_win = ypad[idx].astype(dtype)
+        if c1 - c0 < blocks_per_call:      # keep one compiled shape
+            padb = blocks_per_call - (c1 - c0)
+            y_win = np.concatenate([y_win, np.zeros((padb, W), dtype)])
+        out = np.asarray(_decode_blocks_from_y(
+            jnp.asarray(y_win), None, in_idx, in_w, state_mu, sigma))
+        labels[c0:c1] = out[: c1 - c0]
+
+    # host-side seam snap + stitch (same protocol as overlap_save_viterbi)
+    x = np.empty(Tp, np.int32)
+    seam_ok = np.ones(B - 1, bool)
+    cuts = np.empty(B - 1, np.int64)
+    offs = np.arange(2 * H)
+    for s in range(B - 1):
+        p = (s + 1) * L
+        lw = labels[s, p - H - starts[s] : p + H - starts[s]]
+        rw = labels[s + 1, p - H - starts[s + 1] : p + H - starts[s + 1]]
+        both = (lw == 0) & (rw == 0)
+        le = np.nonzero(both & (offs <= H))[0]
+        gt = np.nonzero(both & (offs > H))[0]
+        if len(le):
+            q = le[-1]
+        elif len(gt):
+            q = gt[0]
+        else:
+            q = H
+            seam_ok[s] = False
+        cuts[s] = p - H + q
+    bounds = np.concatenate([[0], cuts, [Tp]])
+    for b in range(B):
+        a, e = bounds[b], bounds[b + 1]
+        x[a:e] = labels[b, a - starts[b] : e - starts[b]]
+    return x[:T], seam_ok

@@ -1,0 +1,79 @@
+"""CLI end-to-end: HDF5 template+data files in the reference's layout ->
+MAT output with the reference's keys (src/hmmsort.jl contract)."""
+
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import scipy.io
+
+from hmmspikesorter_tpu import cli
+from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_template
+
+
+def _write_inputs(tmp_path, K=20, T=4000, sigma=0.3, n_templates=2):
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2),
+                      create_spike_template(K, 2.0, 0.5, 0.25),
+                      create_spike_template(K, 2.5, 0.6, 0.15),
+                      create_spike_template(K, 1.5, 0.7, 0.2)][:n_templates],
+                     axis=1)
+    pp = np.array([0.004, 0.002, 0.003, 0.001, 0.002][:n_templates])
+    rng = np.random.default_rng(3)
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+
+    tfile, dfile = str(tmp_path / "templates.h5"), str(tmp_path / "data.h5")
+    with h5py.File(tfile, "w") as f:
+        # file holds the Julia (K, nchan, N) layout == h5py (N, nchan, K)
+        f["spikeForms"] = temps.T[:, None, :]
+        f["cinv"] = np.array([[1.0 / sigma**2]])
+        f["p"] = pp
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = y
+    return tfile, dfile, temps, pp, y
+
+
+def test_sort_data_end_to_end(tmp_path):
+    tfile, dfile, temps, pp, y = _write_inputs(tmp_path)
+    ofile = str(tmp_path / "out.mat")
+    out = cli.sort_data(tfile, dfile, ofile, chunksize=1500)
+    assert set(out) == {"mlseq", "ll", "waveforms", "lp", "sigma"}
+    assert out["mlseq"].shape == (2, len(y))
+    assert out["mlseq"].min() >= 1          # reference 1-based convention
+    np.testing.assert_allclose(out["waveforms"], temps)
+    np.testing.assert_allclose(out["lp"], np.log(pp))
+    back = scipy.io.loadmat(ofile, squeeze_me=True)
+    np.testing.assert_array_equal(back["mlseq"], out["mlseq"])
+    assert back["sigma"] == out["sigma"]
+
+
+def test_sort_data_bails_on_too_many_templates(tmp_path):
+    tfile, dfile, *_ = _write_inputs(tmp_path, n_templates=5)
+    out = cli.sort_data(tfile, dfile, str(tmp_path / "o.mat"))
+    assert out == {}
+
+
+def test_sort_data_bails_without_spikeforms(tmp_path):
+    tfile = str(tmp_path / "empty.h5")
+    with h5py.File(tfile, "w") as f:
+        f["nothing"] = [1]
+    _, dfile, *_ = _write_inputs(tmp_path)
+    out = cli.sort_data(tfile, dfile, str(tmp_path / "o.mat"))
+    assert out == {}
+
+
+def test_cli_missing_files_exit_code():
+    assert cli.main(["--inputfile", "/nonexistent/a.h5",
+                     "--datafile", "/nonexistent/b.h5",
+                     "--outputfile", "/tmp/x.mat"]) == 23
+
+
+def test_cli_highpassdata_path_and_2d(tmp_path):
+    tfile, dfile, temps, pp, y = _write_inputs(tmp_path)
+    d2 = str(tmp_path / "data2.h5")
+    with h5py.File(d2, "w") as f:
+        # 2-channel layout: Julia (T, 2) == h5py (2, T); channel 1 is y
+        f["highpassdata/data/data"] = np.stack([y, np.zeros_like(y)])
+    data = cli.load_data_file(d2)
+    np.testing.assert_allclose(data, y)

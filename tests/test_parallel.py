@@ -68,3 +68,15 @@ def test_overlap_save_rejects_bad_shapes():
     y, in_idx, in_w, smu, sigma = _setup(T=1000)
     with pytest.raises(ValueError):
         overlap_save_viterbi(y, in_idx, in_w, smu, sigma, L=512, H=64)
+
+
+def test_overlap_save_decode_long_matches_sequential():
+    from hmmspikesorter_tpu.parallel.overlap_save import overlap_save_decode_long
+    y, in_idx, in_w, smu, sigma = _setup(T=10000, K=20)
+    x_seq, _ = viterbi_decode(y, in_idx, in_w, smu, sigma)
+    x_long, seam_ok = overlap_save_decode_long(
+        np.asarray(y), in_idx, in_w, smu, sigma, L=1024, H=128,
+        blocks_per_call=4)
+    assert seam_ok.all()
+    agree = (x_long == np.asarray(x_seq)).mean()
+    assert agree > 0.999

@@ -1,0 +1,71 @@
+"""Distributed EM step == single-device EM step on the fake CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from hmmspikesorter_tpu.core.state_space import build_state_space
+from hmmspikesorter_tpu.parallel.sharded_em import sharded_em_step
+from hmmspikesorter_tpu.train.em import EMTables, em_step
+from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_template
+
+
+def _mk(N=2, K=12, T=4096, sigma=0.3, seed=9):
+    rng = np.random.default_rng(seed)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array([0.004, 0.002][:N])
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    ss = build_state_space(N, K, False)
+    return y, temps, np.log(pp), sigma, ss
+
+
+@pytest.mark.parametrize("tdev,cdev", [(8, 1), (4, 2), (2, 1)])
+def test_sharded_em_matches_single_device(tdev, cdev):
+    y, mu, lp, sigma, ss = _mk()
+    tables = EMTables.build(ss)
+    C = cdev  # one channel per channel-shard for the parity check
+    ys = np.stack([y] * C)
+    lps = np.stack([lp] * C)
+    mus = np.stack([mu] * C)
+    sigmas = np.full(C, sigma)
+
+    devs = np.array(jax.devices()[: tdev * cdev]).reshape(cdev, tdev)
+    mesh = Mesh(devs, ("channel", "time"))
+    out = sharded_em_step(ys, lps, mus, sigmas, tables, mesh, K=ss.K, L=256)
+    lp_sh, pi_sh, mu_sh, sig_sh, ll_sh = map(np.asarray, out)
+
+    lp_1, pi_1, mu_1, sig_1, ll_1 = em_step(
+        jnp.asarray(y), jnp.asarray(lp), jnp.asarray(mu), jnp.asarray(sigma),
+        tables, K=ss.K)
+    for c in range(C):
+        np.testing.assert_allclose(lp_sh[c], np.asarray(lp_1), rtol=1e-9)
+        np.testing.assert_allclose(pi_sh[c], np.asarray(pi_1), atol=1e-9)
+        np.testing.assert_allclose(mu_sh[c], np.asarray(mu_1), atol=1e-9)
+        assert sig_sh[c] == pytest.approx(float(sig_1), rel=1e-10)
+        assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-10)
+
+
+def test_sharded_em_distinct_channels():
+    # different channels get genuinely different models
+    tables = None
+    ys, lps, mus, sigmas = [], [], [], []
+    for seed in (1, 2):
+        y, mu, lp, sigma, ss = _mk(seed=seed)
+        tables = EMTables.build(ss)
+        ys.append(y); lps.append(lp); mus.append(mu); sigmas.append(sigma)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("channel", "time"))
+    out = sharded_em_step(np.stack(ys), np.stack(lps), np.stack(mus),
+                          np.asarray(sigmas), tables, mesh, K=ss.K, L=256)
+    lp_sh, _, mu_sh, sig_sh, ll_sh = map(np.asarray, out)
+    for c, seed in enumerate((1, 2)):
+        y, mu, lp, sigma, ss = _mk(seed=seed)
+        lp_1, _, mu_1, sig_1, ll_1 = em_step(
+            jnp.asarray(y), jnp.asarray(lp), jnp.asarray(mu),
+            jnp.asarray(sigma), tables, K=ss.K)
+        np.testing.assert_allclose(lp_sh[c], np.asarray(lp_1), rtol=1e-9)
+        np.testing.assert_allclose(mu_sh[c], np.asarray(mu_1), atol=1e-9)
+        assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-10)
