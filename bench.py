@@ -29,6 +29,7 @@ def main():
     from hmmspikesorter_tpu.core.emission import state_means
     from hmmspikesorter_tpu.core.state_space import build_state_space
     from hmmspikesorter_tpu import native
+    from hmmspikesorter_tpu.ops.ring_viterbi import ring_block_decoder
     from hmmspikesorter_tpu.parallel.overlap_save import (
         overlap_save_decode_long)
     from hmmspikesorter_tpu.data.synthetic import (
@@ -36,7 +37,7 @@ def main():
 
     N, K, sigma = 2, 60, 0.3
     T = 1 << 20
-    L, H, BPC = 8192, 512, 8
+    L, H, BPC = 8192, 512, 16
 
     rng = np.random.default_rng(1234)
     temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
@@ -54,10 +55,16 @@ def main():
     smu = jax.device_put(
         state_means(jnp.asarray(ss.states), jnp.asarray(temps, dtype)), dev)
 
-    # --- TPU decode (warmup compiles; then timed runs)
+    # --- TPU decode: ring-structured engine (gather-free fast path) under
+    # the overlap-save driver (warmup compiles; then timed runs)
+    decoder = ring_block_decoder(jnp.asarray(lp, dtype),
+                                 jnp.asarray(temps, dtype), sigma,
+                                 overlaps=True)
+
     def run():
         return overlap_save_decode_long(y, in_idx, in_w, smu, sigma,
-                                        L=L, H=H, blocks_per_call=BPC)
+                                        L=L, H=H, blocks_per_call=BPC,
+                                        block_decoder=decoder)
 
     x_tpu, seam_ok = run()                      # warmup + correctness output
     times = []
@@ -86,7 +93,7 @@ def main():
         "baseline_cpu_samples_per_s": round(cpu_sps, 1),
         "label_agreement_vs_reference_semantics": round(agree, 6),
         "seams_ok_frac": float(np.mean(seam_ok)),
-        "config": "N=2 K=60 overlaps S=3600 T=2^20 f32 L=8192 H=512",
+        "config": "N=2 K=60 overlaps S=3600 T=2^20 f32 L=8192 H=512 ring",
         "device": str(jax.devices()[0]),
     }))
 

@@ -169,7 +169,8 @@ def _decode_blocks_from_y(y_win, v0, in_idx, in_w, state_mu, sigma):
 
 
 def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
-                             H: int, blocks_per_call: int = 8):
+                             H: int, blocks_per_call: int = 8,
+                             block_decoder=None):
     """Host-driven overlap-save decode of arbitrarily long signals.
 
     Streams batches of `blocks_per_call` halo-extended blocks through the
@@ -177,6 +178,10 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     then snaps every seam to common silence and stitches on the host —
     the production path for overlap state spaces where S^2 operators and
     whole-signal emission tensors don't fit (SURVEY.md §2b).
+
+    `block_decoder`, if given, replaces the generic gather engine: a
+    callable (B, W) float windows -> (B, W) int32 labels (e.g. the
+    ring-structured fast path, ops/ring_viterbi.py).
 
     Returns (x (T,) int32, seam_ok (B-1,) bool).
     """
@@ -200,8 +205,11 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         if c1 - c0 < blocks_per_call:      # keep one compiled shape
             padb = blocks_per_call - (c1 - c0)
             y_win = np.concatenate([y_win, np.zeros((padb, W), dtype)])
-        out = np.asarray(_decode_blocks_from_y(
-            jnp.asarray(y_win), None, in_idx, in_w, state_mu, sigma))
+        if block_decoder is not None:
+            out = np.asarray(block_decoder(jnp.asarray(y_win)))
+        else:
+            out = np.asarray(_decode_blocks_from_y(
+                jnp.asarray(y_win), None, in_idx, in_w, state_mu, sigma))
         labels[c0:c1] = out[: c1 - c0]
 
     # host-side seam snap + stitch (same protocol as overlap_save_viterbi)

@@ -139,25 +139,37 @@ def _backward_beta(em, out_idx, out_w):
     return jnp.concatenate([rest, bT[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("K",))
-def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int):
+@partial(jax.jit, static_argnames=("K", "use_ring"))
+def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
+            use_ring: bool = True):
     """One full EM iteration: (lp, mu, sigma) -> (lp, pi, mu, sigma, ll).
 
     y: (T,) signal; lp: (N,) onset log-probs; mu: (K, N) templates;
     sigma: scalar noise std. Returns the sequence log-likelihood
     logsumexp(alpha[-1]) as a convergence metric (the reference prints
     nothing; SURVEY.md §5.5 upgrades observability).
+
+    use_ring selects the gather-free ring-structured scans
+    (ops/ring_fb.py — the TPU fast path); False uses the generic in-edge
+    gather tables. Both produce identical statistics up to logsumexp
+    reassociation.
     """
     N = tables.states.shape[0]
-    in_w = edge_weights_from_structure(
-        lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
-    out_w = edge_weights_from_structure(
-        lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
 
     smu = state_means(tables.states, mu)
     em = emission_logprob(y, smu, sigma)               # (T, S)
-    alpha = _forward_alpha(em, tables.in_idx, in_w)    # (T, S)
-    beta = _backward_beta(em, tables.out_idx, out_w)   # (T, S)
+    if use_ring:
+        from ..ops.ring_fb import ring_backward, ring_forward
+
+        alpha = ring_forward(y, lp, mu, sigma)         # (T, S)
+        beta = ring_backward(y, lp, mu, sigma)         # (T, S)
+    else:
+        in_w = edge_weights_from_structure(
+            lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
+        out_w = edge_weights_from_structure(
+            lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
+        alpha = _forward_alpha(em, tables.in_idx, in_w)
+        beta = _backward_beta(em, tables.out_idx, out_w)
 
     ab = alpha + beta
     g = logsumexp_rows(ab, axis=1)                     # (T,) logZ_t

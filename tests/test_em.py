@@ -99,3 +99,34 @@ def test_train_model_converges_to_two_templates():
     energies = (temps ** 2).sum(axis=0)
     for i in range(2):
         assert cc[i] < 0.01 * energies[mm[i]]
+
+
+def test_ring_fb_matches_gather_fb():
+    from hmmspikesorter_tpu.core.forward_backward import backward, forward
+    from hmmspikesorter_tpu.core.emission import state_means
+    from hmmspikesorter_tpu.ops.ring_fb import ring_backward, ring_forward
+    y, temps, ss, lp, sigma = _small_case(T=1500, K=10)
+    in_idx, in_w = ss.in_table(lp)
+    out_idx, out_w = ss.out_table(lp)
+    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps))
+    a_g = forward(jnp.asarray(y), jnp.asarray(in_idx), jnp.asarray(in_w),
+                  smu, sigma)
+    b_g = backward(jnp.asarray(y), jnp.asarray(out_idx), jnp.asarray(out_w),
+                   smu, sigma)
+    a_r = ring_forward(jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+                       jnp.asarray(sigma))
+    b_r = ring_backward(jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+                        jnp.asarray(sigma))
+    np.testing.assert_allclose(np.asarray(a_r), np.asarray(a_g), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(b_r), np.asarray(b_g), atol=1e-11)
+
+
+def test_em_step_ring_matches_gather():
+    y, temps, ss, lp, sigma = _small_case(T=1000)
+    tables = EMTables.build(ss)
+    args = (jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+            jnp.asarray(sigma), tables)
+    out_r = em_step(*args, K=ss.K, use_ring=True)
+    out_g = em_step(*args, K=ss.K, use_ring=False)
+    for r, g in zip(out_r, out_g):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-9)
