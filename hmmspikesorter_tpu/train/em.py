@@ -243,8 +243,11 @@ class TrainResult:
     ll_history: list
 
 
-def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None):
+def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
+              metrics=None, checkpoint_dir=None, phase="train"):
     """Run `nsteps` EM iterations on a fixed topology."""
+    import time as _time
+
     N = mu.shape[1]
     lls = []
     if N == 0:
@@ -259,10 +262,22 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None):
     for i in range(nsteps):
         if callback is not None:
             callback(np.asarray(mu_d))
+        t0 = _time.perf_counter()
         lp_d, pi_d, mu_d, sigma_d, ll = em_step(y, lp_d, mu_d, sigma_d, tables, K=K)
         lls.append(float(ll))
+        elapsed = _time.perf_counter() - t0
         if verbose > 0:
             print(f"  EM iter {i}: ll={lls[-1]:.2f} sigma={float(sigma_d):.4f}")
+        if metrics is not None:
+            metrics.em_iter(i, lls[-1], float(sigma_d), np.asarray(lp_d),
+                            elapsed, len(y))
+        if checkpoint_dir is not None:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                f"{checkpoint_dir}/em_latest.npz", lp=np.asarray(lp_d),
+                mu=np.asarray(mu_d), sigma=float(sigma_d), em_iter=i,
+                phase=phase, ll_history=lls)
     return (np.asarray(lp_d), np.asarray(pi_d), np.asarray(mu_d),
             float(sigma_d), lls)
 
@@ -281,6 +296,8 @@ def train_model(
     condense_alpha: float = 0.05,
     sparse_lp0: float = -70.0,
     small_alpha: float = 0.05,
+    metrics=None,
+    checkpoint_dir: str | None = None,
 ) -> TrainResult:
     """Full training driver (reference src/baumwelch.jl:311-354):
 
@@ -300,7 +317,8 @@ def train_model(
 
     lp, pi, mu, sigma, lls = _em_phase(
         y, lp, mu, sigma, nsteps, K, dtype=dtype, verbose=verbose,
-        callback=callback)
+        callback=callback, metrics=metrics, checkpoint_dir=checkpoint_dir,
+        phase="em1")
     ll_hist += lls
 
     # --- template surgery (host-side, reference baumwelch.jl:338-348)
@@ -318,7 +336,8 @@ def train_model(
         print(f"{mu.shape[1]} templates remain after removing small")
 
     lp, pi, mu, sigma, lls = _em_phase(
-        y, lp, mu, sigma, nsteps // 2, K, dtype=dtype, verbose=verbose)
+        y, lp, mu, sigma, nsteps // 2, K, dtype=dtype, verbose=verbose,
+        metrics=metrics, checkpoint_dir=checkpoint_dir, phase="em2")
     ll_hist += lls
 
     return TrainResult(lp=lp, pi=pi, mu=mu, sigma=sigma,

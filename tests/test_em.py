@@ -130,3 +130,17 @@ def test_em_step_ring_matches_gather():
     out_g = em_step(*args, K=ss.K, use_ring=False)
     for r, g in zip(out_r, out_g):
         np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-9)
+
+
+def test_streaming_em_matches_materialized():
+    from hmmspikesorter_tpu.train.streaming_em import streaming_em_step
+    y, temps, ss, lp, sigma = _small_case(T=1024)
+    tables = EMTables.build(ss)
+    args = (jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+            jnp.asarray(sigma), tables)
+    out_m = em_step(*args, K=ss.K, use_ring=False)
+    out_s = streaming_em_step(*args, K=ss.K, L=128)
+    names = ["lp", "pi", "mu", "sigma", "ll"]
+    for n, m, s in zip(names, out_m, out_s):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(m), atol=1e-9,
+                                   err_msg=n)
