@@ -1,0 +1,171 @@
+"""Benchmark suite over the BASELINE.json configs.
+
+Each config prints one JSON line. Run:  python benchmarks/suite.py --config N
+(or --all). Config 5 (multi-host) needs real multi-host TPU; on a single
+chip it runs the fake-mesh dry run and reports compile-only status.
+
+  1 README synthetic: 2 templates K=60, 20k samples — train (10 EM iters)
+    + decode; reports BW iter/s, decode samples/s, reconstruction quality.
+  2 3-template, 200k samples, pairwise overlaps (10,621 states) — decode
+    with true templates via the generic engine under overlap-save.
+  3 Full Baum-Welch, 10 EM iters at production scale (N=7 init, K=60,
+    30k samples) — reports iter/s and template-recovery error.
+  4 16-channel batched decode, 1M samples/channel, channel-sharded on one
+    host (vmap; single chip = all channels on one device).
+  5 Multi-host 64ch x 10M: time-block sharded decode — dry-run on the
+    available mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _mk_signal(T, sigma, pp, K, seed=1234, n=None):
+    from hmmspikesorter_tpu.data.synthetic import (
+        create_signal, create_spike_template)
+
+    params = [(3.0, 0.8, 0.2), (4.0, 0.3, 0.2), (2.5, 0.6, 0.3),
+              (2.0, 0.5, 0.25), (3.5, 0.7, 0.15), (1.5, 0.4, 0.2),
+              (2.8, 0.55, 0.18)]
+    n = n or len(pp)
+    temps = np.stack([create_spike_template(K, *params[i]) for i in range(n)],
+                     axis=1)
+    rng = np.random.default_rng(seed)
+    y, truth = create_signal(T, sigma, np.asarray(pp), temps, rng=rng)
+    return y, truth, temps
+
+
+def config1():
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.models import api
+    from hmmspikesorter_tpu.train.em import train_model
+
+    K, T, sigma = 60, 20_000, 0.3
+    y, truth, temps = _mk_signal(T, sigma, [0.003, 0.001], K)
+    t0 = time.perf_counter()
+    res = train_model(y, 3, K, nsteps=10, rng=np.random.default_rng(1),
+                      dtype=jnp.float32)
+    train_s = time.perf_counter() - t0
+    iters = len(res.ll_history)
+    tm = api.HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log([0.003, 0.001]),
+                              allow_overlaps=True)
+    model = api.fit_spiking_model(tm, y)       # warm
+    t0 = time.perf_counter()
+    model = api.fit_spiking_model(tm, y)
+    dec_s = time.perf_counter() - t0
+    recon = api.predict(model)
+    q = 1 - np.std(recon - y) / np.std(y)
+    return {"config": 1, "bw_iter_per_s": round(iters / train_s, 3),
+            "decode_samples_per_s": round(T / dec_s, 1),
+            "reconstruction_quality": round(float(q), 4),
+            "trained_templates": res.n_neurons}
+
+
+def config2():
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.core.emission import state_means
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        overlap_save_decode_long)
+
+    K, T, sigma = 60, 200_000, 0.3
+    pp = [0.003, 0.002, 0.001]
+    y, truth, temps = _mk_signal(T, sigma, pp, K)
+    ss = build_state_space(3, K, True)          # 10,621 states
+    lp = np.log(pp)
+    in_idx_h, in_w_h = ss.in_table(lp)
+    in_idx = jnp.asarray(in_idx_h)
+    in_w = jnp.asarray(in_w_h, jnp.float32)
+    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps, jnp.float32))
+
+    def run():
+        return overlap_save_decode_long(y, in_idx, in_w, smu, sigma,
+                                        L=4096, H=256, blocks_per_call=16)
+
+    run()
+    t0 = time.perf_counter()
+    x, seam_ok = run()
+    dec_s = time.perf_counter() - t0
+    return {"config": 2, "nstates": ss.nstates,
+            "decode_samples_per_s": round(T / dec_s, 1),
+            "seams_ok_frac": float(np.mean(seam_ok))}
+
+
+def config3():
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.train import template_ops
+    from hmmspikesorter_tpu.train.em import train_model
+
+    K, T, sigma = 60, 30_000, 0.3
+    y, truth, temps = _mk_signal(T, sigma, [0.003, 0.001], K)
+    t0 = time.perf_counter()
+    res = train_model(y, 7, K, nsteps=10, rng=np.random.default_rng(1),
+                      dtype=jnp.float32)
+    train_s = time.perf_counter() - t0
+    mm, cc = template_ops.match_templates(res.mu, temps)
+    en = (temps ** 2).sum(axis=0)
+    errs = [float(cc[i] / en[mm[i]]) for i in range(res.n_neurons)]
+    return {"config": 3, "bw_iter_per_s": round(len(res.ll_history) / train_s, 3),
+            "templates_recovered": res.n_neurons,
+            "match_err_frac": [round(e, 5) for e in errs]}
+
+
+def config4():
+    import jax
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.ops.ring_viterbi import ring_viterbi_ov2
+
+    K, sigma, C, Tc = 60, 0.3, 16, 1_000_000
+    pp = [0.003, 0.001]
+    ys = np.stack([_mk_signal(Tc, sigma, pp, K, seed=s)[0]
+                   for s in range(C)]).astype(np.float32)
+    lp = jnp.asarray(np.log(pp), jnp.float32)
+    mu = jnp.asarray(_mk_signal(100, sigma, pp, K)[2], jnp.float32)
+
+    fn = jax.jit(jax.vmap(
+        lambda yy: ring_viterbi_ov2(yy, lp, mu, sigma, silent_start=False,
+                                    with_ll=False)[0]))
+    yd = jnp.asarray(ys)
+    np.asarray(fn(yd))                          # warm
+    t0 = time.perf_counter()
+    np.asarray(fn(yd))
+    dec_s = time.perf_counter() - t0
+    total = C * Tc
+    return {"config": 4, "channels": C, "samples_per_channel": Tc,
+            "aggregate_samples_per_s": round(total / dec_s, 1)}
+
+
+def config5():
+    import jax
+
+    import __graft_entry__ as g
+
+    n = len(jax.devices())
+    t0 = time.perf_counter()
+    g.dryrun_multichip(n)
+    return {"config": 5, "status": "dryrun_ok", "devices": n,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=None)
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    todo = sorted(fns) if args.all else [args.config or 1]
+    for c in todo:
+        print(json.dumps(fns[c]()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

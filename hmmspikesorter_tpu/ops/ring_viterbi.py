@@ -52,7 +52,7 @@ def _emission_consts(mu, sigma):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("silent_start", "with_ll"))
+@partial(jax.jit, static_argnames=("with_ll",))
 def ring_viterbi_nov(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     """Viterbi decode on the non-overlap ring space. Returns (x, ll).
 
@@ -104,13 +104,12 @@ def ring_viterbi_nov(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         # term (types.jl:96-102)
         cand = jnp.concatenate([(vs + self_w)[None], vb[:, -1] + stay_w])
         bp_s = jnp.argmax(cand).astype(jnp.int32)       # first max
-        new_vs = cand[bp_s] + es
+        new_vs = jnp.max(cand) + es
         # onset slot: silent or another neuron's same-step ring exit
         oc = onset_cands(vs, vb)                        # (1+N, N)
         bp_on = jnp.argmax(oc, axis=0).astype(jnp.int32)
-        first = jnp.take_along_axis(oc, bp_on[None, :], axis=0)[0]
         new_vb = jnp.concatenate(
-            [first[:, None], vb[:, :-1] + stay_w], axis=1) + ebm
+            [jnp.max(oc, axis=0)[:, None], vb[:, :-1] + stay_w], axis=1) + ebm
         return (new_vs, new_vb), (bp_s, bp_on)
 
     (vsT, vbT), (bps, bp_ons) = jax.lax.scan(step, (vs, vb), y[1:])
@@ -121,17 +120,24 @@ def ring_viterbi_nov(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     Km1 = K - 1
     ring_end = 1 + jnp.arange(N, dtype=jnp.int32) * Km1 + (Km1 - 1)
 
+    n_iota = jnp.arange(N, dtype=jnp.int32)
+
     def back(x_next, bp_t):
         bp_s, bp_on = bp_t
         # silent: stored choice; single(n,1): silent or ring-end of the
-        # stored m; single(n,k>1): previous ring slot (index - 1)
-        from_sil = jnp.where(bp_s == 0, 0, ring_end[(bp_s - 1) % N])
+        # stored m; single(n,k>1): previous ring slot (index - 1).
+        # All flag reads are one-hot reductions (no dynamic gathers).
+        from_sil = jnp.where(
+            bp_s == 0, 0,
+            jnp.sum(jnp.where(n_iota == bp_s - 1, ring_end, 0)))
         n = (x_next - 1) // Km1
         k = (x_next - 1) % Km1                          # 0 == position 1
-        c = bp_on[jnp.clip(n, 0, N - 1)]
-        from_onset = jnp.where(c == 0, 0, ring_end[(c - 1) % N])
+        c = jnp.sum(jnp.where(n_iota == n, bp_on, 0))
+        from_onset = jnp.where(
+            c == 0, 0, jnp.sum(jnp.where(n_iota == c - 1, ring_end, 0)))
         x_prev = jnp.where(x_next == 0, from_sil,
                            jnp.where(k == 0, from_onset, x_next - 1))
+        x_prev = x_prev.astype(jnp.int32)
         return x_prev, x_prev
 
     _, xs = jax.lax.scan(back, xT, (bps, bp_ons), reverse=True)
@@ -141,6 +147,9 @@ def ring_viterbi_nov(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         return x, jnp.asarray(0.0, dtype)
 
     # score replay along the known path (reference ll, viterbi.jl:92-96)
+    S = 1 + N * Km1
+    state_iota = jnp.arange(S, dtype=jnp.int32)
+
     def replay(carry, inp):
         vs, vb = carry
         y_t, x_t = inp
@@ -150,7 +159,8 @@ def ring_viterbi_nov(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         new_vb = jnp.concatenate(
             [first[:, None], vb[:, :-1] + stay_w], axis=1) + ebm
         flat = jnp.concatenate([new_vs[None], new_vb.reshape(-1)])
-        return (new_vs, new_vb), flat[x_t]
+        score = jnp.sum(jnp.where(state_iota == x_t, flat, 0.0))
+        return (new_vs, new_vb), score
 
     _, path_scores = jax.lax.scan(replay, (vs, vb), (y[1:], x[1:]))
     return x, jnp.sum(path_scores)
@@ -161,7 +171,7 @@ def ring_viterbi_nov(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("silent_start", "with_ll"))
+@partial(jax.jit, static_argnames=("with_ll",))
 def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     """Viterbi decode on the N=2 pairwise-overlap space. Returns (x, ll).
 
@@ -213,10 +223,12 @@ def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         # silent: source-ascending order [self, end0, end1, pair end];
         # a single ring exit leaves the other neuron paying lpz, a pair
         # double-exit leaves no silent neuron (types.jl:96-102)
+        # (all maxima are taken with jnp.max, never cand[argmax] — scalar
+        # dynamic gathers lower to slow scalar-core loops on TPU)
         cand_s = jnp.stack([vs + 2 * lpz, v0[-1] + lpz, v1[-1] + lpz,
                             vp[-1, -1]])
         bp_s = jnp.argmax(cand_s).astype(jnp.int32)
-        new_vs = cand_s[bp_s] + es
+        new_vs = jnp.max(cand_s) + es
         # singles: onset slot [silent | other end], ring slots
         # [same ring + lpz | pair col/row with other at K-1]
         on0 = jnp.stack([vs + lp0 + lpz, v1[-1] + lp0])
@@ -227,9 +239,9 @@ def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         r1 = jnp.stack([v1[:-1] + lpz, vp[-1, :-1]])
         b0_ring = jnp.argmax(r0, axis=0).astype(jnp.int8)
         b1_ring = jnp.argmax(r1, axis=0).astype(jnp.int8)
-        new_v0 = jnp.concatenate([on0[b0_on][None],
+        new_v0 = jnp.concatenate([jnp.max(on0)[None],
                                   jnp.max(r0, axis=0)]) + e0
-        new_v1 = jnp.concatenate([on1[b1_on][None],
+        new_v1 = jnp.concatenate([jnp.max(on1)[None],
                                   jnp.max(r1, axis=0)]) + e1
         # pair grid: all single-predecessor
         top = jnp.concatenate([(vs + lp0 + lp1)[None], v1[:-1] + lp0])  # row k1=1
@@ -252,28 +264,35 @@ def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
 
     SGL0, SGL1, PAIR = 1, 1 + Km1, 1 + 2 * Km1
 
+    ring_iota = jnp.arange(Km1 - 1, dtype=jnp.int32)
+
     def back(x_next, bp_t):
         bp_s, b0_on, b1_on, b0_ring, b1_ring = bp_t
         end0, end1 = SGL0 + Km1 - 1, SGL1 + Km1 - 1
         pair_end = PAIR + (Km1 - 1) * Km1 + (Km1 - 1)
 
-        # silent
-        from_sil = jnp.stack(
-            [jnp.int32(0), jnp.int32(end0), jnp.int32(end1),
-             jnp.int32(pair_end)])[bp_s]
-        # single 0 at position k (0-based slot j = x - SGL0)
+        # silent: 4-way select on the stored choice (no dynamic gather)
+        from_sil = jnp.where(
+            bp_s == 0, 0,
+            jnp.where(bp_s == 1, end0, jnp.where(bp_s == 2, end1, pair_end)))
+        # single 0 at position k (0-based slot j = x - SGL0); the ring-slot
+        # choice flag is read by one-hot reduction, not a dynamic gather
         j0 = x_next - SGL0
+        c0 = jnp.sum(jnp.where(ring_iota == j0 - 1,
+                               b0_ring.astype(jnp.int32), 0))
         from_s0 = jnp.where(
             j0 == 0,
             jnp.where(b0_on == 0, 0, end1),
-            jnp.where(b0_ring[jnp.maximum(j0 - 1, 0)] == 0,
+            jnp.where(c0 == 0,
                       x_next - 1,                        # same ring
                       PAIR + (j0 - 1) * Km1 + (Km1 - 1)))  # pair(j0, K-1)
         j1 = x_next - SGL1
+        c1 = jnp.sum(jnp.where(ring_iota == j1 - 1,
+                               b1_ring.astype(jnp.int32), 0))
         from_s1 = jnp.where(
             j1 == 0,
             jnp.where(b1_on == 0, 0, end0),
-            jnp.where(b1_ring[jnp.maximum(j1 - 1, 0)] == 0,
+            jnp.where(c1 == 0,
                       x_next - 1,
                       PAIR + (Km1 - 1) * Km1 + (j1 - 1)))  # pair(K-1, j1)
         # pair at grid (a, b) 0-based
@@ -297,12 +316,16 @@ def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     if not with_ll:
         return x, jnp.asarray(0.0, dtype)
 
+    S = 1 + 2 * Km1 + Km1 * Km1
+    state_iota = jnp.arange(S, dtype=jnp.int32)
+
     def replay(carry, inp):
         y_t, x_t = inp
         new_carry, _ = maxplus_step(carry, y_t, False)
         nvs, nv0, nv1, nvp = new_carry
         flat = jnp.concatenate([nvs[None], nv0, nv1, nvp.reshape(-1)])
-        return new_carry, flat[x_t]
+        score = jnp.sum(jnp.where(state_iota == x_t, flat, 0.0))
+        return new_carry, score
 
     _, path_scores = jax.lax.scan(replay, (vs, v0, v1, vp), (y[1:], x[1:]))
     return x, jnp.sum(path_scores)

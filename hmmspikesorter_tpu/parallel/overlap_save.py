@@ -237,3 +237,104 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         a, e = bounds[b], bounds[b + 1]
         x[a:e] = labels[b, a - starts[b] : e - starts[b]]
     return x[:T], seam_ok
+
+
+def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
+    """Fully on-device overlap-save decode with the ring engines.
+
+    One jitted program: window build, all block decodes (vmap), seam snap,
+    and stitch all execute on the device — the signal is transferred once
+    and only the final labels come back. This is the production single-chip
+    decode path (the chunked host driver above exists for signals whose
+    backpointer footprint exceeds HBM).
+
+    Same seam protocol and edge handling as overlap_save_viterbi; block 0
+    keeps the reference's forced silent start. Returns (x (T,), seam_ok).
+    """
+    if L < 2 * H:
+        raise ValueError("need L >= 2H so seam cuts are monotone")
+    lp = jnp.asarray(lp)
+    mu = jnp.asarray(mu)
+    if overlaps and mu.shape[1] != 2:
+        raise ValueError("ring overlap engine supports N == 2")
+    return _ring_overlap_save_impl(jnp.asarray(y), lp, mu,
+                                   jnp.asarray(sigma), L=L, H=H,
+                                   overlaps=overlaps)
+
+
+@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
+def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
+    from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
+
+    engine = ring_viterbi_ov2 if overlaps else ring_viterbi_nov
+
+    # Gather-free throughout: the window matrix is built from a single
+    # reshape, seam windows are static slices, and the stitch is a
+    # 3-way where over aligned label grids — XLA lowers generic gathers
+    # to scalar loops on TPU, which would dominate everything else.
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    T = y.shape[0]
+    B = -(-T // L)
+    Tp = B * L
+    W = L + 2 * H
+
+    if B == 1:
+        ypad = jnp.pad(y, (0, Tp - T))
+        x = engine(ypad, lp, mu, sigma, silent_start=True,
+                   with_ll=False)[0]
+        return x[:T], jnp.ones((0,), bool)
+
+    # uniform windows: row b covers [b*L - H, b*L - H + W) of the
+    # H-zero-padded signal == rows of one reshape plus a shifted head
+    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))        # length Tp + L
+    A = y_ext.reshape(B + 1, L)
+    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
+    # edge rows decode the *real* signal edges (reference-faithful init
+    # at sample 0 and termination at T): row 0 = y[0:W], row B-1 =
+    # y[Tp-W:Tp]; their labels are rolled back into uniform coordinates
+    ypad = jnp.pad(y, (0, Tp - T))
+    y_win = y_win.at[0].set(jax.lax.dynamic_slice_in_dim(ypad, 0, W))
+    y_win = y_win.at[B - 1].set(
+        jax.lax.dynamic_slice_in_dim(ypad, Tp - W, W))
+    sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
+
+    xb = jax.vmap(
+        lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
+                              with_ll=False)[0])(y_win, sil0)
+
+    # realign edge rows to uniform window coordinates
+    xb = xb.at[0].set(jnp.roll(xb[0], H))
+    xb = xb.at[B - 1].set(jnp.roll(xb[B - 1], -H))
+
+    # seam s at p=(s+1)L, window [p-H, p+H): static slices in uniform
+    # coordinates
+    left = xb[:-1, L : L + 2 * H]                    # (B-1, 2H)
+    right = xb[1:, : 2 * H]
+    both_silent = (left == 0) & (right == 0)
+    offs = jnp.arange(2 * H)
+    le_mask = both_silent & (offs[None, :] <= H)
+    gt_mask = both_silent & (offs[None, :] > H)
+    has_le = jnp.any(le_mask, axis=1)
+    has_gt = jnp.any(gt_mask, axis=1)
+    last_le = (2 * H - 1) - jnp.argmax(le_mask[:, ::-1], axis=1)
+    first_gt = jnp.argmax(gt_mask, axis=1)
+    q = jnp.where(has_le, last_le, jnp.where(has_gt, first_gt, H))
+    seam_ok = has_le | has_gt
+    cuts = (jnp.arange(B - 1) + 1) * L - H + q       # (B-1,) absolute
+
+    # stitch: position (b, i) (abs t = bL+i) is owned by b-1 if
+    # t < cut_{b-1}, by b+1 if t >= cut_b, else by b. Neighbor labels
+    # come from static slices of the adjacent rows.
+    core = xb[:, H : H + L]                          # (B, L) self labels
+    prev_full = jnp.zeros_like(core)
+    prev_full = prev_full.at[1:, :H].set(xb[:-1, L + H : L + 2 * H])
+    next_full = jnp.zeros_like(core)
+    next_full = next_full.at[:-1, L - H :].set(xb[1:, :H])
+    t_grid = (jnp.arange(B) * L)[:, None] + jnp.arange(L)[None, :]
+    prev_cut = jnp.concatenate([jnp.zeros(1, cuts.dtype), cuts])
+    next_cut = jnp.concatenate([cuts, jnp.full(1, Tp, cuts.dtype)])
+    x = jnp.where(t_grid < prev_cut[:, None], prev_full,
+                  jnp.where(t_grid >= next_cut[:, None], next_full,
+                            core)).reshape(-1)
+    return x[:T], seam_ok

@@ -80,3 +80,25 @@ def test_overlap_save_decode_long_matches_sequential():
     assert seam_ok.all()
     agree = (x_long == np.asarray(x_seq)).mean()
     assert agree > 0.999
+
+
+def test_ring_overlap_save_matches_host_driver():
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        overlap_save_decode_long, ring_overlap_save)
+    from hmmspikesorter_tpu.ops.ring_viterbi import ring_block_decoder
+    y, in_idx, in_w, smu, sigma = _setup(T=8192, K=20, overlaps=True)
+    # rebuild lp/mu for the ring engines
+    temps = np.stack([__import__("hmmspikesorter_tpu.data.synthetic",
+                                 fromlist=["create_spike_template"]
+                                 ).create_spike_template(20, 3.0, 0.8, 0.2),
+                      __import__("hmmspikesorter_tpu.data.synthetic",
+                                 fromlist=["create_spike_template"]
+                                 ).create_spike_template(20, 4.0, 0.3, 0.2)],
+                     axis=1)
+    lp = np.log([0.004, 0.002])
+    x_dev, ok_dev = ring_overlap_save(np.asarray(y), lp, temps, sigma,
+                                      L=1024, H=128, overlaps=True)
+    x_seq, _ = viterbi_decode(y, in_idx, in_w, smu, sigma)
+    assert np.asarray(ok_dev).all()
+    agree = (np.asarray(x_dev) == np.asarray(x_seq)).mean()
+    assert agree > 0.999
