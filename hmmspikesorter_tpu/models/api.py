@@ -66,6 +66,12 @@ class HMMTemplateModel:
         smu = state_means(jnp.asarray(ss.states), jnp.asarray(self.mu, dtype))
         return jnp.asarray(in_idx), jnp.asarray(in_w, dtype), smu
 
+    @property
+    def has_ring_engine(self) -> bool:
+        """True when a gather-free ring engine exists for this topology
+        (non-overlap any N; pairwise overlap N == 2)."""
+        return (not self.allow_overlaps) or self.n_neurons == 2
+
 
 @dataclasses.dataclass
 class HMMSpikingModel:
@@ -126,10 +132,9 @@ def fit_spiking_model(
     retracted tails) — a reference quirk we reproduce (fit.jl:37).
     """
     y = np.asarray(y, dtype=np.float64)
-    in_idx, in_w, smu = templates.decode_tables()
-    sigma = templates.sigma
+    decode = _decoder_for(templates)
     if chunksize is None or chunksize >= len(y):
-        x, ll = viterbi_decode(jnp.asarray(y), in_idx, in_w, smu, sigma)
+        x, ll = decode(y)
         return HMMSpikingModel(templates, np.asarray(x), float(ll), y)
 
     n = len(y)
@@ -138,7 +143,7 @@ def fit_spiking_model(
     i = 0
     while i < n - 1:
         j = min(i + chunksize, n)
-        x, _ll = viterbi_decode(jnp.asarray(y[i:j]), in_idx, in_w, smu, sigma)
+        x, _ll = decode(y[i:j])
         x = np.asarray(x)
         l = 0
         if i > 0:  # skip a non-silent prefix: we must start from silence
@@ -161,6 +166,49 @@ def fit_spiking_model(
         if progress is not None:
             progress(i, n)
     return HMMSpikingModel(templates, ml_seq, ll, y)
+
+
+def _decoder_for(templates: HMMTemplateModel):
+    """Engine dispatch: ring engines (gather-free, bit-identical) when the
+    topology supports them, else the generic in-edge-table scan."""
+    sigma = templates.sigma
+    if templates.has_ring_engine:
+        from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
+
+        engine = (ring_viterbi_ov2 if templates.allow_overlaps
+                  else ring_viterbi_nov)
+        lp_d = jnp.asarray(templates.lp)
+        mu_d = jnp.asarray(templates.mu)
+        return lambda yy: engine(jnp.asarray(yy), lp_d, mu_d, sigma)
+    in_idx, in_w, smu = templates.decode_tables()
+    return lambda yy: viterbi_decode(jnp.asarray(yy), in_idx, in_w, smu,
+                                     sigma)
+
+
+def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
+                           H: int | None = None) -> HMMSpikingModel:
+    """Production decode: fully on-device parallel overlap-save with the
+    ring engines (parallel/overlap_save.ring_overlap_save) — orders of
+    magnitude faster than the sequential chunked path at matching labels.
+
+    The reference's cumulative-score ll is not computed on this path
+    (it would require a sequential replay); the model's ll is NaN.
+    Requires a ring-capable topology (templates.has_ring_engine).
+    """
+    from ..parallel.overlap_save import ring_overlap_save
+
+    if not templates.has_ring_engine:
+        raise ValueError("fast decode requires non-overlap or N==2 overlap "
+                         "topology; use fit_spiking_model instead")
+    y = np.asarray(y, dtype=np.float64)
+    if H is None:
+        H = max(4 * templates.K, 64)
+    x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
+                                   templates.sigma, L=L, H=H,
+                                   overlaps=templates.allow_overlaps)
+    model = HMMSpikingModel(templates, np.asarray(x), float("nan"), y)
+    model.seam_ok = np.asarray(seam_ok)
+    return model
 
 
 def fit(y, n_neurons: int = 3, K: int = 60, nsteps: int = 10,

@@ -131,3 +131,25 @@ def test_unit_export_roundtrip(tmp_path):
     np.testing.assert_allclose(back["waveform"], tm.mu[:, 0])
     np.testing.assert_array_equal(np.atleast_1d(back["timestamps"]),
                                   units["g003c01_spiketrain.mat"]["timestamps"])
+
+
+def test_fast_decode_matches_sequential_labels():
+    tm, y, _ = _model_and_signal(K=20, T=8192)
+    seq = api.fit_spiking_model(tm, y)
+    fast = api.fit_spiking_model_fast(tm, y, L=1024, H=128)
+    assert fast.seam_ok.all()
+    agree = (fast.ml_seq == seq.ml_seq).mean()
+    assert agree > 0.999
+
+
+def test_decoder_dispatch_ring_vs_gather_identical():
+    # non-overlap: ring engine must be selected and bit-match
+    tm, y, _ = _model_and_signal(K=20, T=4000, overlaps=False)
+    assert tm.has_ring_engine
+    model = api.fit_spiking_model(tm, y)
+    from hmmspikesorter_tpu.core.viterbi import viterbi_decode
+    import jax.numpy as jnp
+    in_idx, in_w, smu = tm.decode_tables()
+    x_g, ll_g = viterbi_decode(jnp.asarray(y), in_idx, in_w, smu, tm.sigma)
+    np.testing.assert_array_equal(model.ml_seq, np.asarray(x_g))
+    assert model.ll == pytest.approx(float(ll_g), rel=1e-12)
