@@ -1,15 +1,26 @@
 """Ring-structured forward/backward (non-overlap space): gather-free EM scans.
 
 Log-plus mirror of ops/ring_viterbi.py — the transition structure is
-per-neuron {stay-silent, onset, ring shift, ring exit}, so each recursion
-step is slices + logaddexp on (N, K-1) tensors instead of an in-edge gather
-(which XLA lowers to slow scalar loops on TPU). Output layout is the flat
-state indexing of core/state_space.py ([silent | body ravel]), so the EM
-statistic reductions (train/em.py) consume it unchanged.
+per-neuron {stay-silent, onset, ring shift, ring exit, exit+onset handoff},
+so each recursion step is slices + logaddexp on (N, K-1) tensors instead of
+an in-edge gather (which XLA lowers to slow scalar loops on TPU). Output
+layout is the flat state indexing of core/state_space.py
+([silent | body ravel]), so the EM statistic reductions (train/em.py)
+consume it unchanged.
+
+Two execution schemes over the same step function:
+
+* `ring_forward` / `ring_backward` — plain T-step sequential scans (lowest
+  FLOPs; right for CPU, latency-bound on TPU);
+* `ring_blocked_forward_backward` — the parallel-prefix scheme
+  (cf. arXiv:2102.05743): per-block (S, S) log-plus operators built by
+  running the *same ring step* vmapped over S identity source rows — every
+  block in parallel, no gathers anywhere — then a B-step boundary matvec
+  chain and a parallel per-block interior recompute. ~S x more FLOPs,
+  B-way parallel: the TPU scheme.
 
 Semantics: reference src/baumwelch.jl:25-51 (dead-pi emission-only init)
-and :73-98 (beta[T-1] = 0); bit-compatible with the gather engine up to
-logsumexp reassociation (~1e-12, tested).
+and :73-98 (beta[T-1] = 0); matches the gather engine to ~1e-11 (tested).
 """
 
 from __future__ import annotations
@@ -22,12 +33,22 @@ import jax.numpy as jnp
 from ..utils.logmath import HALF_LOG_2PI
 
 
-def _consts(y, lp, mu, sigma):
-    dtype = mu.dtype
-    y = y.astype(dtype)
-    K, N = mu.shape
-    lp = jnp.asarray(lp, dtype)
+def _weights(lp, dtype):
+    N = lp.shape[0]
     lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    return dict(
+        onset_w=lp + (N - 1) * lpz,
+        self_w=N * lpz,
+        stay_w=(N - 1) * lpz,
+        swap_w=(N - 2) * lpz,
+        lp=lp,
+        diag_mask=jnp.where(jnp.eye(N, dtype=bool), -jnp.inf,
+                            0.0).astype(dtype),
+    )
+
+
+def _emission_fns(mu, sigma):
+    dtype = mu.dtype
     sigma = jnp.asarray(sigma, dtype)
     log_sigma = jnp.log(sigma)
     inv_2s2 = 1.0 / (2.0 * sigma * sigma)
@@ -40,83 +61,193 @@ def _consts(y, lp, mu, sigma):
         return (-HALF_LOG_2PI - log_sigma - ds * ds * inv_2s2,
                 -HALF_LOG_2PI - log_sigma - db * db * inv_2s2)
 
-    return y, lp, lpz, em, K, N
+    return em
 
 
-def _lse(a, b):
-    return jnp.logaddexp(a, b)
+def _fwd_step(vs, vb, es, ebm, w):
+    """One forward log-plus update; vs scalar-like, vb (..., N, K-1).
+
+    Supports a leading batch axis on vs/vb (the operator builder vmaps over
+    source rows); es/ebm broadcast.
+    """
+    ends = vb[..., :, -1]                                   # (..., N)
+    new_vs = jnp.logaddexp(
+        vs + w["self_w"],
+        jax.nn.logsumexp(ends + w["stay_w"], axis=-1)) + es
+    # onset slot (n,1): from silent, or another neuron's same-step exit
+    swap = jax.nn.logsumexp(
+        ends[..., :, None] + w["diag_mask"], axis=-2) + w["swap_w"]
+    first = jnp.logaddexp(vs[..., None] + w["onset_w"], swap + w["lp"])
+    new_vb = jnp.concatenate(
+        [first[..., :, None], vb[..., :, :-1] + w["stay_w"]], axis=-1) + ebm
+    return new_vs, new_vb
+
+
+def _bwd_step(bs, bb, es, ebm, w):
+    """One backward log-plus update (es/ebm are the t+1 emissions)."""
+    N = bb.shape[-2]
+    onset_terms = bb[..., :, 0] + ebm[..., :, 0] + w["onset_w"]   # (..., N)
+    new_bs = jnp.logaddexp(bs + es + w["self_w"],
+                           jax.nn.logsumexp(onset_terms, axis=-1))
+    shifted = bb[..., :, 1:] + ebm[..., :, 1:] + w["stay_w"]
+    handoff = bb[..., :, 0] + ebm[..., :, 0] + w["lp"]            # targets
+    exit_each = jax.nn.logsumexp(
+        handoff[..., None, :] + w["diag_mask"], axis=-1) + w["swap_w"]
+    exit_term = jnp.logaddexp(
+        jnp.broadcast_to((bs + es)[..., None] + w["stay_w"], exit_each.shape),
+        exit_each)
+    new_bb = jnp.concatenate([shifted, exit_term[..., :, None]], axis=-1)
+    return new_bs, new_bb
+
+
+def _flat(vs, vb):
+    """[silent | body ravel] along the last axes."""
+    return jnp.concatenate(
+        [vs[..., None], vb.reshape(*vb.shape[:-2], -1)], axis=-1)
+
+
+def _unflat(v, N, Km1):
+    return v[..., 0], v[..., 1:].reshape(*v.shape[:-1], N, Km1)
 
 
 @jax.jit
 def ring_forward(y, lp, mu, sigma):
-    """(T, S) forward log-scores, flat state layout."""
-    y, lp, lpz, em, K, N = _consts(y, lp, mu, sigma)
-    dtype = y.dtype
-    onset_w = lp + (N - 1) * lpz
-    self_w = N * lpz
-    stay_w = (N - 1) * lpz
-    swap_w = (N - 2) * lpz          # ring exit of m + same-step onset of n
-    diag_mask = jnp.where(jnp.eye(N, dtype=bool), -jnp.inf, 0.0).astype(dtype)
+    """(T, S) forward log-scores, flat state layout (sequential scan)."""
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em = _emission_fns(mu, sigma)
 
     es0, eb0 = em(y[0])
 
     def step(carry, y_t):
         vs, vb = carry
         es, ebm = em(y_t)
-        ends = vb[:, -1]
-        new_vs = _lse(vs + self_w, jax.nn.logsumexp(ends + stay_w)) + es
-        # onset slot (n,1): from silent, or from any other ring exit
-        swap = jax.nn.logsumexp(ends[:, None] + diag_mask, axis=0) + swap_w
-        first = _lse(vs + onset_w, swap + lp)
-        new_vb = jnp.concatenate(
-            [first[:, None], vb[:, :-1] + stay_w], axis=1) + ebm
-        flat = jnp.concatenate([new_vs[None], new_vb.reshape(-1)])
-        return (new_vs, new_vb), flat
+        vs, vb = _fwd_step(vs, vb, es, ebm, w)
+        return (vs, vb), _flat(vs, vb)
 
     _, rest = jax.lax.scan(step, (es0, eb0), y[1:])
-    first = jnp.concatenate([es0[None], eb0.reshape(-1)])
-    return jnp.concatenate([first[None], rest], axis=0)
+    return jnp.concatenate([_flat(es0, eb0)[None], rest], axis=0)
 
 
 @jax.jit
 def ring_backward(y, lp, mu, sigma):
-    """(T, S) backward log-scores, flat state layout."""
-    y, lp, lpz, em, K, N = _consts(y, lp, mu, sigma)
-    dtype = y.dtype
-    onset_w = lp + (N - 1) * lpz
-    self_w = N * lpz
-    stay_w = (N - 1) * lpz
-    swap_w = (N - 2) * lpz
-    diag_mask = jnp.where(jnp.eye(N, dtype=bool), -jnp.inf, 0.0).astype(dtype)
+    """(T, S) backward log-scores, flat state layout (sequential scan)."""
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    K, N = mu.shape
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em = _emission_fns(mu, sigma)
 
     bs = jnp.asarray(0.0, dtype)
     bb = jnp.zeros((N, K - 1), dtype)
 
     def step(carry, y_next):
         bs, bb = carry
-        es, ebm = em(y_next)           # emissions at t+1
-        # silent out-edges: self + N onsets
-        onset_terms = bb[:, 0] + ebm[:, 0] + onset_w        # (N,)
-        new_bs = _lse(bs + es + self_w, jax.nn.logsumexp(onset_terms))
-        # body: ring shift for k < K-1; ring exit at K-1 goes to silent OR
-        # hands off to another neuron's same-step onset
-        shifted = bb[:, 1:] + ebm[:, 1:] + stay_w           # (N, K-2)
-        handoff = bb[:, 0] + ebm[:, 0] + lp                 # (N,) target terms
-        exit_each = jax.nn.logsumexp(
-            handoff[None, :] + diag_mask, axis=1) + swap_w  # (N,) per exiter
-        exit_term = _lse(jnp.full(N, bs + es + stay_w, dtype), exit_each)
-        new_bb = jnp.concatenate([shifted, exit_term[:, None]], axis=1)
-        flat = jnp.concatenate([new_bs[None], new_bb.reshape(-1)])
-        return (new_bs, new_bb), flat
+        es, ebm = em(y_next)
+        bs, bb = _bwd_step(bs, bb, es, ebm, w)
+        return (bs, bb), _flat(bs, bb)
 
     _, rest = jax.lax.scan(step, (bs, bb), y[1:], reverse=True)
-    last = jnp.concatenate([bs[None], bb.reshape(-1)])
-    return jnp.concatenate([rest, last[None]], axis=0)
+    return jnp.concatenate([rest, _flat(bs, bb)[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=())
-def ring_emission(y, mu, sigma):
-    """(T, S) emission log-probs in the flat layout (for EM statistics)."""
-    y2, lp_d, lpz, em, K, N = _consts(y, jnp.zeros(mu.shape[1]), mu, sigma)
-    es, ebm = jax.vmap(em)(y2)
-    return jnp.concatenate([es[:, None], ebm.reshape(len(y2), -1)], axis=1)
+@partial(jax.jit, static_argnames=("L",))
+def ring_blocked_forward_backward(y, lp, mu, sigma, *, L: int = 256):
+    """(T, S) alpha and beta via gather-free parallel-prefix over time
+    blocks. Pads T-1 transition steps to a multiple of L internally."""
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    T = y.shape[0]
+    K, N = mu.shape
+    Km1 = K - 1
+    S = 1 + N * Km1
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em = _emission_fns(mu, sigma)
+
+    Tm1 = T - 1
+    B = -(-Tm1 // L)
+    pad = B * L - Tm1
+    y_steps = jnp.pad(y[1:], (0, pad)).reshape(B, L)
+    mask = (jnp.arange(B * L) < Tm1).reshape(B, L)
+
+    eyeS = jnp.where(jnp.eye(S, dtype=bool), 0.0, -jnp.inf).astype(dtype)
+
+    def fwd_operator(y_blk, m_blk):
+        """(S, S) log-plus operator: ring step vmapped over source rows."""
+        VS, VB = _unflat(eyeS, N, Km1)        # (S,), (S, N, Km1)
+
+        def stp(c, inp):
+            vs, vb = c
+            y_t, valid = inp
+            es, ebm = em(y_t)
+            nvs, nvb = _fwd_step(vs, vb, es, ebm, w)
+            vs = jnp.where(valid, nvs, vs)
+            vb = jnp.where(valid, nvb, vb)
+            return (vs, vb), None
+
+        (VS, VB), _ = jax.lax.scan(stp, (VS, VB), (y_blk, m_blk))
+        return _flat(VS, VB)                  # (S, S): row = source
+
+    ops = jax.vmap(fwd_operator)(y_steps, mask)            # (B, S, S)
+
+    # boundary chains (B steps, tiny)
+    from ..utils.logmath import logsumexp_rows
+
+    a0 = _flat(*em(y[0]))
+
+    def fchain(v, M):
+        return logsumexp_rows(v[:, None] + M, axis=0), v
+
+    _, alpha0s = jax.lax.scan(fchain, a0, ops)             # (B, S)
+
+    bT = jnp.zeros(S, dtype)
+
+    def bchain(v, M):
+        return logsumexp_rows(M + v[None, :], axis=1), v
+
+    _, betaEs = jax.lax.scan(bchain, bT, ops, reverse=True)  # (B, S)
+
+    # parallel interior recompute
+    def alpha_block(a0_vec, y_blk, m_blk):
+        vs, vb = _unflat(a0_vec, N, Km1)
+
+        def stp(c, inp):
+            cvs, cvb = c
+            y_t, valid = inp
+            es, ebm = em(y_t)
+            nvs, nvb = _fwd_step(cvs, cvb, es, ebm, w)
+            cvs = jnp.where(valid, nvs, cvs)
+            cvb = jnp.where(valid, nvb, cvb)
+            return (cvs, cvb), _flat(cvs, cvb)
+
+        _, outs = jax.lax.scan(stp, (vs, vb), (y_blk, m_blk))
+        return outs                                        # (L, S)
+
+    alphas = jax.vmap(alpha_block)(alpha0s, y_steps, mask)
+
+    def beta_block(bE_vec, y_blk, m_blk):
+        bs, bb = _unflat(bE_vec, N, Km1)
+
+        def stp(c, inp):
+            cbs, cbb = c
+            y_t, valid = inp
+            es, ebm = em(y_t)
+            nbs, nbb = _bwd_step(cbs, cbb, es, ebm, w)
+            cbs = jnp.where(valid, nbs, cbs)
+            cbb = jnp.where(valid, nbb, cbb)
+            return (cbs, cbb), _flat(cbs, cbb)
+
+        _, outs = jax.lax.scan(stp, (bs, bb), (y_blk, m_blk), reverse=True)
+        return outs                                        # (L, S) at sources
+
+    betas_src = jax.vmap(beta_block)(betaEs, y_steps, mask)
+
+    alpha = jnp.concatenate([a0[None], alphas.reshape(-1, S)[: T - 1]])
+    # betas_src[i] = beta at the *source* sample of global step i, i.e. beta
+    # at sample i (step i targets sample i+1); beta at T-1 is the terminal 0
+    beta = jnp.concatenate([betas_src.reshape(-1, S)[: T - 1], bT[None]])
+    return alpha, beta

@@ -139,9 +139,9 @@ def _backward_beta(em, out_idx, out_w):
     return jnp.concatenate([rest, bT[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("K", "use_ring"))
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block"))
 def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
-            use_ring: bool = True):
+            fb_mode: str = "ring", block: int = 256):
     """One full EM iteration: (lp, mu, sigma) -> (lp, pi, mu, sigma, ll).
 
     y: (T,) signal; lp: (N,) onset log-probs; mu: (K, N) templates;
@@ -149,27 +149,38 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     logsumexp(alpha[-1]) as a convergence metric (the reference prints
     nothing; SURVEY.md §5.5 upgrades observability).
 
-    use_ring selects the gather-free ring-structured scans
-    (ops/ring_fb.py — the TPU fast path); False uses the generic in-edge
-    gather tables. Both produce identical statistics up to logsumexp
-    reassociation.
+    fb_mode selects the alpha/beta engine — identical statistics up to
+    logsumexp reassociation:
+      "ring"    gather-free sequential scans (ops/ring_fb.py) — lowest
+                total FLOPs, but a T-step serial dependency (CPU-friendly);
+      "blocked" log-plus block operators (parallel/block_fb.py) — ~S x more
+                FLOPs but B-way parallel over time blocks: the TPU path
+                (a T-step scan is latency-bound on TPU);
+      "gather"  generic in-edge tables (reference-shaped fallback).
     """
     N = tables.states.shape[0]
 
     smu = state_means(tables.states, mu)
     em = emission_logprob(y, smu, sigma)               # (T, S)
-    if use_ring:
+    if fb_mode == "ring":
         from ..ops.ring_fb import ring_backward, ring_forward
 
         alpha = ring_forward(y, lp, mu, sigma)         # (T, S)
         beta = ring_backward(y, lp, mu, sigma)         # (T, S)
-    else:
+    elif fb_mode == "blocked":
+        from ..ops.ring_fb import ring_blocked_forward_backward
+
+        alpha, beta = ring_blocked_forward_backward(y, lp, mu, sigma,
+                                                    L=block)
+    elif fb_mode == "gather":
         in_w = edge_weights_from_structure(
             lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
         out_w = edge_weights_from_structure(
             lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
         alpha = _forward_alpha(em, tables.in_idx, in_w)
         beta = _backward_beta(em, tables.out_idx, out_w)
+    else:
+        raise ValueError(f"unknown fb_mode {fb_mode!r}")
 
     ab = alpha + beta
     g = logsumexp_rows(ab, axis=1)                     # (T,) logZ_t
@@ -244,10 +255,16 @@ class TrainResult:
 
 
 def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
-              metrics=None, checkpoint_dir=None, phase="train"):
+              metrics=None, checkpoint_dir=None, phase="train",
+              fb_mode=None):
     """Run `nsteps` EM iterations on a fixed topology."""
     import time as _time
 
+    if fb_mode is None:
+        # serial scans are latency-bound on TPU; block-parallel operators
+        # are wasted FLOPs on CPU (the TPU backend may register under a
+        # plugin name, so test for cpu rather than "tpu")
+        fb_mode = "ring" if jax.default_backend() == "cpu" else "blocked"
     N = mu.shape[1]
     lls = []
     if N == 0:
@@ -259,11 +276,19 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
     mu_d = jnp.asarray(mu, dtype)
     sigma_d = jnp.asarray(sigma, dtype)
     pi_d = None
+    # per-iteration host syncs (float(ll) etc.) cost a device round-trip
+    # each — only pay them when the caller wants per-iteration output
+    eager = verbose > 0 or metrics is not None or checkpoint_dir is not None
+    ll_devs = []
     for i in range(nsteps):
         if callback is not None:
             callback(np.asarray(mu_d))
         t0 = _time.perf_counter()
-        lp_d, pi_d, mu_d, sigma_d, ll = em_step(y, lp_d, mu_d, sigma_d, tables, K=K)
+        lp_d, pi_d, mu_d, sigma_d, ll = em_step(
+            y, lp_d, mu_d, sigma_d, tables, K=K, fb_mode=fb_mode)
+        if not eager:
+            ll_devs.append(ll)
+            continue
         lls.append(float(ll))
         elapsed = _time.perf_counter() - t0
         if verbose > 0:
@@ -278,6 +303,8 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
                 f"{checkpoint_dir}/em_latest.npz", lp=np.asarray(lp_d),
                 mu=np.asarray(mu_d), sigma=float(sigma_d), em_iter=i,
                 phase=phase, ll_history=lls)
+    if not eager:
+        lls = [float(v) for v in ll_devs]
     return (np.asarray(lp_d), np.asarray(pi_d), np.asarray(mu_d),
             float(sigma_d), lls)
 

@@ -121,15 +121,16 @@ def test_ring_fb_matches_gather_fb():
     np.testing.assert_allclose(np.asarray(b_r), np.asarray(b_g), atol=1e-11)
 
 
-def test_em_step_ring_matches_gather():
-    y, temps, ss, lp, sigma = _small_case(T=1000)
+@pytest.mark.parametrize("mode", ["ring", "blocked"])
+def test_em_step_fb_modes_match_gather(mode):
+    y, temps, ss, lp, sigma = _small_case(T=1024)
     tables = EMTables.build(ss)
     args = (jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
             jnp.asarray(sigma), tables)
-    out_r = em_step(*args, K=ss.K, use_ring=True)
-    out_g = em_step(*args, K=ss.K, use_ring=False)
-    for r, g in zip(out_r, out_g):
-        np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-9)
+    out_m = em_step(*args, K=ss.K, fb_mode=mode, block=128)
+    out_g = em_step(*args, K=ss.K, fb_mode="gather")
+    for m, g in zip(out_m, out_g):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(g), atol=1e-9)
 
 
 def test_streaming_em_matches_materialized():
@@ -138,7 +139,7 @@ def test_streaming_em_matches_materialized():
     tables = EMTables.build(ss)
     args = (jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
             jnp.asarray(sigma), tables)
-    out_m = em_step(*args, K=ss.K, use_ring=False)
+    out_m = em_step(*args, K=ss.K, fb_mode="gather")
     out_s = streaming_em_step(*args, K=ss.K, L=128)
     names = ["lp", "pi", "mu", "sigma", "ll"]
     for n, m, s in zip(names, out_m, out_s):
