@@ -72,34 +72,32 @@ def config1():
 
 
 def config2():
+    import jax
     import jax.numpy as jnp
 
-    from hmmspikesorter_tpu.core.emission import state_means
-    from hmmspikesorter_tpu.core.state_space import build_state_space
-    from hmmspikesorter_tpu.parallel.overlap_save import (
-        overlap_save_decode_long)
+    from hmmspikesorter_tpu.core.state_space import n_states
+    from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
 
     K, T, sigma = 60, 200_000, 0.3
     pp = [0.003, 0.002, 0.001]
     y, truth, temps = _mk_signal(T, sigma, pp, K)
-    ss = build_state_space(3, K, True)          # 10,621 states
-    lp = np.log(pp)
-    in_idx_h, in_w_h = ss.in_table(lp)
-    in_idx = jnp.asarray(in_idx_h)
-    in_w = jnp.asarray(in_w_h, jnp.float32)
-    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps, jnp.float32))
+    lp = jnp.asarray(np.log(pp), jnp.float32)
+    mu = jnp.asarray(temps, jnp.float32)
+    y_d = jnp.asarray(y, jnp.float32)
 
     def run():
-        return overlap_save_decode_long(y, in_idx, in_w, smu, sigma,
-                                        L=4096, H=256, blocks_per_call=16)
+        x, ok = ring_overlap_save(y_d, lp, mu, sigma, L=8192, H=256,
+                                  overlaps=True)
+        jax.block_until_ready(x)
+        return x, ok
 
-    run()
-    t0 = time.perf_counter()
     x, seam_ok = run()
+    t0 = time.perf_counter()
+    run()
     dec_s = time.perf_counter() - t0
-    return {"config": 2, "nstates": ss.nstates,
+    return {"config": 2, "nstates": n_states(3, K, True),
             "decode_samples_per_s": round(T / dec_s, 1),
-            "seams_ok_frac": float(np.mean(seam_ok))}
+            "seams_ok_frac": float(np.mean(np.asarray(seam_ok)))}
 
 
 def config3():

@@ -76,3 +76,9 @@ def get_energy(waveforms, cinv: float):
     """Per-template normalized energy — reference src/utils.jl:112-124."""
     w = np.asarray(waveforms)
     return (w * cinv * w).sum(axis=0)
+
+
+def get_chunk(data, i: int, chunksize: int):
+    """i-th 1-based chunk view of `data` — reference src/utils.jl:88-90."""
+    data = np.asarray(data)
+    return data[(i - 1) * chunksize : min(i * chunksize, len(data))]

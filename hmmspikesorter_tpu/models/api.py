@@ -69,8 +69,9 @@ class HMMTemplateModel:
     @property
     def has_ring_engine(self) -> bool:
         """True when a gather-free ring engine exists for this topology
-        (non-overlap any N; pairwise overlap N == 2)."""
-        return (not self.allow_overlaps) or self.n_neurons == 2
+        (non-overlap any N; pairwise overlap up to N=6 — the trace-time
+        pair unrolling in ops/ring_viterbi_ovn grows O(N^2))."""
+        return (not self.allow_overlaps) or self.n_neurons <= 6
 
 
 @dataclasses.dataclass
@@ -174,9 +175,14 @@ def _decoder_for(templates: HMMTemplateModel):
     sigma = templates.sigma
     if templates.has_ring_engine:
         from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
+        from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
 
-        engine = (ring_viterbi_ov2 if templates.allow_overlaps
-                  else ring_viterbi_nov)
+        if not templates.allow_overlaps:
+            engine = ring_viterbi_nov
+        elif templates.n_neurons == 2:
+            engine = ring_viterbi_ov2
+        else:
+            engine = ring_viterbi_ovn
         lp_d = jnp.asarray(templates.lp)
         mu_d = jnp.asarray(templates.mu)
         return lambda yy: engine(jnp.asarray(yy), lp_d, mu_d, sigma)
@@ -236,3 +242,8 @@ def bic(model: HMMSpikingModel) -> float:
     k = tm.mu.size + 1 + tm.n_neurons
     n = len(model.ml_seq)
     return math.log(n) * k - 2.0 * model.ll
+
+
+def model_response(model: HMMSpikingModel) -> np.ndarray:
+    """The raw decoded signal (reference model_response, src/types.jl:33)."""
+    return model.y

@@ -1,0 +1,382 @@
+"""Ring-structured Viterbi for pairwise-overlap spaces with any N.
+
+Generalizes ops/ring_viterbi.ring_viterbi_ov2 to N neurons with at most two
+simultaneously active (the reference's overlap model, src/types.jl:65-92):
+state blocks are [silent | N single rings (K-1) | C(N,2) pair grids
+(K-1)x(K-1), pairs enumerated i-major] — identical indexing to
+core/state_space.py.
+
+Structural transition cases (derived from src/types.jl:94-113; lpz =
+log1p(-exp(sum(lp))), every still-silent neuron pays lpz):
+
+  silent        <- silent (N lpz) | single(m,K-1) ((N-1)lpz)
+                   | pair(i,j)@(end,end) ((N-2)lpz)
+  single(n,1)   <- silent (lp_n+(N-1)lpz) | single(m!=n,K-1) (lp_n+(N-2)lpz)
+                   | pair not containing n @(end,end) (lp_n+(N-3)lpz)
+  single(n,k>1) <- single(n,k-1) ((N-1)lpz)
+                   | pair(n,m)@(k-1,end) / pair(m,n)@(end,k-1) ((N-2)lpz)
+  pair(i,j)@(1,1)     <- silent (lp_i+lp_j+(N-2)lpz)
+                         | single(m not in p,K-1) (lp_i+lp_j+(N-3)lpz)
+                         | disjoint pair @(end,end) (lp_i+lp_j+(N-4)lpz)
+  pair(i,j)@(k1>1,1)  <- single(i,k1-1) (lp_j+(N-2)lpz)
+                         | pair containing i, third m exits (lp_j+(N-3)lpz)
+  pair(i,j)@(1,k2>1)  symmetric
+  pair(i,j)@(k1>1,k2>1) <- pair(i,j)@(k1-1,k2-1) ((N-2)lpz)
+
+All pair/neuron loops are unrolled at trace time (N <= ~6; the CLI caps at
+4 templates, src/hmmsort.jl:50), so the compiled step is pure slices,
+maxima, and selects — no gathers. Tie-breaking keeps the reference's
+first-max in ascending source-state order; candidates are always assembled
+in that order. Bit-parity with the generic gather engine is tested for
+N = 2, 3, 4 including forced overlapping spikes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.logmath import HALF_LOG_2PI
+
+NEG = -jnp.inf
+
+
+def _pairs(N):
+    return [(i, j) for i in range(N - 1) for j in range(i + 1, N)]
+
+
+@partial(jax.jit, static_argnames=("with_ll",))
+def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
+    """Viterbi decode on the pairwise-overlap space, any N. Returns (x, ll).
+
+    y: (T,); lp: (N,); mu: (K, N); sigma: scalar.
+    """
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    K, N = mu.shape
+    Km1 = K - 1
+    pairs = _pairs(N)
+    P = len(pairs)
+    pair_idx = {p: q for q, p in enumerate(pairs)}
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    sigma = jnp.asarray(sigma, dtype)
+    log_sigma = jnp.log(sigma)
+    inv_2s2 = 1.0 / (2.0 * sigma * sigma)
+
+    mu0_sum = jnp.sum(mu[0])
+    # emission means
+    sgl_mean = mu[1:].T + (mu0_sum - mu[0])[:, None]          # (N, K-1)
+    pair_mean = jnp.stack([
+        mu[1:, i][:, None] + mu[1:, j][None, :]
+        + (mu0_sum - mu[0, i] - mu[0, j])
+        for (i, j) in pairs])                                  # (P, K-1, K-1)
+    silent_mean = mu0_sum
+
+    def em(v):
+        def g(m):
+            d = v - m
+            return -HALF_LOG_2PI - log_sigma - d * d * inv_2s2
+
+        return g(silent_mean), g(sgl_mean), g(pair_mean)
+
+    # state index helpers (flat layout)
+    SGL = [1 + n * Km1 for n in range(N)]
+    PAIR = [1 + N * Km1 + q * Km1 * Km1 for q in range(P)]
+    S = 1 + N * Km1 + P * Km1 * Km1
+
+    def maxplus_step(carry, y_t, want_bp):
+        vs, vb, vp = carry            # scalar, (N, K-1), (P, K-1, K-1)
+        es, eb, ep = em(y_t)
+        ends = vb[:, -1]                                       # (N,)
+        p_end = vp[:, -1, -1]                                  # (P,)
+
+        # ---- silent: [self | singles asc | pairs asc]
+        sil_cand = jnp.concatenate([
+            (vs + N * lpz)[None],
+            ends + (N - 1) * lpz,
+            p_end + (N - 2) * lpz])
+        bp_sil = jnp.argmax(sil_cand).astype(jnp.int32)
+        new_vs = jnp.max(sil_cand) + es
+
+        # ---- single onset slots: per n, [silent | singles m | pairs q]
+        on_cands = []
+        for n in range(N):
+            cand = [(vs + lp[n] + (N - 1) * lpz)[None]]
+            for m in range(N):
+                cand.append((ends[m] + lp[n] + (N - 2) * lpz)[None]
+                            if m != n else jnp.full((1,), NEG, dtype))
+            for q, (i, j) in enumerate(pairs):
+                cand.append((p_end[q] + lp[n] + (N - 3) * lpz)[None]
+                            if n not in (i, j)
+                            else jnp.full((1,), NEG, dtype))
+            on_cands.append(jnp.concatenate(cand))
+        on_cands = jnp.stack(on_cands)                         # (N, 1+N+P)
+        bp_on = jnp.argmax(on_cands, axis=1).astype(jnp.int32)
+        on_best = jnp.max(on_cands, axis=1)                    # (N,)
+
+        # ---- single ring slots k>=2: per n, [same ring | pairs with n]
+        ring_cands = []
+        for n in range(N):
+            cand = [vb[n, :-1] + (N - 1) * lpz]                # (K-2,)
+            for q, (i, j) in enumerate(pairs):
+                if i == n:
+                    cand.append(vp[q, :-1, -1] + (N - 2) * lpz)
+                elif j == n:
+                    cand.append(vp[q, -1, :-1] + (N - 2) * lpz)
+            ring_cands.append(jnp.stack(cand))                 # (N, K-2)
+        ring_cands = jnp.stack(ring_cands)                     # (N, N, K-2)
+        bp_ring = jnp.argmax(ring_cands, axis=1).astype(jnp.int8)
+        ring_best = jnp.max(ring_cands, axis=1)                # (N, K-2)
+
+        new_vb = jnp.concatenate([on_best[:, None], ring_best], axis=1) + eb
+
+        # ---- pair grids
+        new_vp_rows = []
+        bp_corner = []
+        bp_prow = []
+        bp_pcol = []
+        for q, (i, j) in enumerate(pairs):
+            others = [m for m in range(N) if m not in (i, j)]
+            # corner (1,1): [silent | singles m | disjoint pairs]
+            cc = [(vs + lp[i] + lp[j] + (N - 2) * lpz)[None]]
+            for m in others:
+                cc.append((ends[m] + lp[i] + lp[j] + (N - 3) * lpz)[None])
+            dis = [r for r, (a, b) in enumerate(pairs)
+                   if a not in (i, j) and b not in (i, j)]
+            for r in dis:
+                cc.append((p_end[r] + lp[i] + lp[j] + (N - 4) * lpz)[None])
+            cc = jnp.concatenate(cc)
+            bp_corner.append(jnp.argmax(cc).astype(jnp.int32))
+            corner = jnp.max(cc)
+
+            # row k1=1, k2>=2: j advances; [single(j) | pairs (j,m)]
+            rc = [vb[j, :-1] + lp[i] + (N - 2) * lpz]
+            for m in others:
+                r = pair_idx[(min(j, m), max(j, m))]
+                src = (vp[r, :-1, -1] if j == min(j, m)
+                       else vp[r, -1, :-1])
+                rc.append(src + lp[i] + (N - 3) * lpz)
+            rc = jnp.stack(rc)                                 # (1+|others|, K-2)
+            bp_prow.append(jnp.argmax(rc, axis=0).astype(jnp.int8))
+            row_best = jnp.max(rc, axis=0)                     # (K-2,)
+
+            # col k2=1, k1>=2: i advances; [single(i) | pairs (i,m)]
+            kc = [vb[i, :-1] + lp[j] + (N - 2) * lpz]
+            for m in others:
+                r = pair_idx[(min(i, m), max(i, m))]
+                src = (vp[r, :-1, -1] if i == min(i, m)
+                       else vp[r, -1, :-1])
+                kc.append(src + lp[j] + (N - 3) * lpz)
+            kc = jnp.stack(kc)
+            bp_pcol.append(jnp.argmax(kc, axis=0).astype(jnp.int8))
+            col_best = jnp.max(kc, axis=0)                     # (K-2,)
+
+            interior = vp[q, :-1, :-1] + (N - 2) * lpz         # (K-2, K-2)
+            top = jnp.concatenate([corner[None], row_best])    # (K-1,)
+            rest = jnp.concatenate([col_best[:, None], interior], axis=1)
+            new_vp_rows.append(
+                jnp.concatenate([top[None, :], rest], axis=0))
+        new_vp = jnp.stack(new_vp_rows) + ep                   # (P, K-1, K-1)
+
+        bp = None
+        if want_bp:
+            bp = (bp_sil, bp_on, bp_ring, jnp.stack(bp_corner),
+                  jnp.stack(bp_prow), jnp.stack(bp_pcol))
+        return (new_vs, new_vb, new_vp), bp
+
+    es0, eb0, ep0 = em(y[0])
+    vs0 = jnp.where(silent_start, jnp.asarray(0.0, dtype), es0)
+    carry0 = (vs0, eb0, ep0)
+
+    def step(c, y_t):
+        return maxplus_step(c, y_t, True)
+
+    (vsT, vbT, vpT), bps = jax.lax.scan(step, carry0, y[1:])
+
+    flatT = jnp.concatenate([vsT[None], vbT.reshape(-1), vpT.reshape(-1)])
+    xT = jnp.argmax(flatT).astype(jnp.int32)
+
+    # ---------------- backtrace (pure arithmetic on the flag streams)
+    # precomputed (static) decode tables for flag values -> state indices
+    sil_src = jnp.asarray(
+        [0] + [SGL[m] + Km1 - 1 for m in range(N)]
+        + [PAIR[q] + Km1 * Km1 - 1 for q in range(P)], jnp.int32)
+    on_src = sil_src                       # same candidate ordering
+    # ring flag r for neuron n: 0 -> same ring (x-1); c>=1 -> pair source
+    ring_src_pair = []                     # (N, N-1): per (n, c-1) the pair q
+    ring_src_is_i = []
+    for n in range(N):
+        qs, isi = [], []
+        for q, (i, j) in enumerate(pairs):
+            if i == n:
+                qs.append(q); isi.append(1)
+            elif j == n:
+                qs.append(q); isi.append(0)
+        ring_src_pair.append(qs)
+        ring_src_is_i.append(isi)
+    ring_src_pair = jnp.asarray(ring_src_pair, jnp.int32)      # (N, N-1)
+    ring_src_is_i = jnp.asarray(ring_src_is_i, jnp.int32)
+    # corner flags per pair: [silent | singles others | disjoint pairs]
+    corner_src = []
+    maxlen = 1 + (N - 2) + max(1, P)
+    for q, (i, j) in enumerate(pairs):
+        lst = [0]
+        lst += [SGL[m] + Km1 - 1 for m in range(N) if m not in (i, j)]
+        lst += [PAIR[r] + Km1 * Km1 - 1 for r, (a, b) in enumerate(pairs)
+                if a not in (i, j) and b not in (i, j)]
+        lst += [0] * (maxlen - len(lst))
+        corner_src.append(lst)
+    corner_src = jnp.asarray(corner_src, jnp.int32)            # (P, maxlen)
+    # row/col third-member pair tables per pair
+    row_pair = []
+    row_is_i = []                      # whether the advancing member (j) is
+    #                                    the i-slot of the source pair
+    col_pair = []
+    col_is_i = []
+    for q, (i, j) in enumerate(pairs):
+        others = [m for m in range(N) if m not in (i, j)]
+        rp, ri, cp, ci = [], [], [], []
+        for m in others:
+            r = pair_idx[(min(j, m), max(j, m))]
+            rp.append(r); ri.append(1 if j == min(j, m) else 0)
+            r2 = pair_idx[(min(i, m), max(i, m))]
+            cp.append(r2); ci.append(1 if i == min(i, m) else 0)
+        pad = (N - 2) - len(rp)
+        row_pair.append(rp + [0] * pad)
+        row_is_i.append(ri + [0] * pad)
+        col_pair.append(cp + [0] * pad)
+        col_is_i.append(ci + [0] * pad)
+    row_pair = jnp.asarray(row_pair, jnp.int32).reshape(P, max(N - 2, 0) or 0)
+    row_is_i = jnp.asarray(row_is_i, jnp.int32).reshape(P, max(N - 2, 0) or 0)
+    col_pair = jnp.asarray(col_pair, jnp.int32).reshape(P, max(N - 2, 0) or 0)
+    col_is_i = jnp.asarray(col_is_i, jnp.int32).reshape(P, max(N - 2, 0) or 0)
+
+    sgl_base = jnp.asarray(SGL, jnp.int32)
+    pair_base = jnp.asarray(PAIR, jnp.int32)
+
+    def _onehot_i32(vec, idx):
+        return jnp.sum(jnp.where(jnp.arange(vec.shape[0]) == idx,
+                                 vec.astype(jnp.int32), 0))
+
+    def back(x_next, bp_t):
+        bp_sil, bp_on, bp_ring, bp_c, bp_pr, bp_pc = bp_t
+        x = x_next
+
+        # --- silent
+        from_sil = sil_src[0] * 0 + _onehot_i32(sil_src, bp_sil)
+
+        # --- single block: neuron n, slot k (0-based)
+        sn = (x - 1) // Km1
+        sk = (x - 1) % Km1
+        n_c = jnp.clip(sn, 0, N - 1)
+        onf = _onehot_i32(bp_on, n_c)                  # onset flag for n
+        from_on = _onehot_i32(on_src, onf)
+        ringf = jnp.sum(jnp.where(
+            (jnp.arange(N)[:, None] == n_c)
+            & (jnp.arange(Km1 - 1)[None, :] == sk - 1),
+            bp_ring.astype(jnp.int32), 0))
+        # ring flag 0 -> same ring; c >= 1 -> pair
+        rq = jnp.sum(jnp.where(
+            (jnp.arange(N)[:, None] == n_c)
+            & (jnp.arange(max(N - 1, 1))[None, :] == ringf - 1),
+            ring_src_pair, 0)) if N > 1 else 0
+        r_isi = jnp.sum(jnp.where(
+            (jnp.arange(N)[:, None] == n_c)
+            & (jnp.arange(max(N - 1, 1))[None, :] == ringf - 1),
+            ring_src_is_i, 0)) if N > 1 else 0
+        # pair source state: n at sk-1 (grid index sk-1), other at end
+        pair_state_i = (_onehot_i32(pair_base, rq)
+                        + (sk - 1) * Km1 + (Km1 - 1))      # n is i-slot
+        pair_state_j = (_onehot_i32(pair_base, rq)
+                        + (Km1 - 1) * Km1 + (sk - 1))      # n is j-slot
+        from_ring = jnp.where(ringf == 0, x - 1,
+                              jnp.where(r_isi == 1, pair_state_i,
+                                        pair_state_j))
+        from_sgl = jnp.where(sk == 0, from_on, from_ring)
+
+        # --- pair block: pair q, grid (a, b) 0-based
+        xp = x - (1 + N * Km1)
+        q_c = jnp.clip(xp // (Km1 * Km1), 0, P - 1)
+        g = xp % (Km1 * Km1)
+        a = g // Km1
+        b = g % Km1
+        cflag = _onehot_i32(bp_c, q_c)
+        from_corner = jnp.sum(jnp.where(
+            (jnp.arange(P)[:, None] == q_c)
+            & (jnp.arange(corner_src.shape[1])[None, :] == cflag),
+            corner_src, 0))
+        # row (a==0, b>=1): j advanced from b-1
+        prf = jnp.sum(jnp.where(
+            (jnp.arange(P)[:, None] == q_c)
+            & (jnp.arange(Km1 - 1)[None, :] == b - 1),
+            bp_pr.astype(jnp.int32), 0))
+        pj = jnp.sum(jnp.where(jnp.arange(P) == q_c, sgl_base[
+            jnp.asarray([j for (_, j) in pairs], jnp.int32)], 0))
+        from_row_sgl = pj + (b - 1)
+        if N > 2:
+            rq2 = jnp.sum(jnp.where(
+                (jnp.arange(P)[:, None] == q_c)
+                & (jnp.arange(N - 2)[None, :] == prf - 1), row_pair, 0))
+            risi2 = jnp.sum(jnp.where(
+                (jnp.arange(P)[:, None] == q_c)
+                & (jnp.arange(N - 2)[None, :] == prf - 1), row_is_i, 0))
+            prow_state = jnp.where(
+                risi2 == 1,
+                _onehot_i32(pair_base, rq2) + (b - 1) * Km1 + (Km1 - 1),
+                _onehot_i32(pair_base, rq2) + (Km1 - 1) * Km1 + (b - 1))
+            from_row = jnp.where(prf == 0, from_row_sgl, prow_state)
+        else:
+            from_row = from_row_sgl
+        # col (a>=1, b==0): i advanced from a-1
+        pcf = jnp.sum(jnp.where(
+            (jnp.arange(P)[:, None] == q_c)
+            & (jnp.arange(Km1 - 1)[None, :] == a - 1),
+            bp_pc.astype(jnp.int32), 0))
+        pi_ = jnp.sum(jnp.where(jnp.arange(P) == q_c, sgl_base[
+            jnp.asarray([i for (i, _) in pairs], jnp.int32)], 0))
+        from_col_sgl = pi_ + (a - 1)
+        if N > 2:
+            cq2 = jnp.sum(jnp.where(
+                (jnp.arange(P)[:, None] == q_c)
+                & (jnp.arange(N - 2)[None, :] == pcf - 1), col_pair, 0))
+            cisi2 = jnp.sum(jnp.where(
+                (jnp.arange(P)[:, None] == q_c)
+                & (jnp.arange(N - 2)[None, :] == pcf - 1), col_is_i, 0))
+            pcol_state = jnp.where(
+                cisi2 == 1,
+                _onehot_i32(pair_base, cq2) + (a - 1) * Km1 + (Km1 - 1),
+                _onehot_i32(pair_base, cq2) + (Km1 - 1) * Km1 + (a - 1))
+            from_col = jnp.where(pcf == 0, from_col_sgl, pcol_state)
+        else:
+            from_col = from_col_sgl
+        from_pair = jnp.where(
+            (a == 0) & (b == 0), from_corner,
+            jnp.where(a == 0, from_row,
+                      jnp.where(b == 0, from_col, x - Km1 - 1)))
+
+        x_prev = jnp.where(x == 0, from_sil,
+                           jnp.where(x < 1 + N * Km1, from_sgl, from_pair))
+        x_prev = x_prev.astype(jnp.int32)
+        return x_prev, x_prev
+
+    _, xs = jax.lax.scan(back, xT, bps, reverse=True)
+    x = jnp.concatenate([xs, xT[None]])
+
+    if not with_ll:
+        return x, jnp.asarray(0.0, dtype)
+
+    state_iota = jnp.arange(S, dtype=jnp.int32)
+
+    def replay(carry, inp):
+        y_t, x_t = inp
+        new_c, _ = maxplus_step(carry, y_t, False)
+        nvs, nvb, nvp = new_c
+        flat = jnp.concatenate([nvs[None], nvb.reshape(-1), nvp.reshape(-1)])
+        score = jnp.sum(jnp.where(state_iota == x_t, flat, 0.0))
+        return new_c, score
+
+    _, path_scores = jax.lax.scan(replay, carry0, (y[1:], x[1:]))
+    return x, jnp.sum(path_scores)

@@ -255,8 +255,8 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
         raise ValueError("need L >= 2H so seam cuts are monotone")
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
-    if overlaps and mu.shape[1] != 2:
-        raise ValueError("ring overlap engine supports N == 2")
+    if overlaps and mu.shape[1] > 6:
+        raise ValueError("ring overlap engines support N <= 6")
     return _ring_overlap_save_impl(jnp.asarray(y), lp, mu,
                                    jnp.asarray(sigma), L=L, H=H,
                                    overlaps=overlaps)
@@ -265,8 +265,14 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
 @partial(jax.jit, static_argnames=("L", "H", "overlaps"))
 def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
     from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
+    from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
 
-    engine = ring_viterbi_ov2 if overlaps else ring_viterbi_nov
+    if not overlaps:
+        engine = ring_viterbi_nov
+    elif mu.shape[1] == 2:
+        engine = ring_viterbi_ov2
+    else:
+        engine = ring_viterbi_ovn
 
     # Gather-free throughout: the window matrix is built from a single
     # reshape, seam windows are static slices, and the stitch is a
