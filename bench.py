@@ -63,12 +63,11 @@ def main():
     def run():
         x, ok = ring_overlap_save(y_d, lp_d, mu_d, sigma, L=L, H=H,
                                   overlaps=True)
-        jax.block_until_ready(x)
-        return x, ok
+        # np.asarray is the reliable completion barrier on tunneled
+        # backends (block_until_ready can return early there)
+        return np.asarray(x), np.asarray(ok)
 
     x_tpu, seam_ok = run()                      # warmup + correctness output
-    x_tpu = np.asarray(x_tpu)
-    seam_ok = np.asarray(seam_ok)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

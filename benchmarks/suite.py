@@ -88,8 +88,9 @@ def config2():
     def run():
         x, ok = ring_overlap_save(y_d, lp, mu, sigma, L=8192, H=256,
                                   overlaps=True)
-        jax.block_until_ready(x)
-        return x, ok
+        # np.asarray is the reliable completion barrier on tunneled
+        # backends (block_until_ready can return early there)
+        return np.asarray(x), np.asarray(ok)
 
     x, seam_ok = run()
     t0 = time.perf_counter()
