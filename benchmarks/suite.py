@@ -125,22 +125,28 @@ def config4():
     import jax
     import jax.numpy as jnp
 
-    from hmmspikesorter_tpu.ops.ring_viterbi import ring_viterbi_ov2
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        _ring_overlap_save_impl)
 
     K, sigma, C, Tc = 60, 0.3, 16, 1_000_000
+    Tc = (Tc // 8192) * 8192
     pp = [0.003, 0.001]
     ys = np.stack([_mk_signal(Tc, sigma, pp, K, seed=s)[0]
                    for s in range(C)]).astype(np.float32)
     lp = jnp.asarray(np.log(pp), jnp.float32)
     mu = jnp.asarray(_mk_signal(100, sigma, pp, K)[2], jnp.float32)
 
-    fn = jax.jit(jax.vmap(
-        lambda yy: ring_viterbi_ov2(yy, lp, mu, sigma, silent_start=False,
-                                    with_ll=False)[0]))
-    yd = jnp.asarray(ys)
-    np.asarray(fn(yd))                          # warm
+    # per-channel on-device overlap-save; one compile, C executions
+    def one(yy):
+        x, _ = _ring_overlap_save_impl(yy, lp, mu, jnp.float32(sigma),
+                                       L=8192, H=256, overlaps=True)
+        return np.asarray(x)
+
+    yd = [jnp.asarray(ys[c]) for c in range(C)]
+    one(yd[0])                                  # warm/compile
     t0 = time.perf_counter()
-    np.asarray(fn(yd))
+    for c in range(C):
+        one(yd[c])
     dec_s = time.perf_counter() - t0
     total = C * Tc
     return {"config": 4, "channels": C, "samples_per_channel": Tc,

@@ -77,12 +77,20 @@ def load_data_file(datafile: str) -> np.ndarray:
 
 def sort_data(inputfile: str, datafile: str, outputfile: str, *,
               dosave: bool = True, max_templates: int = MAX_TEMPLATES,
-              chunksize: int = CHUNKSIZE, progress=None) -> dict:
-    """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104)."""
+              chunksize: int = CHUNKSIZE, progress=None,
+              engine: str = "reference") -> dict:
+    """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
+
+    engine="reference": the reference's sequential chunked decode (exact
+    protocol parity, including the cumulative ll in the output).
+    engine="fast": the on-device parallel overlap-save decode (orders of
+    magnitude faster on TPU; `ll` in the output is NaN — it is a
+    sequential-path quantity).
+    """
     import scipy.io
 
     from .io.extraction import unroll_mlseq
-    from .models.api import fit_spiking_model
+    from .models.api import fit_spiking_model, fit_spiking_model_fast
 
     print("Loading templates...")
     tm = load_template_file(inputfile, max_templates)
@@ -92,8 +100,11 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     print("Loading data...")
     data = load_data_file(datafile)
     print("Fitting model...")
-    model = fit_spiking_model(tm, data, chunksize=chunksize,
-                              progress=progress)
+    if engine == "fast":
+        model = fit_spiking_model_fast(tm, data)
+    else:
+        model = fit_spiking_model(tm, data, chunksize=chunksize,
+                                  progress=progress)
     # reference output convention: unrolled per-neuron ring positions,
     # 1-based with 1 == silent (StateMatrix stores positions + 1,
     # types.jl:150)
@@ -123,6 +134,11 @@ def main(argv=None) -> int:
     p.add_argument("--outputfile", required=True,
                    help="File to save the spiking model to")
     p.add_argument("--chunksize", type=int, default=CHUNKSIZE)
+    p.add_argument("--engine", choices=["reference", "fast"],
+                   default="reference",
+                   help="'reference' = sequential chunked decode (exact "
+                        "reference protocol); 'fast' = on-device parallel "
+                        "overlap-save (TPU production path)")
     args = p.parse_args(argv)
 
     import os
@@ -131,7 +147,7 @@ def main(argv=None) -> int:
         print("Both inputfile and data file must exist")
         return 23                               # reference hmmsort.jl:113
     sort_data(args.inputfile, args.datafile, args.outputfile,
-              chunksize=args.chunksize)
+              chunksize=args.chunksize, engine=args.engine)
     return 0
 
 

@@ -77,3 +77,14 @@ def test_cli_highpassdata_path_and_2d(tmp_path):
         f["highpassdata/data/data"] = np.stack([y, np.zeros_like(y)])
     data = cli.load_data_file(d2)
     np.testing.assert_allclose(data, y)
+
+
+def test_sort_data_fast_engine(tmp_path):
+    tfile, dfile, temps, pp, y = _write_inputs(tmp_path, T=4096)
+    out_ref = cli.sort_data(tfile, dfile, str(tmp_path / "r.mat"),
+                            chunksize=1500)
+    out_fast = cli.sort_data(tfile, dfile, str(tmp_path / "f.mat"),
+                             engine="fast")
+    agree = (out_ref["mlseq"] == out_fast["mlseq"]).mean()
+    assert agree > 0.99
+    assert np.isnan(out_fast["ll"])
