@@ -1,0 +1,12 @@
+"""TPU-native HMM spike sorter (Herbst et al. 2008 signal chain).
+
+Public surface:
+    from hmmspikesorter_tpu import api        # fit / decode / predict / bic
+    from hmmspikesorter_tpu import extraction # spike times, MAT unit export
+    python -m hmmspikesorter_tpu.cli          # batch sorting CLI
+"""
+
+from .models import api  # noqa: F401
+from .io import extraction  # noqa: F401
+
+__version__ = "0.1.0"
