@@ -36,8 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.emission import emission_logprob, state_means
 from ..train.em import EMTables, edge_weights_from_structure
 from ..utils.logmath import logsumexp_rows
-from .block_fb import (_block_alpha, _block_beta, _logplus_block_operator,
-                       _lse_matvec_left, _lse_matvec_right)
+from .block_fb import _lse_matvec_left, _lse_matvec_right
 
 
 def _dist_lse(local_lse, axis_name):
@@ -52,31 +51,48 @@ def _dist_lse(local_lse, axis_name):
 def _em_one_channel(y_loc, step_valid, lp, mu, sigma, tables: EMTables, *,
                     K: int, L: int, time_axis: str):
     """Per-device, per-channel EM body. y_loc: (Ts,) local span."""
+    from ..ops.ring_fb import (_bwd_step, _emission_fns, _flat, _fwd_step,
+                               _unflat, _weights)
+
     N = tables.states.shape[0]
     S = tables.states.shape[1]
+    Km1 = K - 1
     dtype = y_loc.dtype
     didx = jax.lax.axis_index(time_axis)
 
-    in_w = edge_weights_from_structure(
-        lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
-    out_w = edge_weights_from_structure(
-        lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em_fn = _emission_fns(jnp.asarray(mu, dtype), sigma)
 
     smu = state_means(tables.states, mu)
-    em_loc = emission_logprob(y_loc, smu, sigma)          # (Ts, S)
-    Ts = em_loc.shape[0]
+    em_loc = emission_logprob(y_loc, smu, sigma)          # (Ts, S) for stats
+    Ts = y_loc.shape[0]
     B = Ts // L
-    em_blocks = em_loc.reshape(B, L, S)
+    y_blocks = y_loc.reshape(B, L)
     mask_blocks = step_valid.reshape(B, L)
 
-    # ---- block + device operators
-    ops = jax.vmap(_logplus_block_operator, in_axes=(0, 0, None, None))(
-        em_blocks, mask_blocks, in_idx := tables.in_idx, in_w)
+    # ---- block + device operators: gather-free ring step vmapped over
+    # identity source rows (same scheme as ops/ring_fb's blocked path)
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, -jnp.inf).astype(dtype)
+
+    def fwd_operator(y_blk, m_blk):
+        VS, VB = _unflat(eye, N, Km1)
+
+        def stp(c, inp):
+            vs, vb = c
+            y_t, valid = inp
+            es, ebm = em_fn(y_t)
+            nvs, nvb = _fwd_step(vs, vb, es, ebm, w)
+            return (jnp.where(valid, nvs, vs), jnp.where(valid, nvb, vb)), None
+
+        (VS, VB), _ = jax.lax.scan(stp, (VS, VB), (y_blk, m_blk))
+        return _flat(VS, VB)
+
+    ops = jax.vmap(fwd_operator)(y_blocks, mask_blocks)   # (B, S, S)
 
     def compose(M, Mb):
         return logsumexp_rows(M[:, :, None] + Mb[None, :, :], axis=1), None
 
-    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, -jnp.inf).astype(dtype)
     dev_op, _ = jax.lax.scan(compose, eye, ops)
 
     all_ops = jax.lax.all_gather(dev_op, time_axis)       # (Dv, S, S)
@@ -114,10 +130,38 @@ def _em_one_channel(y_loc, step_valid, lp, mu, sigma, tables: EMTables, *,
 
     _, betaEs = jax.lax.scan(bwd_blk, beta_dev, ops, reverse=True)
 
-    alphas = jax.vmap(_block_alpha, in_axes=(0, 0, 0, None, None))(
-        alpha0s, em_blocks, mask_blocks, in_idx, in_w)
-    betas = jax.vmap(_block_beta, in_axes=(0, 0, 0, None, None))(
-        betaEs, em_blocks, mask_blocks, tables.out_idx, out_w)
+    def alpha_block(a0_vec, y_blk, m_blk):
+        vs, vb = _unflat(a0_vec, N, Km1)
+
+        def stp(c, inp):
+            cvs, cvb = c
+            y_t, valid = inp
+            es, ebm = em_fn(y_t)
+            nvs, nvb = _fwd_step(cvs, cvb, es, ebm, w)
+            cvs = jnp.where(valid, nvs, cvs)
+            cvb = jnp.where(valid, nvb, cvb)
+            return (cvs, cvb), _flat(cvs, cvb)
+
+        _, outs = jax.lax.scan(stp, (vs, vb), (y_blk, m_blk))
+        return outs
+
+    def beta_block(bE_vec, y_blk, m_blk):
+        bs, bb = _unflat(bE_vec, N, Km1)
+
+        def stp(c, inp):
+            cbs, cbb = c
+            y_t, valid = inp
+            es, ebm = em_fn(y_t)
+            nbs, nbb = _bwd_step(cbs, cbb, es, ebm, w)
+            cbs = jnp.where(valid, nbs, cbs)
+            cbb = jnp.where(valid, nbb, cbb)
+            return (cbs, cbb), _flat(cbs, cbb)
+
+        _, outs = jax.lax.scan(stp, (bs, bb), (y_blk, m_blk), reverse=True)
+        return outs
+
+    alphas = jax.vmap(alpha_block)(alpha0s, y_blocks, mask_blocks)
+    betas = jax.vmap(beta_block)(betaEs, y_blocks, mask_blocks)
 
     # alphas[b, l] = alpha at local sample b*L+l (masked step 0 passes the
     # carry, so device 0 sample 0 gets a0). betas[b, l] = beta at the sample
