@@ -89,6 +89,29 @@ def main():
     # protocol differences; spikes are what matters)
     agree = float((x_tpu[:Tc] == x_cpu).mean())
 
+    # --- Baum-Welch iterations/s (second BASELINE.json metric): blocked
+    # gather-free EM on the training topology (non-overlap), device-chained
+    # iterations with one final materialization barrier
+    from hmmspikesorter_tpu.train.em import EMTables, em_step
+
+    Tb = 1 << 19
+    ss_tr = build_state_space(N, K, False)
+    tables = EMTables.build(ss_tr)
+    y_tr = jax.device_put(jnp.asarray(y[:Tb], dtype), dev)
+    lp_t = jnp.asarray(lp, dtype)
+    mu_t = jnp.asarray(temps, dtype)
+    sg_t = dtype(sigma)
+    out = em_step(y_tr, lp_t, mu_t, sg_t, tables, K=K, fb_mode="blocked")
+    np.asarray(out[0])                          # warmup/compile
+    iters = 5
+    t0 = time.perf_counter()
+    l, m, s = lp_t, mu_t, sg_t
+    for _ in range(iters):
+        l, _, m, s, _ = em_step(y_tr, l, m, s, tables, K=K,
+                                fb_mode="blocked")
+    np.asarray(l)
+    bw_iter_per_s = iters / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "viterbi_decode_samples_per_s_per_chip",
         "value": round(tpu_sps, 1),
@@ -96,6 +119,8 @@ def main():
         "vs_baseline": round(tpu_sps / cpu_sps, 2),
         "baseline_cpu_samples_per_s": round(cpu_sps, 1),
         "label_agreement_vs_reference_semantics": round(agree, 6),
+        "bw_iter_per_s": round(bw_iter_per_s, 3),
+        "bw_config": f"N={N} K={K} non-overlap T=2^19 blocked",
         "seams_ok_frac": float(np.mean(seam_ok)),
         "config": "N=2 K=60 overlaps S=3600 T=2^21 f32 L=8192 H=256 ring",
         "device": str(jax.devices()[0]),
