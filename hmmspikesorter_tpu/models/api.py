@@ -247,3 +247,61 @@ def bic(model: HMMSpikingModel) -> float:
 def model_response(model: HMMSpikingModel) -> np.ndarray:
     """The raw decoded signal (reference model_response, src/types.jl:33)."""
     return model.y
+
+
+def fit_template_models_batched(ys, n_neurons: int, K: int, nsteps: int,
+                                mesh, *, rng=None, L: int = 256,
+                                surgery: bool = True):
+    """Train independent template models for a channel batch on a
+    (channel, time) mesh via the distributed EM step
+    (parallel/sharded_em.py) — dp over channels, sp over time.
+
+    ys: (C, T) with T a multiple of mesh.shape['time'] * L. Runs `nsteps`
+    sharded EM iterations from per-channel random inits, then (optionally)
+    the reference's host-side merge/prune per channel followed by per-
+    channel refinement. Returns a list of C HMMTemplateModel.
+
+    New capability — the reference CLI only ever processes channel 1
+    (src/hmmsort.jl:56).
+    """
+    import numpy as _np
+
+    from ..core.state_space import build_state_space
+    from ..parallel.sharded_em import sharded_em_step
+    from ..train import template_ops
+    from ..train.em import EMTables, init_templates
+
+    if rng is None:
+        rng = np.random.default_rng()
+    ys = np.asarray(ys, dtype=np.float64)
+    C, T = ys.shape
+    p0 = 2.0 ** (-3.0 * K / 2.0)
+    sigmas = ys.std(axis=1)
+    lps = np.tile(np.log(p0), (C, n_neurons))
+    mus = np.stack([init_templates(K, n_neurons, float(sigmas[c]), rng)
+                    for c in range(C)])
+    ss = build_state_space(n_neurons, K, False)
+    tables = EMTables.build(ss)
+
+    for _ in range(nsteps):
+        out = sharded_em_step(ys, lps, mus, sigmas, tables, mesh, K=K, L=L)
+        lps, _, mus, sigmas = (np.asarray(out[0]), out[1],
+                               np.asarray(out[2]), np.asarray(out[3]))
+
+    models = []
+    for c in range(C):
+        mu_c, lp_c, sg_c = mus[c], lps[c], float(sigmas[c])
+        if surgery:
+            mu_c, lp_c = template_ops.condense_templates(mu_c, lp_c, sg_c)
+            keep = template_ops.remove_sparse(lp_c)
+            mu_c, lp_c = mu_c[:, keep], lp_c[keep]
+            keep = template_ops.remove_small(mu_c, sg_c)
+            mu_c, lp_c = mu_c[:, keep], lp_c[keep]
+            if mu_c.shape[1] > 0:
+                m = refit_template_model(
+                    HMMTemplateModel(mu=mu_c, sigma=sg_c, lp=lp_c),
+                    ys[c], max(nsteps // 2, 1))
+                models.append(m)
+                continue
+        models.append(HMMTemplateModel(mu=mu_c, sigma=sg_c, lp=lp_c))
+    return models

@@ -69,3 +69,29 @@ def test_sharded_em_distinct_channels():
         np.testing.assert_allclose(lp_sh[c], np.asarray(lp_1), rtol=1e-9)
         np.testing.assert_allclose(mu_sh[c], np.asarray(mu_1), atol=1e-9)
         assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-10)
+
+
+def test_batched_training_recovers_templates():
+    import jax
+    from jax.sharding import Mesh
+    from hmmspikesorter_tpu.models import api
+    from hmmspikesorter_tpu.train import template_ops
+
+    K, T, sigma = 20, 8192, 0.3
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.006])
+    ys = np.stack([create_signal(T, sigma, pp, temps,
+                                 rng=np.random.default_rng(s))[0]
+                   for s in (1, 2)])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("channel", "time"))
+    models = api.fit_template_models_batched(
+        ys, n_neurons=3, K=K, nsteps=6, mesh=mesh,
+        rng=np.random.default_rng(7), surgery=False)
+    assert len(models) == 2
+    for m in models:
+        # at least one trained template matches a true one closely
+        mm, cc = template_ops.match_templates(temps, m.mu)
+        en = (temps ** 2).sum(axis=0)
+        assert (cc / en < 0.2).any()
