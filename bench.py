@@ -78,16 +78,17 @@ def main():
     # --- CPU baseline (reference loop semantics, -O3, single thread);
     # best-of-3 to damp noisy-neighbor variance on the shared host
     Tc = 1 << 17
-    cpu_elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        x_cpu, _ = native.viterbi(y[:Tc], ss, lp, temps, sigma)
-        cpu_elapsed = min(cpu_elapsed, time.perf_counter() - t0)
-    cpu_sps = Tc / cpu_elapsed
-
-    # --- label agreement on the CPU slice (f32 TPU vs f64 CPU, plus seam
-    # protocol differences; spikes are what matters)
-    agree = float((x_tpu[:Tc] == x_cpu).mean())
+    try:
+        cpu_elapsed = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x_cpu, _ = native.viterbi(y[:Tc], ss, lp, temps, sigma)
+            cpu_elapsed = min(cpu_elapsed, time.perf_counter() - t0)
+        cpu_sps = Tc / cpu_elapsed
+        agree = float((x_tpu[:Tc] == x_cpu).mean())
+    except Exception:                            # e.g. no g++ toolchain
+        cpu_sps = float("nan")
+        agree = float("nan")
 
     # --- Baum-Welch iterations/s (second BASELINE.json metric): blocked
     # gather-free EM on the training topology (non-overlap), device-chained
@@ -116,8 +117,10 @@ def main():
         "metric": "viterbi_decode_samples_per_s_per_chip",
         "value": round(tpu_sps, 1),
         "unit": "samples/s",
-        "vs_baseline": round(tpu_sps / cpu_sps, 2),
-        "baseline_cpu_samples_per_s": round(cpu_sps, 1),
+        "vs_baseline": (round(tpu_sps / cpu_sps, 2)
+                        if cpu_sps == cpu_sps else None),
+        "baseline_cpu_samples_per_s": (round(cpu_sps, 1)
+                                       if cpu_sps == cpu_sps else None),
         "label_agreement_vs_reference_semantics": round(agree, 6),
         "bw_iter_per_s": round(bw_iter_per_s, 3),
         "bw_config": f"N={N} K={K} non-overlap T=2^19 blocked",

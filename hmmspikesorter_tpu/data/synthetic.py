@@ -82,3 +82,43 @@ def get_chunk(data, i: int, chunksize: int):
     """i-th 1-based chunk view of `data` — reference src/utils.jl:88-90."""
     data = np.asarray(data)
     return data[(i - 1) * chunksize : min(i * chunksize, len(data))]
+
+
+def create_signal_fast(T: int, sigma: float, pp, templates, *, rng=None):
+    """Vectorized synthetic signal for large benchmarks.
+
+    Same generative model as `create_signal` (one active cell at a time,
+    per-sample Bernoulli onsets, additive template + noise) implemented
+    with NumPy bulk ops + a greedy pass over candidate onsets — O(T) numpy
+    instead of an O(T) Python loop (~100x faster for multi-M samples).
+    `create_signal` remains the reference-faithful fixture for tests.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    templates = np.asarray(templates)
+    K, ncells = templates.shape
+    pp = np.asarray(pp, dtype=np.float64)
+    S = sigma * rng.standard_normal(T)
+    truth = np.zeros((ncells, T), dtype=np.int64)
+
+    # candidate onsets: for each sample, first cell whose Bernoulli fires
+    u = rng.random((T, ncells))
+    fired = u < pp[None, :]
+    any_fire = fired.any(axis=1)
+    first_cell = np.argmax(fired, axis=1)
+    cand_t = np.nonzero(any_fire)[0]
+    cand_c = first_cell[cand_t]
+    # greedy: accept a candidate only if the previous spike has finished
+    # (reference: onsets are only checked while silent)
+    last_end = -1
+    acc_t, acc_c = [], []
+    for t, c in zip(cand_t.tolist(), cand_c.tolist()):
+        if t > last_end:
+            acc_t.append(t)
+            acc_c.append(c)
+            last_end = t + K  # active for samples t..t+K-1... playback below
+    for t, c in zip(acc_t, acc_c):
+        n = min(K, T - t)
+        S[t : t + n] += templates[:n, c]
+        truth[c, t : t + n] = np.arange(1, n + 1)
+    return S, truth
