@@ -285,11 +285,18 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
     Tp = B * L
     W = L + 2 * H
 
+    K, Nn = mu.shape
+    S = (1 + Nn * (K - 1) + (Nn * (Nn - 1) // 2) * (K - 1) ** 2
+         if overlaps else 1 + Nn * (K - 1))
+    # labels as int16 when they fit: halves the device->host transfer,
+    # which dominates end-to-end wall time on tunneled backends
+    out_dtype = jnp.int16 if S <= 32767 else jnp.int32
+
     if B == 1:
         ypad = jnp.pad(y, (0, Tp - T))
         x = engine(ypad, lp, mu, sigma, silent_start=True,
                    with_ll=False)[0]
-        return x[:T], jnp.ones((0,), bool)
+        return x[:T].astype(out_dtype), jnp.ones((0,), bool)
 
     # uniform windows: row b covers [b*L - H, b*L - H + W) of the
     # H-zero-padded signal == rows of one reshape plus a shifted head
@@ -343,4 +350,4 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
     x = jnp.where(t_grid < prev_cut[:, None], prev_full,
                   jnp.where(t_grid >= next_cut[:, None], next_full,
                             core)).reshape(-1)
-    return x[:T], seam_ok
+    return x[:T].astype(out_dtype), seam_ok
