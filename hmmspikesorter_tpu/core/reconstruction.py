@@ -7,7 +7,6 @@ a single gather against the precomputed per-state means.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from .emission import state_means
 

@@ -19,7 +19,7 @@ import os
 import numpy as np
 import scipy.io
 
-from ..core.state_space import build_state_space
+
 from ..models.api import HMMSpikingModel
 
 DEFAULT_SAMPLING_RATE = 40000.0  # reference src/extraction.jl:26

@@ -264,8 +264,6 @@ def fit_template_models_batched(ys, n_neurons: int, K: int, nsteps: int,
     New capability — the reference CLI only ever processes channel 1
     (src/hmmsort.jl:56).
     """
-    import numpy as _np
-
     from ..core.state_space import build_state_space
     from ..parallel.sharded_em import sharded_em_step
     from ..train import template_ops

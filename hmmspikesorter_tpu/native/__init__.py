@@ -62,7 +62,6 @@ def viterbi(y, ss, lp, mu, sigma):
     lib = get_lib()
     y = _as(y, np.float64)
     efrom, eto, ew = _edge_args(ss, lp)
-    from ..core.emission import state_means  # numpy-compatible gather
     smu = _as(np.asarray(mu)[ss.states, np.arange(ss.n_neurons)[:, None]]
               .sum(axis=0), np.float64)
     x = np.empty(len(y), np.int32)

@@ -66,8 +66,6 @@ def main(argv=None) -> int:
             num_processes=args.num_processes,
             process_id=args.process_id)
 
-    import jax.numpy as jnp
-
     from ..core.state_space import build_state_space
     from ..data.synthetic import create_signal, create_spike_template
     from ..train.em import EMTables

@@ -31,7 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.emission import emission_logprob, state_means
 from ..train.em import EMTables, edge_weights_from_structure
