@@ -107,3 +107,16 @@ def test_ring_nov_immediate_reonset():
                                  jnp.asarray(temps), sigma)
     np.testing.assert_array_equal(np.asarray(x_r), np.asarray(x_g))
     assert float(ll_r) == pytest.approx(float(ll_g), rel=1e-12)
+
+
+def test_f32_decode_matches_f64_labels():
+    # the production TPU decode runs f32; verify label fidelity vs f64
+    y, lp, mu, in_idx, in_w, smu, sigma = _setup(2, 60, 20000, overlaps=True,
+                                                 seed=3)
+    x64, _ = ring_viterbi_ov2(y, lp, mu, sigma, with_ll=False)
+    x32, _ = ring_viterbi_ov2(jnp.asarray(y, jnp.float32),
+                              jnp.asarray(lp, jnp.float32),
+                              jnp.asarray(mu, jnp.float32), sigma,
+                              with_ll=False)
+    agree = (np.asarray(x32) == np.asarray(x64)).mean()
+    assert agree > 0.999
