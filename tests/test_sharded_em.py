@@ -95,3 +95,20 @@ def test_batched_training_recovers_templates():
         mm, cc = template_ops.match_templates(temps, m.mu)
         en = (temps ** 2).sum(axis=0)
         assert (cc / en < 0.2).any()
+
+
+def test_runner_make_mesh_and_main_smoke(capsys):
+    import json as _json
+
+    from hmmspikesorter_tpu.parallel import runner
+
+    mesh = runner.make_mesh(time_shards=4)
+    assert dict(mesh.shape) == {"channel": 2, "time": 4}
+    with pytest.raises(ValueError):
+        runner.make_mesh(time_shards=3)
+    rc = runner.main(["--channels", "2", "--samples", "8192",
+                      "--time-shards", "4", "--em-iters", "1",
+                      "--K", "8", "--block", "256"])
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["phase"] == "sharded_em" and rec["em_iter_per_s"] > 0
