@@ -102,3 +102,21 @@ def test_ring_overlap_save_matches_host_driver():
     assert np.asarray(ok_dev).all()
     agree = (np.asarray(x_dev) == np.asarray(x_seq)).mean()
     assert agree > 0.999
+
+
+def test_overlap_save_seam_fallback_no_silence():
+    # a decoder that never reports silence forces every seam onto the raw
+    # block-boundary cut with seam_ok False — the documented fallback
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        overlap_save_decode_long)
+    y, in_idx, in_w, smu, sigma = _setup(T=4096, K=12)
+
+    def never_silent(y_win):
+        return jnp.ones(y_win.shape, jnp.int32)
+
+    x, seam_ok = overlap_save_decode_long(
+        np.asarray(y), in_idx, in_w, smu, sigma, L=1024, H=64,
+        blocks_per_call=2, block_decoder=never_silent)
+    assert x.shape == (4096,)
+    assert not seam_ok.any()
+    assert (x == 1).all()

@@ -36,3 +36,27 @@ def test_ovn_bitmatches_gather(N, K, T, seed):
     assert (np.asarray(x_g) >= pair_base).any()
     np.testing.assert_array_equal(np.asarray(x_r), np.asarray(x_g))
     assert float(ll_r) == pytest.approx(float(ll_g), rel=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ovn_stress_random_n3(seed):
+    # randomized templates/rates, frequent overlaps
+    rng = np.random.default_rng(100 + seed)
+    N, K, T = 3, 6 + seed, 1500
+    temps = np.stack([create_spike_template(K, 1.0 + 2 * rng.random(),
+                                            0.2 + 0.6 * rng.random(),
+                                            0.1 + 0.3 * rng.random())
+                      for _ in range(N)], axis=1)
+    pp = rng.uniform(0.02, 0.06, N)
+    y, _ = create_signal(T, 0.3, pp, temps, rng=rng)
+    y += 0.2 * rng.standard_normal(T)  # extra noise -> more ambiguous paths
+    ss = build_state_space(N, K, True)
+    lp = np.log(pp)
+    in_idx, in_w = ss.in_table(lp)
+    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps))
+    x_g, ll_g = viterbi_decode(jnp.asarray(y), jnp.asarray(in_idx),
+                               jnp.asarray(in_w), smu, 0.3)
+    x_r, ll_r = ring_viterbi_ovn(jnp.asarray(y), jnp.asarray(lp),
+                                 jnp.asarray(temps), 0.3)
+    np.testing.assert_array_equal(np.asarray(x_r), np.asarray(x_g))
+    assert float(ll_r) == pytest.approx(float(ll_g), rel=1e-12)
