@@ -31,7 +31,7 @@ def main():
     from hmmspikesorter_tpu import native
     from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
     from hmmspikesorter_tpu.data.synthetic import (
-        create_signal, create_spike_template)
+        create_signal_fast, create_spike_template)
 
     N, K, sigma = 2, 60, 0.3
     T = 1 << 21
@@ -41,7 +41,7 @@ def main():
     temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
                       create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
     pp = np.array([0.003, 0.001])
-    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    y, _ = create_signal_fast(T, sigma, pp, temps, rng=rng)
 
     ss = build_state_space(N, K, True)          # overlaps on: S = 3600
     lp = np.log(pp)
