@@ -14,7 +14,9 @@ The reference materializes full (S, T) alpha and beta matrices
   transition statistics), and discards the interiors.
 
 Everything is a single jitted program: scan-over-blocks with fixed block
-shape. Statistics match em_step to float-reassociation tolerance (tested).
+shape, with the in-block recursions running on the gather-free ring step
+functions (ops/ring_fb.py). Statistics match em_step to float-reassociation
+tolerance (tested).
 """
 
 from __future__ import annotations
@@ -41,22 +43,26 @@ def streaming_em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     y: (T,) with T a multiple of L. Returns (lp, pi, mu, sigma, ll) —
     the same update as train.em.em_step.
     """
+    from ..ops.ring_fb import (_bwd_step, _emission_fns, _flat, _fwd_step,
+                               _unflat, _weights)
+
     N = tables.states.shape[0]
     S = tables.states.shape[1]
+    Km1 = K - 1
     dtype = mu.dtype
     y = y.astype(dtype)
     T = y.shape[0]
     assert T % L == 0, "T must be a multiple of L"
     B = T // L
 
-    in_w = edge_weights_from_structure(
-        lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
-    out_w = edge_weights_from_structure(
-        lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
     onset_w = edge_weights_from_structure(
         lp, tables.onset_n_silent, tables.onset_onsets,
         jnp.ones_like(tables.onset_n_silent, dtype=bool))
     tgt = tables.onset_targets
+
+    lp_d = jnp.asarray(lp, dtype)
+    w = _weights(lp_d, dtype)
+    em_fn = _emission_fns(jnp.asarray(mu, dtype), sigma)
 
     smu = state_means(tables.states, mu)
     y_blocks = y.reshape(B, L)
@@ -64,44 +70,52 @@ def streaming_em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     # step 0 (sample 0) applies the identity so blocks align with samples
     step_valid = (jnp.arange(T) > 0).reshape(B, L)
 
-    def alpha_block(a_prev, em_blk, valid_blk):
-        """Scan a block forward; returns (L, S) alphas at its samples."""
+    def alpha_block(a_prev, y_blk, valid_blk):
+        """Scan a block forward (ring step, gather-free); returns (L, S)
+        alphas at its samples."""
+        vs, vb = _unflat(a_prev, N, Km1)
 
-        def stp(a, inp):
-            em_t, v = inp
-            nxt = em_t + logsumexp_rows(a[tables.in_idx] + in_w, axis=1)
-            a = jnp.where(v, nxt, a)
-            return a, a
+        def stp(c, inp):
+            cvs, cvb = c
+            y_t, v = inp
+            es, ebm = em_fn(y_t)
+            nvs, nvb = _fwd_step(cvs, cvb, es, ebm, w)
+            cvs = jnp.where(v, nvs, cvs)
+            cvb = jnp.where(v, nvb, cvb)
+            return (cvs, cvb), _flat(cvs, cvb)
 
-        a_last, alphas = jax.lax.scan(stp, a_prev, (em_blk, valid_blk))
-        return a_last, alphas
+        (vs, vb), alphas = jax.lax.scan(stp, (vs, vb), (y_blk, valid_blk))
+        return _flat(vs, vb), alphas
 
-    def beta_block(b_end, em_blk, valid_blk):
+    def beta_block(b_end, y_blk, valid_blk):
         """Reverse-scan a block; returns (L, S) betas at its samples.
 
         Carry enters as beta at the block's last sample; the scan computes
         beta at each step's source sample, so betas[l] = beta at sample
         l-1; shift left and append the entering carry.
         """
+        bs, bb = _unflat(b_end, N, Km1)
 
-        def stp(b, inp):
-            em_t, v = inp
-            nxt = logsumexp_rows((b + em_t)[tables.out_idx] + out_w, axis=1)
-            b = jnp.where(v, nxt, b)
-            return b, b
+        def stp(c, inp):
+            cbs, cbb = c
+            y_t, v = inp
+            es, ebm = em_fn(y_t)
+            nbs, nbb = _bwd_step(cbs, cbb, es, ebm, w)
+            cbs = jnp.where(v, nbs, cbs)
+            cbb = jnp.where(v, nbb, cbb)
+            return (cbs, cbb), _flat(cbs, cbb)
 
-        b_first, betas_src = jax.lax.scan(stp, b_end, (em_blk, valid_blk),
-                                          reverse=True)
+        (bs, bb), betas_src = jax.lax.scan(stp, (bs, bb),
+                                           (y_blk, valid_blk), reverse=True)
         betas = jnp.concatenate([betas_src[1:], b_end[None]], axis=0)
-        return b_first, betas
+        return _flat(bs, bb), betas
 
     # ---- pass 1: boundary alphas (a0 = dead-pi emission-only init)
     em0 = emission_logprob(y[0], smu, sigma)
 
     def fwd(a, inp):
         y_blk, valid_blk = inp
-        em_blk = emission_logprob(y_blk, smu, sigma)
-        a_last, _ = alpha_block(a, em_blk, valid_blk)
+        a_last, _ = alpha_block(a, y_blk, valid_blk)
         return a_last, a
 
     a_final, a_checkpoints = jax.lax.scan(fwd, em0, (y_blocks, step_valid))
@@ -123,9 +137,9 @@ def streaming_em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
 
     def bwd(carry, inp):
         y_blk, valid_blk, a_prev, is_first, is_last = inp
-        em_blk = emission_logprob(y_blk, smu, sigma)
-        _, alphas = alpha_block(a_prev, em_blk, valid_blk)
-        b_first, betas = beta_block(carry["beta"], em_blk, valid_blk)
+        em_blk = emission_logprob(y_blk, smu, sigma)   # for xi statistics
+        _, alphas = alpha_block(a_prev, y_blk, valid_blk)
+        b_first, betas = beta_block(carry["beta"], y_blk, valid_blk)
 
         ab = alphas + betas
         g = logsumexp_rows(ab, axis=1)
