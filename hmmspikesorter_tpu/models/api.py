@@ -197,14 +197,16 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
     ring engines (parallel/overlap_save.ring_overlap_save) — orders of
     magnitude faster than the sequential chunked path at matching labels.
 
-    The reference's cumulative-score ll is not computed on this path
-    (it would require a sequential replay); the model's ll is NaN.
-    Requires a ring-capable topology (templates.has_ring_engine).
+    On non-overlap topologies the reference's cumulative-score ll is also
+    computed (block-parallel max-plus score replay,
+    ops/ring_fb.ring_viterbi_path_ll). On overlap topologies it would
+    require S^2 operators (infeasible at S ~ 10^3-10^4), so ll is NaN
+    there. Requires a ring-capable topology (templates.has_ring_engine).
     """
     from ..parallel.overlap_save import ring_overlap_save
 
     if not templates.has_ring_engine:
-        raise ValueError("fast decode requires non-overlap or N==2 overlap "
+        raise ValueError("fast decode requires non-overlap or N<=6 overlap "
                          "topology; use fit_spiking_model instead")
     y = np.asarray(y, dtype=np.float64)
     if H is None:
@@ -212,7 +214,15 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
     x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
                                    templates.sigma, L=L, H=H,
                                    overlaps=templates.allow_overlaps)
-    model = HMMSpikingModel(templates, np.asarray(x), float("nan"), y)
+    ll = float("nan")
+    if not templates.allow_overlaps:
+        from ..ops.ring_fb import ring_viterbi_path_ll
+
+        ll = float(ring_viterbi_path_ll(
+            jnp.asarray(y), jnp.asarray(templates.lp),
+            jnp.asarray(templates.mu), templates.sigma,
+            jnp.asarray(x, jnp.int32)))
+    model = HMMSpikingModel(templates, np.asarray(x), ll, y)
     model.seam_ok = np.asarray(seam_ok)
     return model
 

@@ -251,3 +251,100 @@ def ring_blocked_forward_backward(y, lp, mu, sigma, *, L: int = 256):
     # at sample i (step i targets sample i+1); beta at T-1 is the terminal 0
     beta = jnp.concatenate([betas_src.reshape(-1, S)[: T - 1], bT[None]])
     return alpha, beta
+
+
+def _fwd_step_max(vs, vb, es, ebm, w):
+    """Max-plus mirror of _fwd_step (Viterbi scores, no backpointers).
+
+    Same structural transitions; supports a leading batch axis like
+    _fwd_step. Used to compute exact boundary Viterbi score vectors in
+    parallel (block operators) and for parallel path-score replay.
+    """
+    ends = vb[..., :, -1]
+    new_vs = jnp.maximum(
+        vs + w["self_w"],
+        jnp.max(ends + w["stay_w"], axis=-1)) + es
+    swap = jnp.max(ends[..., :, None] + w["diag_mask"], axis=-2) + w["swap_w"]
+    first = jnp.maximum(vs[..., None] + w["onset_w"], swap + w["lp"])
+    new_vb = jnp.concatenate(
+        [first[..., :, None], vb[..., :, :-1] + w["stay_w"]], axis=-1) + ebm
+    return new_vs, new_vb
+
+
+@partial(jax.jit, static_argnames=("L", "silent_start"))
+def ring_viterbi_path_ll(y, lp, mu, sigma, x, *, L: int = 1024,
+                         silent_start=True):
+    """Reference cumulative-score ll (sum_t T1[x_t, t], src/viterbi.jl:92-96)
+    for a known path x, computed block-parallel on the non-overlap space.
+
+    Exact boundary score vectors come from max-plus block operators (the
+    ring step vmapped over identity source rows); every block then replays
+    its scores in parallel and emits the score at its path state. Matches
+    the sequential engine's ll up to float reassociation at block
+    boundaries.
+    """
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    T = y.shape[0]
+    K, N = mu.shape
+    Km1 = K - 1
+    S = 1 + N * Km1
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em = _emission_fns(mu, sigma)
+
+    Tm1 = T - 1
+    B = -(-Tm1 // L)
+    pad = B * L - Tm1
+    y_steps = jnp.pad(y[1:], (0, pad)).reshape(B, L)
+    x_steps = jnp.pad(x[1:], (0, pad)).reshape(B, L)
+    mask = (jnp.arange(B * L) < Tm1).reshape(B, L)
+
+    eyeS = jnp.where(jnp.eye(S, dtype=bool), 0.0, -jnp.inf).astype(dtype)
+
+    def fwd_operator(y_blk, m_blk):
+        VS, VB = _unflat(eyeS, N, Km1)
+
+        def stp(c, inp):
+            vs, vb = c
+            y_t, valid = inp
+            es, ebm = em(y_t)
+            nvs, nvb = _fwd_step_max(vs, vb, es, ebm, w)
+            return (jnp.where(valid, nvs, vs), jnp.where(valid, nvb, vb)), None
+
+        (VS, VB), _ = jax.lax.scan(stp, (VS, VB), (y_blk, m_blk))
+        return _flat(VS, VB)
+
+    ops = jax.vmap(fwd_operator)(y_steps, mask)            # (B, S, S)
+
+    es0, eb0 = em(y[0])
+    v0 = _flat(es0, eb0)
+    v0 = jnp.where(silent_start,
+                   v0.at[0].set(jnp.asarray(0.0, dtype)), v0)
+
+    def chain(v, M):
+        return jnp.max(v[:, None] + M, axis=0), v
+
+    _, v0s = jax.lax.scan(chain, v0, ops)                  # (B, S)
+
+    state_iota = jnp.arange(S, dtype=jnp.int32)
+
+    def replay_block(v_start, y_blk, x_blk, m_blk):
+        vs, vb = _unflat(v_start, N, Km1)
+
+        def stp(c, inp):
+            cvs, cvb = c
+            y_t, x_t, valid = inp
+            es, ebm = em(y_t)
+            nvs, nvb = _fwd_step_max(cvs, cvb, es, ebm, w)
+            cvs = jnp.where(valid, nvs, cvs)
+            cvb = jnp.where(valid, nvb, cvb)
+            flat = _flat(cvs, cvb)
+            score = jnp.sum(jnp.where(state_iota == x_t, flat, 0.0))
+            return (cvs, cvb), jnp.where(valid, score, 0.0)
+
+        _, scores = jax.lax.scan(stp, (vs, vb), (y_blk, x_blk, m_blk))
+        return jnp.sum(scores)
+
+    per_block = jax.vmap(replay_block)(v0s, y_steps, x_steps, mask)
+    return jnp.sum(per_block)

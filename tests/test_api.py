@@ -153,3 +153,15 @@ def test_decoder_dispatch_ring_vs_gather_identical():
     x_g, ll_g = viterbi_decode(jnp.asarray(y), in_idx, in_w, smu, tm.sigma)
     np.testing.assert_array_equal(model.ml_seq, np.asarray(x_g))
     assert model.ll == pytest.approx(float(ll_g), rel=1e-12)
+
+
+def test_fast_decode_exact_ll_non_overlap():
+    tm, y, _ = _model_and_signal(K=20, T=8192, overlaps=False)
+    seq = api.fit_spiking_model(tm, y)
+    fast = api.fit_spiking_model_fast(tm, y, L=1024, H=128)
+    # when labels agree, the parallel path-score replay reproduces the
+    # reference cumulative-score ll
+    if (fast.ml_seq == seq.ml_seq).all():
+        assert fast.ll == pytest.approx(seq.ll, rel=1e-9)
+    else:
+        assert np.isfinite(fast.ll)
