@@ -122,7 +122,27 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     return output
 
 
+def _enable_compilation_cache():
+    """Persist compiled XLA programs across CLI invocations (first compile
+    of the production decode program can take minutes; reruns with the same
+    shapes then start instantly). Best-effort — not all backends support
+    executable serialization."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "hmmspikesorter_tpu", "xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compilation_cache()
     p = argparse.ArgumentParser(
         prog="hmmsort",
         description="HMM spike sorting (TPU-native): decode a recording "
