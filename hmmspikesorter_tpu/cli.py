@@ -125,8 +125,9 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
 def _enable_compilation_cache():
     """Persist compiled XLA programs across CLI invocations (first compile
     of the production decode program can take minutes; reruns with the same
-    shapes then start instantly). Best-effort — not all backends support
-    executable serialization."""
+    shapes can then skip it). Best-effort — backends that compile via a
+    remote service, or that don't support executable serialization, bypass
+    this cache."""
     import os
 
     try:
