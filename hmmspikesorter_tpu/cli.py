@@ -101,7 +101,9 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     data = load_data_file(datafile)
     print("Fitting model...")
     if engine == "fast":
-        model = fit_spiking_model_fast(tm, data)
+        # streaming: one fixed-shape compiled program serves any recording
+        # length (a per-T one-shot program can compile for minutes)
+        model = fit_spiking_model_fast(tm, data, streaming=True)
     else:
         model = fit_spiking_model(tm, data, chunksize=chunksize,
                                   progress=progress)

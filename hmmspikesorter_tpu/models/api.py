@@ -192,10 +192,20 @@ def _decoder_for(templates: HMMTemplateModel):
 
 
 def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
-                           H: int | None = None) -> HMMSpikingModel:
+                           H: int | None = None,
+                           streaming: bool = False,
+                           blocks_per_call: int = 256) -> HMMSpikingModel:
     """Production decode: fully on-device parallel overlap-save with the
     ring engines (parallel/overlap_save.ring_overlap_save) — orders of
     magnitude faster than the sequential chunked path at matching labels.
+
+    streaming=True uses the host-driven block-batch driver instead
+    (overlap_save_decode_long): slightly lower steady-state throughput, but
+    the compiled program shape is (blocks_per_call, L+2H) — *independent of
+    the recording length* — so one compile serves any T (the one-shot jit
+    path compiles per T, which can take minutes for multi-M-sample programs
+    on remote-compile backends). Also bounds device memory for recordings
+    whose backpointers would not fit.
 
     On non-overlap topologies the reference's cumulative-score ll is also
     computed (block-parallel max-plus score replay,
@@ -211,9 +221,20 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
     y = np.asarray(y, dtype=np.float64)
     if H is None:
         H = max(4 * templates.K, 64)
-    x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
-                                   templates.sigma, L=L, H=H,
-                                   overlaps=templates.allow_overlaps)
+    if streaming:
+        from ..ops.ring_viterbi import ring_block_decoder
+        from ..parallel.overlap_save import overlap_save_decode_long
+
+        dec = ring_block_decoder(templates.lp, templates.mu, templates.sigma,
+                                 overlaps=templates.allow_overlaps)
+        in_idx, in_w, smu = templates.decode_tables(jnp.float32)
+        x, seam_ok = overlap_save_decode_long(
+            y, in_idx, in_w, smu, templates.sigma, L=L, H=H,
+            blocks_per_call=blocks_per_call, block_decoder=dec)
+    else:
+        x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
+                                       templates.sigma, L=L, H=H,
+                                       overlaps=templates.allow_overlaps)
     ll = float("nan")
     if not templates.allow_overlaps:
         from ..ops.ring_fb import ring_viterbi_path_ll

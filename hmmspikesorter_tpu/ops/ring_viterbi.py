@@ -335,15 +335,18 @@ def ring_block_decoder(lp, mu, sigma, *, overlaps: bool):
     """Batched windowed decoder for overlap_save_decode_long: returns a
     jitted callable (B, W) windows -> (B, W) int32 labels using the
     ring-structured engines (emission-only init per window)."""
+    from .ring_viterbi_ovn import ring_viterbi_ovn
+
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]
     if overlaps:
-        if N != 2:
-            raise ValueError("ring overlap engine supports N == 2")
-        one = lambda yy: ring_viterbi_ov2(yy, lp, mu, sigma,
-                                          silent_start=False,
-                                          with_ll=False)[0]
+        if N > 6:
+            raise ValueError("ring overlap engines support N <= 6")
+        engine = ring_viterbi_ov2 if N == 2 else ring_viterbi_ovn
+        one = lambda yy: engine(yy, lp, mu, sigma,
+                                silent_start=False,
+                                with_ll=False)[0]
     else:
         one = lambda yy: ring_viterbi_nov(yy, lp, mu, sigma,
                                           silent_start=False,

@@ -165,3 +165,12 @@ def test_fast_decode_exact_ll_non_overlap():
         assert fast.ll == pytest.approx(seq.ll, rel=1e-9)
     else:
         assert np.isfinite(fast.ll)
+
+
+def test_fast_decode_streaming_matches_oneshot():
+    tm, y, _ = _model_and_signal(K=20, T=8192, overlaps=True)
+    one = api.fit_spiking_model_fast(tm, y, L=1024, H=128)
+    stream = api.fit_spiking_model_fast(tm, y, L=1024, H=128,
+                                        streaming=True, blocks_per_call=4)
+    np.testing.assert_array_equal(stream.ml_seq, one.ml_seq)
+    assert stream.seam_ok.all()
