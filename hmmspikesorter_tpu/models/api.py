@@ -221,6 +221,8 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
     y = np.asarray(y, dtype=np.float64)
     if H is None:
         H = max(4 * templates.K, 64)
+    if streaming and len(y) < L + 2 * H:
+        streaming = False          # shorter than one window: decode one-shot
     if streaming:
         from ..ops.ring_viterbi import ring_block_decoder
         from ..parallel.overlap_save import overlap_save_decode_long
