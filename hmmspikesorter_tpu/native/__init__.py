@@ -8,6 +8,7 @@ no Julia runtime in the image) and as a fast host-side oracle.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -15,13 +16,23 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "ref_engine.cpp")
-_LIB = os.path.join(_DIR, "_ref_engine.so")
 
 _lib = None
 
 
-def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB]
+def _lib_path() -> str:
+    """Build products are keyed on a content hash of the source, so a stale
+    or foreign binary can never be loaded (checkout mtimes are arbitrary)."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"_ref_engine-{h}.so")
+
+
+def _build(lib_path: str) -> None:
+    # portable flags only: this is the measured CPU baseline and must build
+    # and run on any x86-64 checkout (-march=native binaries SIGILL on older
+    # microarchitectures)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", lib_path]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -29,10 +40,14 @@ def get_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        _build()
-    lib = ctypes.CDLL(_LIB)
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
+        _build(lib_path)
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        _build(lib_path)  # e.g. truncated artifact from an interrupted build
+        lib = ctypes.CDLL(lib_path)
     dp = ctypes.POINTER(ctypes.c_double)
     ip = ctypes.POINTER(ctypes.c_int32)
     lib.hmmss_viterbi.argtypes = [dp, ctypes.c_int64, ip, ip, dp,
