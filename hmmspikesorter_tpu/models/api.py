@@ -194,7 +194,8 @@ def _decoder_for(templates: HMMTemplateModel):
 def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
                            H: int | None = None,
                            streaming: bool = False,
-                           blocks_per_call: int = 256) -> HMMSpikingModel:
+                           blocks_per_call: int = 256,
+                           repair: bool = True) -> HMMSpikingModel:
     """Production decode: fully on-device parallel overlap-save with the
     ring engines (parallel/overlap_save.ring_overlap_save) — orders of
     magnitude faster than the sequential chunked path at matching labels.
@@ -207,11 +208,22 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
     on remote-compile backends). Also bounds device memory for recordings
     whose backpointers would not fit.
 
-    On non-overlap topologies the reference's cumulative-score ll is also
-    computed (block-parallel max-plus score replay,
-    ops/ring_fb.ring_viterbi_path_ll). On overlap topologies it would
-    require S^2 operators (infeasible at S ~ 10^3-10^4), so ll is NaN
-    there. Requires a ring-capable topology (templates.has_ring_engine).
+    The reference's cumulative-score ll (src/viterbi.jl:92-96) is computed
+    for every topology via the O(T) telescoped path score
+    (core/path_score.py) — along a backtrace path the T1 reads are prefix
+    sums of local transition+emission increments, so no S^2 operators are
+    needed even on overlap spaces. It equals the sequential engine's ll
+    whenever the labels agree; an unrepaired raw seam can make it -inf
+    (the path crosses an invalid transition — an honest signal).
+
+    repair=True (default) re-decodes any seam that found no common silence
+    over geometrically widening windows until a silence certificate exists
+    on both sides (parallel/seam_repair.py) — the analog of the reference
+    chunker's retract-arbitrarily-far protocol (src/fit.jl:24-35), so dense
+    spiking regions keep the exactness guarantee. The returned model's
+    `seam_ok` reflects the post-repair state; `seams_repaired` counts the
+    flagged seams. Requires a ring-capable topology
+    (templates.has_ring_engine).
     """
     from ..parallel.overlap_save import ring_overlap_save
 
@@ -229,7 +241,10 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
 
         dec = ring_block_decoder(templates.lp, templates.mu, templates.sigma,
                                  overlaps=templates.allow_overlaps)
-        in_idx, in_w, smu = templates.decode_tables(jnp.float32)
+        # tables at the default dtype so the streaming window dtype matches
+        # the one-shot path (f64 on CPU-x64, f32 on TPU) — a f32 window fed
+        # to the f64 ring decoder could flip labels near score ties
+        in_idx, in_w, smu = templates.decode_tables()
         x, seam_ok = overlap_save_decode_long(
             y, in_idx, in_w, smu, templates.sigma, L=L, H=H,
             blocks_per_call=blocks_per_call, block_decoder=dec)
@@ -237,16 +252,26 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
         x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
                                        templates.sigma, L=L, H=H,
                                        overlaps=templates.allow_overlaps)
-    ll = float("nan")
-    if not templates.allow_overlaps:
-        from ..ops.ring_fb import ring_viterbi_path_ll
+    from ..core.path_score import path_cumulative_ll
 
-        ll = float(ring_viterbi_path_ll(
-            jnp.asarray(y), jnp.asarray(templates.lp),
-            jnp.asarray(templates.mu), templates.sigma,
-            jnp.asarray(x, jnp.int32)))
-    model = HMMSpikingModel(templates, np.asarray(x), ll, y)
-    model.seam_ok = np.asarray(seam_ok)
+    x = np.asarray(x)
+    seam_ok = np.asarray(seam_ok)
+    n_repaired = 0
+    if repair and not seam_ok.all():
+        from ..parallel.seam_repair import make_window_decoder, repair_seams
+
+        dec = make_window_decoder(templates.lp, templates.mu,
+                                  templates.sigma,
+                                  overlaps=templates.allow_overlaps)
+        failed = (np.nonzero(~seam_ok)[0] + 1) * L
+        x, _ = repair_seams(y, x, failed, dec, H=H)
+        n_repaired = int((~seam_ok).sum())
+        seam_ok = np.ones_like(seam_ok)
+    ll = path_cumulative_ll(y, x, templates.state_space.states,
+                            templates.mu, templates.sigma, templates.lp)
+    model = HMMSpikingModel(templates, x, ll, y)
+    model.seam_ok = seam_ok
+    model.seams_repaired = n_repaired
     return model
 
 

@@ -76,6 +76,8 @@ def overlap_save_viterbi(y, in_idx, in_w, state_mu, sigma, *, L: int, H: int):
     Returns:
       x: (T,) labels; seam_ok: (B-1,) bool per interior seam.
     """
+    if L < 2 * H:
+        raise ValueError("need L >= 2H so seam cuts are monotone")
     dtype = state_mu.dtype
     y = y.astype(dtype)
     T = y.shape[0]
@@ -189,19 +191,19 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         raise ValueError("need L >= 2H so seam cuts are monotone")
     y = np.asarray(y)
     T = len(y)
-    Tp = -(-T // L) * L
-    ypad = np.pad(y, (0, Tp - T))          # tail pad decodes ~silent
-    B = Tp // L
+    Tp = -(-T // L) * L                    # seam grid; windows themselves
+    B = Tp // L                            # never extend past the real T
     W = L + 2 * H
-    if Tp < W:
+    if T < W:
         raise ValueError("signal shorter than one window; decode directly")
-    starts = np.clip(np.arange(B) * L - H, 0, Tp - W)
+    starts = np.clip(np.arange(B) * L - H, 0, T - W)
+    starts[-1] = T - W                     # real termination at T, not pad
     labels = np.empty((B, W), np.int32)
     dtype = np.dtype(state_mu.dtype)
     for c0 in range(0, B, blocks_per_call):
         c1 = min(c0 + blocks_per_call, B)
         idx = starts[c0:c1, None] + np.arange(W)[None, :]
-        y_win = ypad[idx].astype(dtype)
+        y_win = y[idx].astype(dtype)       # windows never touch the pad
         if c1 - c0 < blocks_per_call:      # keep one compiled shape
             padb = blocks_per_call - (c1 - c0)
             y_win = np.concatenate([y_win, np.zeros((padb, W), dtype)])
@@ -212,16 +214,18 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
                 jnp.asarray(y_win), None, in_idx, in_w, state_mu, sigma))
         labels[c0:c1] = out[: c1 - c0]
 
-    # host-side seam snap + stitch (same protocol as overlap_save_viterbi)
-    x = np.empty(Tp, np.int32)
+    # host-side seam snap + stitch (same protocol as overlap_save_viterbi);
+    # the last seam's window is clamped to the true signal end
+    x = np.empty(T, np.int32)
     seam_ok = np.ones(B - 1, bool)
     cuts = np.empty(B - 1, np.int64)
-    offs = np.arange(2 * H)
     for s in range(B - 1):
         p = (s + 1) * L
-        lw = labels[s, p - H - starts[s] : p + H - starts[s]]
-        rw = labels[s + 1, p - H - starts[s + 1] : p + H - starts[s + 1]]
+        lo, hi = p - H, min(p + H, T)
+        lw = labels[s, lo - starts[s] : hi - starts[s]]
+        rw = labels[s + 1, lo - starts[s + 1] : hi - starts[s + 1]]
         both = (lw == 0) & (rw == 0)
+        offs = np.arange(hi - lo)
         le = np.nonzero(both & (offs <= H))[0]
         gt = np.nonzero(both & (offs > H))[0]
         if len(le):
@@ -231,12 +235,12 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         else:
             q = H
             seam_ok[s] = False
-        cuts[s] = p - H + q
-    bounds = np.concatenate([[0], cuts, [Tp]])
+        cuts[s] = lo + q
+    bounds = np.concatenate([[0], cuts, [T]])
     for b in range(B):
         a, e = bounds[b], bounds[b + 1]
         x[a:e] = labels[b, a - starts[b] : e - starts[b]]
-    return x[:T], seam_ok
+    return x, seam_ok
 
 
 def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
@@ -292,11 +296,13 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
     # which dominates end-to-end wall time on tunneled backends
     out_dtype = jnp.int16 if S <= 32767 else jnp.int32
 
-    if B == 1:
-        ypad = jnp.pad(y, (0, Tp - T))
-        x = engine(ypad, lp, mu, sigma, silent_start=True,
+    if B == 1 or T < W:
+        # whole signal in one exact decode (no padding: fake trailing
+        # zeros would alter the argmax termination the reference takes
+        # at the true last sample, src/viterbi.jl:90)
+        x = engine(y, lp, mu, sigma, silent_start=True,
                    with_ll=False)[0]
-        return x[:T].astype(out_dtype), jnp.ones((0,), bool)
+        return x.astype(out_dtype), jnp.ones((0,), bool)
 
     # uniform windows: row b covers [b*L - H, b*L - H + W) of the
     # H-zero-padded signal == rows of one reshape plus a shifted head
@@ -305,20 +311,22 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
     y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
     # edge rows decode the *real* signal edges (reference-faithful init
     # at sample 0 and termination at T): row 0 = y[0:W], row B-1 =
-    # y[Tp-W:Tp]; their labels are rolled back into uniform coordinates
-    ypad = jnp.pad(y, (0, Tp - T))
-    y_win = y_win.at[0].set(jax.lax.dynamic_slice_in_dim(ypad, 0, W))
+    # y[T-W:T] — never the zero pad, whose fake silence would bias the
+    # backtrace of a spike straddling the true signal end; their labels
+    # are rolled back into uniform coordinates
+    y_win = y_win.at[0].set(jax.lax.dynamic_slice_in_dim(y, 0, W))
     y_win = y_win.at[B - 1].set(
-        jax.lax.dynamic_slice_in_dim(ypad, Tp - W, W))
+        jax.lax.dynamic_slice_in_dim(y, T - W, W))
     sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
 
     xb = jax.vmap(
         lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
                               with_ll=False)[0])(y_win, sil0)
 
-    # realign edge rows to uniform window coordinates
+    # realign edge rows to uniform window coordinates (row B-1's uniform
+    # start is Tp - L - H but it decoded [T - W, T))
     xb = xb.at[0].set(jnp.roll(xb[0], H))
-    xb = xb.at[B - 1].set(jnp.roll(xb[B - 1], -H))
+    xb = xb.at[B - 1].set(jnp.roll(xb[B - 1], T - Tp - H))
 
     # seam s at p=(s+1)L, window [p-H, p+H): static slices in uniform
     # coordinates
@@ -326,6 +334,11 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
     right = xb[1:, : 2 * H]
     both_silent = (left == 0) & (right == 0)
     offs = jnp.arange(2 * H)
+    # positions at or past the true signal end hold rolled-in garbage on
+    # the last row — never treat them as silence certificates
+    p_all = (jnp.arange(B - 1) + 1) * L
+    abs_pos = p_all[:, None] - H + offs[None, :]
+    both_silent = both_silent & (abs_pos < T)
     le_mask = both_silent & (offs[None, :] <= H)
     gt_mask = both_silent & (offs[None, :] > H)
     has_le = jnp.any(le_mask, axis=1)

@@ -87,4 +87,6 @@ def test_sort_data_fast_engine(tmp_path):
                              engine="fast")
     agree = (out_ref["mlseq"] == out_fast["mlseq"]).mean()
     assert agree > 0.99
-    assert np.isnan(out_fast["ll"])
+    # the fast engine fills the reference's numeric ll contract (the O(T)
+    # telescoped path score), even on the CLI's overlap topology
+    assert np.isfinite(out_fast["ll"])

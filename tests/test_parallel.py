@@ -120,3 +120,34 @@ def test_overlap_save_seam_fallback_no_silence():
     assert x.shape == (4096,)
     assert not seam_ok.any()
     assert (x == 1).all()
+
+
+def test_tail_edge_bitmatch_ragged_T():
+    """A spike straddling the true signal end must decode identically to
+    the sequential engine: the last overlap-save window ends at T, never at
+    the zero-padded grid end (whose fake silence biased the backtrace —
+    round-1 0.075% tail disagreement, VERDICT weakness #5)."""
+    from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                               fit_spiking_model,
+                                               fit_spiking_model_fast)
+
+    K, sigma = 20, 0.2
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    rng = np.random.default_rng(11)
+    T = 5000                              # not a multiple of L
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    y = np.asarray(y, float)
+    y[T - 10 :] += temps[1:11, 0]         # spike onset 10 samples before T
+    tm = HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log(pp),
+                          allow_overlaps=True)
+    seq = fit_spiking_model(tm, y)
+    assert np.asarray(seq.ml_seq)[-1] != 0    # it really ends mid-spike
+    one = fit_spiking_model_fast(tm, y, L=2048, H=256)
+    stream = fit_spiking_model_fast(tm, y, L=2048, H=256, streaming=True,
+                                    blocks_per_call=2)
+    np.testing.assert_array_equal(np.asarray(one.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))
+    np.testing.assert_array_equal(np.asarray(stream.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))

@@ -1,0 +1,91 @@
+"""Seam repair (parallel/seam_repair.py): dense spiking across an
+overlap-save seam must not break exactness vs the sequential engine.
+
+Adversarial construction: two neurons fire back-to-back with staggered
+phases around a block seam, so no all-silent sample exists anywhere near it
+— the base protocol's +-H seam search must fail (seam_ok=False), and the
+widening-window repair must restore exact agreement with the whole-signal
+sequential decode (VERDICT round-1, item 1b)."""
+
+import numpy as np
+import pytest
+
+from hmmspikesorter_tpu.data.synthetic import create_spike_template
+from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                           fit_spiking_model,
+                                           fit_spiking_model_fast)
+
+
+def _dense_signal(T, K, temps, seam, halfwidth, rng, noise=0.05):
+    """Noise floor + back-to-back spikes of both neurons (phases staggered
+    by K//2) covering [seam - halfwidth, seam + halfwidth): the combined
+    state is never all-silent there."""
+    y = rng.normal(0.0, noise, T)
+    for n, phase in ((0, 0), (1, K // 2)):
+        t = seam - halfwidth + phase
+        while t < seam + halfwidth:
+            end = min(t + K - 1, T)
+            y[t:end] += temps[1 : 1 + (end - t), n]
+            t += K                       # exit to silence, re-onset next step
+    return y
+
+
+@pytest.fixture(scope="module")
+def setup():
+    K = 20
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    lp = np.log(np.array([0.003, 0.001]))
+    tm = HMMTemplateModel(mu=temps, sigma=0.05, lp=lp, allow_overlaps=True)
+    return K, temps, tm
+
+
+def test_dense_seam_flagged_without_repair(setup):
+    K, temps, tm = setup
+    rng = np.random.default_rng(7)
+    T, L, H = 8192, 2048, 256
+    y = _dense_signal(T, K, temps, seam=2048, halfwidth=800, rng=rng)
+    m = fit_spiking_model_fast(tm, y, L=L, H=H, repair=False)
+    assert not np.asarray(m.seam_ok).all()
+
+
+def test_repair_restores_exact_sequential_labels(setup):
+    K, temps, tm = setup
+    rng = np.random.default_rng(7)
+    T, L, H = 8192, 2048, 256
+    y = _dense_signal(T, K, temps, seam=2048, halfwidth=800, rng=rng)
+    seq = fit_spiking_model(tm, y)
+    fast = fit_spiking_model_fast(tm, y, L=L, H=H, repair=True)
+    assert np.asarray(fast.seam_ok).all()
+    assert fast.seams_repaired >= 1
+    np.testing.assert_array_equal(np.asarray(fast.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))
+    assert np.isfinite(fast.ll)
+    assert fast.ll == pytest.approx(seq.ll, rel=1e-12)
+
+
+def test_repair_degenerates_to_whole_signal_decode(setup):
+    # spiking dense over the whole recording: every widening round fails
+    # and the repair falls back to the exact whole-signal decode
+    K, temps, tm = setup
+    rng = np.random.default_rng(9)
+    T, L, H = 4096, 1024, 128
+    y = _dense_signal(T, K, temps, seam=T // 2, halfwidth=T // 2, rng=rng)
+    seq = fit_spiking_model(tm, y)
+    fast = fit_spiking_model_fast(tm, y, L=L, H=H, repair=True)
+    np.testing.assert_array_equal(np.asarray(fast.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))
+    assert fast.ll == pytest.approx(seq.ll, rel=1e-12)
+
+
+def test_streaming_path_repairs_too(setup):
+    K, temps, tm = setup
+    rng = np.random.default_rng(7)
+    T, L, H = 16384, 2048, 256
+    y = _dense_signal(T, K, temps, seam=4096, halfwidth=700, rng=rng)
+    seq = fit_spiking_model(tm, y)
+    fast = fit_spiking_model_fast(tm, y, L=L, H=H, streaming=True,
+                                  blocks_per_call=4, repair=True)
+    assert np.asarray(fast.seam_ok).all()
+    np.testing.assert_array_equal(np.asarray(fast.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))
