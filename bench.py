@@ -113,6 +113,23 @@ def main():
     np.asarray(l)
     bw_iter_per_s = iters / (time.perf_counter() - t0)
 
+    # native single-thread EM baseline (reference loop semantics,
+    # ref_engine.cpp hmmss_em_step): timed on a slice and scaled — EM cost
+    # is linear in T (three O(T*E) sweeps), same protocol as the Viterbi
+    # baseline above
+    try:
+        Te = 1 << 17
+        cpu_em = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            native.em_step(y[:Te], ss_tr, lp, temps, sigma)
+            cpu_em = min(cpu_em, time.perf_counter() - t0)
+        bw_baseline_iter_per_s = 1.0 / (cpu_em * (Tb / Te))
+        bw_vs_baseline = bw_iter_per_s / bw_baseline_iter_per_s
+    except Exception:
+        bw_baseline_iter_per_s = float("nan")
+        bw_vs_baseline = None
+
     print(json.dumps({
         "metric": "viterbi_decode_samples_per_s_per_chip",
         "value": round(tpu_sps, 1),
@@ -123,6 +140,11 @@ def main():
                                        if cpu_sps == cpu_sps else None),
         "label_agreement_vs_reference_semantics": round(agree, 6),
         "bw_iter_per_s": round(bw_iter_per_s, 3),
+        "bw_baseline_iter_per_s": (round(bw_baseline_iter_per_s, 4)
+                                   if bw_baseline_iter_per_s ==
+                                   bw_baseline_iter_per_s else None),
+        "bw_vs_baseline": (round(bw_vs_baseline, 2)
+                           if bw_vs_baseline is not None else None),
         "bw_config": f"N={N} K={K} non-overlap T=2^19 blocked",
         "seams_ok_frac": float(np.mean(seam_ok)),
         "config": "N=2 K=60 overlaps S=3600 T=2^21 f32 L=8192 H=256 ring",

@@ -8,5 +8,7 @@ Public surface:
 
 from .models import api  # noqa: F401
 from .io import extraction  # noqa: F401
+from .config import (Config, DecodeConfig, MeshConfig, ModelConfig,  # noqa: F401
+                     TrainConfig)
 
 __version__ = "0.1.0"

@@ -69,28 +69,43 @@ def load_data_file(datafile: str) -> np.ndarray:
             ds = ff["highpassdata/data/data"]
         data = np.asarray(ds)
     if data.ndim == 2:
-        # Julia reads (T, ncols) and takes column 1; the same dataset is
-        # (ncols, T) through h5py — pick the orientation with T long.
-        data = data[0] if data.shape[0] < data.shape[1] else data[:, 0]
+        # The reference reads a Julia/MATLAB (T, ncols) column-major matrix
+        # and takes column 1 (hmmsort.jl:66-78). The same bytes appear
+        # through h5py with the dims reversed, (ncols, T), so column 1 ==
+        # row 0 — unconditionally: a long-axis guess would silently pick
+        # the wrong orientation on a recording with more channels than
+        # samples.
+        data = data[0]
     return np.asarray(data, dtype=np.float64)
 
 
 def sort_data(inputfile: str, datafile: str, outputfile: str, *,
-              dosave: bool = True, max_templates: int = MAX_TEMPLATES,
-              chunksize: int = CHUNKSIZE, progress=None,
-              engine: str = "reference") -> dict:
+              dosave: bool = True, max_templates: int | None = None,
+              chunksize: int | None = None, progress=None,
+              engine: str | None = None, config=None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
     protocol parity, including the cumulative ll in the output).
     engine="fast": the on-device parallel overlap-save decode (orders of
-    magnitude faster on TPU; `ll` in the output is NaN — it is a
-    sequential-path quantity).
+    magnitude faster on TPU), with automatic seam repair and the same
+    finite cumulative-score ll in the output (core/path_score.py).
+
+    A config.Config supplies defaults for anything not passed explicitly.
     """
     import scipy.io
 
+    from .config import UNSET, _section, pick
     from .io.extraction import unroll_mlseq
     from .models.api import fit_spiking_model, fit_spiking_model_fast
+
+    dc = _section(config, "decode")
+    engine = pick(UNSET if engine is None else engine, dc("engine"),
+                  "reference")
+    chunksize = pick(UNSET if chunksize is None else chunksize,
+                     dc("chunksize"), CHUNKSIZE)
+    max_templates = pick(UNSET if max_templates is None else max_templates,
+                         dc("max_templates"), MAX_TEMPLATES)
 
     print("Loading templates...")
     tm = load_template_file(inputfile, max_templates)
@@ -103,7 +118,8 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     if engine == "fast":
         # streaming: one fixed-shape compiled program serves any recording
         # length (a per-T one-shot program can compile for minutes)
-        model = fit_spiking_model_fast(tm, data, streaming=True)
+        model = fit_spiking_model_fast(tm, data, streaming=True,
+                                       config=config)
     else:
         model = fit_spiking_model(tm, data, chunksize=chunksize,
                                   progress=progress)
@@ -169,8 +185,11 @@ def main(argv=None) -> int:
     if not (os.path.isfile(args.inputfile) and os.path.isfile(args.datafile)):
         print("Both inputfile and data file must exist")
         return 23                               # reference hmmsort.jl:113
-    sort_data(args.inputfile, args.datafile, args.outputfile,
-              chunksize=args.chunksize, engine=args.engine)
+    from .config import Config, DecodeConfig
+
+    cfg = Config(decode=DecodeConfig(engine=args.engine,
+                                     chunksize=args.chunksize))
+    sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg)
     return 0
 
 

@@ -20,6 +20,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import UNSET, _section, pick
 from ..core.emission import state_means
 from ..core.reconstruction import reconstruct_signal
 from ..core.state_space import StateSpace, build_state_space
@@ -90,17 +91,25 @@ class HMMSpikingModel:
 
 def fit_template_model(
     y,
-    n_neurons: int = 3,
-    K: int = 60,
-    nsteps: int = 10,
+    n_neurons: int | None = None,
+    K: int | None = None,
+    nsteps: int | None = None,
     *,
     rng: np.random.Generator | None = None,
     verbose: int = 0,
+    config=None,
     **kwargs,
 ) -> HMMTemplateModel:
-    """EM-train a template model (reference fit.jl:44-47 -> train_model)."""
+    """EM-train a template model (reference fit.jl:44-47 -> train_model).
+
+    A config.Config supplies defaults for anything not passed explicitly
+    (this entry point's historical nsteps default is 10, vs train_model's
+    reference 8 — preserved when neither kwarg nor config specify it)."""
+    if nsteps is None and (config is None or config.train is None):
+        nsteps = 10
     res: TrainResult = train_model(
-        y, n_neurons, K, nsteps, rng=rng, verbose=verbose, **kwargs)
+        y, n_neurons, K, nsteps, rng=rng, verbose=verbose, config=config,
+        **kwargs)
     return HMMTemplateModel(mu=res.mu, sigma=res.sigma, lp=res.lp, pi=res.pi)
 
 
@@ -119,11 +128,15 @@ def refit_template_model(model: HMMTemplateModel, y, nsteps: int,
 def fit_spiking_model(
     templates: HMMTemplateModel,
     y,
-    chunksize: int | None = None,
+    chunksize=UNSET,
     *,
     progress=None,
+    config=None,
 ) -> HMMSpikingModel:
     """Viterbi MAP decode (reference fit.jl:6-9; chunked: fit.jl:11-42).
+
+    chunksize resolution: explicit kwarg (None = whole-signal) > a
+    config.Config's decode.chunksize > whole-signal.
 
     The chunked variant reproduces the reference's silence-snapping boundary
     protocol exactly: after decoding a chunk, the left edge skips any
@@ -132,6 +145,8 @@ def fit_spiking_model(
     all-silent state. `ll` accumulates whole-chunk scores (including
     retracted tails) — a reference quirk we reproduce (fit.jl:37).
     """
+    dc = _section(config, "decode")
+    chunksize = pick(chunksize, dc("chunksize"), None)
     y = np.asarray(y, dtype=np.float64)
     decode = _decoder_for(templates)
     if chunksize is None or chunksize >= len(y):
@@ -191,11 +206,13 @@ def _decoder_for(templates: HMMTemplateModel):
                                      sigma)
 
 
-def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
+def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
+                           L: int | None = None,
                            H: int | None = None,
-                           streaming: bool = False,
-                           blocks_per_call: int = 256,
-                           repair: bool = True) -> HMMSpikingModel:
+                           streaming: bool | None = None,
+                           blocks_per_call: int | None = None,
+                           repair: bool | None = None,
+                           config=None) -> HMMSpikingModel:
     """Production decode: fully on-device parallel overlap-save with the
     ring engines (parallel/overlap_save.ring_overlap_save) — orders of
     magnitude faster than the sequential chunked path at matching labels.
@@ -226,6 +243,17 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *, L: int = 8192,
     (templates.has_ring_engine).
     """
     from ..parallel.overlap_save import ring_overlap_save
+
+    dc = _section(config, "decode")
+
+    def arg(v, field, default):
+        return pick(UNSET if v is None else v, dc(field), default)
+
+    L = arg(L, "L", 8192)
+    H = arg(H, "H", None)
+    streaming = arg(streaming, "streaming", False)
+    blocks_per_call = arg(blocks_per_call, "blocks_per_call", 256)
+    repair = arg(repair, "repair", True)
 
     if not templates.has_ring_engine:
         raise ValueError("fast decode requires non-overlap or N<=6 overlap "

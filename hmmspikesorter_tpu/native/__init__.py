@@ -57,6 +57,10 @@ def get_lib() -> ctypes.CDLL:
                                   ctypes.c_int64, dp, ctypes.c_int64,
                                   ctypes.c_double, dp]
     lib.hmmss_backward.argtypes = lib.hmmss_forward.argtypes
+    lib.hmmss_em_step.argtypes = [dp, ctypes.c_int64, ip, ip, dp,
+                                  ctypes.c_int64, dp, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_double, dp, dp, dp, dp]
     _lib = lib
     return lib
 
@@ -109,6 +113,33 @@ def _fb(fn_name, y, ss, lp, mu, sigma):
         smu.ctypes.data_as(dp), ss.nstates, float(sigma),
         out.ctypes.data_as(dp))
     return out
+
+
+def em_step(y, ss, lp, mu, sigma):
+    """One reference-semantics Baum-Welch iteration (src/baumwelch.jl:205-309),
+    single thread — the measured BW iter/s CPU baseline.
+
+    Returns (new_lp (N,), new_mu (K, N), new_sigma, ll)."""
+    lib = get_lib()
+    y = _as(y, np.float64)
+    mu = _as(mu, np.float64)
+    K, N = mu.shape
+    efrom, eto, ew = _edge_args(ss, lp)
+    smu = _as(mu[ss.states, np.arange(N)[:, None]].sum(axis=0), np.float64)
+    new_lp = np.empty(N, np.float64)
+    new_mu = np.empty((K, N), np.float64)
+    new_sigma = ctypes.c_double()
+    ll = ctypes.c_double()
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.hmmss_em_step(
+        y.ctypes.data_as(dp), len(y),
+        efrom.ctypes.data_as(ip), eto.ctypes.data_as(ip),
+        ew.ctypes.data_as(dp), len(ew),
+        smu.ctypes.data_as(dp), ss.nstates, N, K, float(sigma),
+        new_lp.ctypes.data_as(dp), new_mu.ctypes.data_as(dp),
+        ctypes.byref(new_sigma), ctypes.byref(ll))
+    return new_lp, new_mu, new_sigma.value, ll.value
 
 
 def forward(y, ss, lp, mu, sigma):

@@ -13,6 +13,9 @@
 //             list, cumulative-score ll)
 //   forward:  src/baumwelch.jl:25-51 (log-domain alpha over sparse edges)
 //   backward: src/baumwelch.jl:73-98
+//   em_step:  src/baumwelch.jl:205-309 (gamma posteriors; xi over the
+//             silent state's out-edges only; mu from single-active states;
+//             one global sigma) — the measured Baum-Welch baseline
 //
 // Built on demand by hmmspikesorter_tpu/native/__init__.py via g++.
 
@@ -144,6 +147,103 @@ void hmmss_backward(const double* y, int64_t T, const int32_t* efrom,
       bt[j] = logsumexp2(bt[j], bn[k] + ew[e] + q[k]);
     }
   }
+}
+
+// One full Baum-Welch EM iteration with the reference's live-update
+// semantics (src/baumwelch.jl:205-309), single thread.
+//
+// Non-overlap state layout assumed (the reference trains with
+// resolve_overlaps=false, src/baumwelch.jl:311): state 0 = all-silent,
+// state 1 + n*(K-1) + (k-1) = neuron n at ring position k.
+//
+// Inputs: y[T]; edge list (efrom, eto, ew)[E]; smu[S] means of the current
+// templates; N neurons, K states/neuron (S = 1 + N*(K-1)); sigma.
+// Outputs: new_lp[N] onset log-probs, new_mu[K*N] (row-major, row 0 = 0),
+// *new_sigma, *ll (= logsumexp(alpha[T-1]), the convergence metric).
+void hmmss_em_step(const double* y, int64_t T, const int32_t* efrom,
+                   const int32_t* eto, const double* ew, int64_t E,
+                   const double* smu, int64_t S, int64_t N, int64_t K,
+                   double sigma, double* new_lp, double* new_mu,
+                   double* new_sigma, double* ll_out) {
+  const double lsig = std::log(sigma);
+  const double inv2s2 = 1.0 / (2.0 * sigma * sigma);
+
+  std::vector<double> alpha(static_cast<size_t>(T) * S);
+  std::vector<double> beta(static_cast<size_t>(T) * S);
+  hmmss_forward(y, T, efrom, eto, ew, E, smu, S, sigma, alpha.data());
+  hmmss_backward(y, T, efrom, eto, ew, E, smu, S, sigma, beta.data());
+
+  double ll = -INFINITY;
+  for (int64_t j = 0; j < S; ++j)
+    ll = logsumexp2(ll, alpha[static_cast<size_t>(T - 1) * S + j]);
+  *ll_out = ll;
+
+  // gamma[t,j] = alpha + beta - logZ_t (baumwelch.jl:216-224); consumed
+  // streaming per t for the mu/sigma statistics
+  const int64_t nbody = N * (K - 1);
+  std::vector<double> num(nbody, 0.0), den(nbody, 0.0);
+  std::vector<double> g1(S, 0.0), gy(S, 0.0), gy2(S, 0.0);
+  std::vector<double> logz(T);
+  for (int64_t t = 0; t < T; ++t) {
+    const double* at = &alpha[static_cast<size_t>(t) * S];
+    const double* bt = &beta[static_cast<size_t>(t) * S];
+    double z = -INFINITY;
+    for (int64_t j = 0; j < S; ++j) z = logsumexp2(z, at[j] + bt[j]);
+    logz[t] = z;
+    const double v = y[t];
+    for (int64_t j = 0; j < S; ++j) {
+      const double g = std::exp(at[j] + bt[j] - z);
+      g1[j] += g;
+      gy[j] += g * v;
+      gy2[j] += g * v * v;
+    }
+  }
+  // mu over single-active states only (baumwelch.jl:266-287), row 0 = 0
+  for (int64_t n = 0; n < N; ++n) new_mu[n] = 0.0;
+  for (int64_t n = 0; n < N; ++n)
+    for (int64_t k = 1; k < K; ++k) {
+      const int64_t s = 1 + n * (K - 1) + (k - 1);
+      new_mu[k * N + n] = gy[s] / g1[s];
+    }
+
+  // xi over the silent state's out-edges only (baumwelch.jl:226-264):
+  // xi_e(t) = alpha[t,0] + w_e + beta[t+1,tgt] + em[t+1,tgt] - logZ_{t+1};
+  // new lp = lse_t(xi) - lse_t(gamma[:,0]) with the 0->0 self-loop dropped
+  double bb = -INFINITY;
+  for (int64_t t = 0; t < T - 1; ++t)
+    bb = logsumexp2(bb, alpha[static_cast<size_t>(t) * S] +
+                            beta[static_cast<size_t>(t) * S] - logz[t]);
+  std::vector<double> xx(N, -INFINITY);
+  for (int64_t e = 0; e < E; ++e) {
+    if (efrom[e] != 0) continue;
+    const int32_t tgt = eto[e];
+    if (tgt == 0) continue;                  // xb[2:end]: drop the self-loop
+    const int64_t n = (tgt - 1) / (K - 1);   // onset target = ring pos 1
+    double acc = -INFINITY;
+    for (int64_t t = 0; t < T - 1; ++t) {
+      const double d = y[t + 1] - smu[tgt];
+      const double em = -kHalfLog2Pi - lsig - d * d * inv2s2;
+      acc = logsumexp2(acc, alpha[static_cast<size_t>(t) * S] + ew[e] +
+                                beta[static_cast<size_t>(t + 1) * S + tgt] +
+                                em - logz[t + 1]);
+    }
+    xx[n] = acc;
+  }
+  for (int64_t n = 0; n < N; ++n) new_lp[n] = xx[n] - bb;
+
+  // one global sigma from all states against the *new* means
+  // (baumwelch.jl:294-307)
+  std::vector<double> smu2(S, 0.0);
+  for (int64_t j = 0; j < S; ++j) smu2[j] = 0.0;
+  for (int64_t n = 0; n < N; ++n)
+    for (int64_t k = 1; k < K; ++k)
+      smu2[1 + n * (K - 1) + (k - 1)] = new_mu[k * N + n];
+  double x2 = 0.0, qq = 0.0;
+  for (int64_t j = 0; j < S; ++j) {
+    x2 += gy2[j] - 2.0 * smu2[j] * gy[j] + smu2[j] * smu2[j] * g1[j];
+    qq += g1[j];
+  }
+  *new_sigma = std::sqrt(x2 / qq);
 }
 
 }  // extern "C"

@@ -24,10 +24,22 @@ import time
 import numpy as np
 
 
-def make_mesh(time_shards: int | None = None, channel_shards: int | None = None):
-    """Build a (channel, time) mesh over all visible devices."""
+def make_mesh(time_shards: int | None = None,
+              channel_shards: int | None = None, *, config=None):
+    """Build a (channel, time) mesh over all visible devices.
+
+    A config.Config's mesh section supplies shard counts not passed
+    explicitly (SURVEY.md §5.6)."""
     import jax
     from jax.sharding import Mesh
+
+    from ..config import UNSET, _section
+
+    mc = _section(config, "mesh")
+    if time_shards is None and mc("time_shards") not in (UNSET, None):
+        time_shards = mc("time_shards")
+    if channel_shards is None and mc("channel_shards") not in (UNSET, None):
+        channel_shards = mc("channel_shards")
 
     devs = np.array(jax.devices())
     n = len(devs)

@@ -311,27 +311,49 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
 
 def train_model(
     y,
-    n_neurons: int = 3,
-    K: int = 60,
-    nsteps: int = 8,
+    n_neurons=None,
+    K=None,
+    nsteps=None,
     *,
     p0: float | None = None,
     rng: np.random.Generator | None = None,
     dtype=jnp.float64,
     verbose: int = 0,
     callback=None,
-    condense_alpha: float = 0.05,
-    sparse_lp0: float = -70.0,
-    small_alpha: float = 0.05,
+    condense_alpha=None,
+    sparse_lp0=None,
+    small_alpha=None,
+    fb_mode: str | None = None,
     metrics=None,
     checkpoint_dir: str | None = None,
+    config=None,
 ) -> TrainResult:
     """Full training driver (reference src/baumwelch.jl:311-354):
 
     nsteps EM iterations -> condense (merge duplicates, chi^2 alpha=0.05) ->
     remove_sparse (onset lp <= -70) -> remove_small (template energy vs
     chi^2(K-1) noise) -> nsteps//2 more EM iterations.
+
+    `config` (a config.Config) supplies defaults for any kwarg not passed
+    explicitly (SURVEY.md §5.6); None means "not passed" for every kwarg
+    here (p0=None already meant "derive the reference default").
     """
+    from ..config import UNSET, _section, pick
+
+    mc, tc = _section(config, "model"), _section(config, "train")
+
+    def arg(v, cfg_get, field, default):
+        return pick(UNSET if v is None else v, cfg_get(field), default)
+
+    n_neurons = arg(n_neurons, mc, "n_neurons", 3)
+    K = arg(K, mc, "K", 60)
+    nsteps = arg(nsteps, tc, "nsteps", 8)
+    p0 = arg(p0, tc, "p0", None)
+    condense_alpha = arg(condense_alpha, tc, "condense_alpha", 0.05)
+    sparse_lp0 = arg(sparse_lp0, tc, "sparse_lp0", -70.0)
+    small_alpha = arg(small_alpha, tc, "small_alpha", 0.05)
+    fb_mode = arg(fb_mode, tc, "fb_mode", None)
+
     if rng is None:
         rng = np.random.default_rng()
     y = np.asarray(y, dtype=np.float64)
@@ -345,7 +367,7 @@ def train_model(
     lp, pi, mu, sigma, lls = _em_phase(
         y, lp, mu, sigma, nsteps, K, dtype=dtype, verbose=verbose,
         callback=callback, metrics=metrics, checkpoint_dir=checkpoint_dir,
-        phase="em1")
+        phase="em1", fb_mode=fb_mode)
     ll_hist += lls
 
     # --- template surgery (host-side, reference baumwelch.jl:338-348)
@@ -364,7 +386,8 @@ def train_model(
 
     lp, pi, mu, sigma, lls = _em_phase(
         y, lp, mu, sigma, nsteps // 2, K, dtype=dtype, verbose=verbose,
-        metrics=metrics, checkpoint_dir=checkpoint_dir, phase="em2")
+        metrics=metrics, checkpoint_dir=checkpoint_dir, phase="em2",
+        fb_mode=fb_mode)
     ll_hist += lls
 
     return TrainResult(lp=lp, pi=pi, mu=mu, sigma=sigma,

@@ -1,0 +1,154 @@
+"""TPU-backend parity lane (VERDICT round-1, item 3).
+
+The pytest suite deliberately runs on a virtual CPU mesh with float64
+(tests/conftest.py) so parity against the f64 oracle is exact. This script
+is the complementary lane: it executes the core bit-match subset on the
+*real TPU backend* (f32) and records a JSON artifact per round:
+
+  * full-T (2^21) production decode: on-device ring overlap-save vs the
+    native C++ reference-semantics engine — label agreement over ALL
+    samples (bench.py only checks a 2^17 slice);
+  * engine cross-checks on the TPU backend: ring vs gather-table scan,
+    one-shot vs streaming overlap-save;
+  * one EM step (f32, blocked operators) vs the native f64 reference EM —
+    relative parameter deltas at f32 tolerance;
+  * the fast path's telescoped ll vs the native engine's cumulative ll.
+
+Run (serially with any other TPU process — the chip is single-tenant):
+
+    python scripts/tpu_parity.py --out TPU_PARITY_r02.json
+
+Writes {"skipped": true, ...} when no TPU backend is available, so CI on
+CPU-only hosts stays green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TPU_PARITY.json")
+    ap.add_argument("--log2T", type=int, default=21)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    record: dict = {"device": str(dev), "platform": dev.platform,
+                    "time": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    if dev.platform == "cpu":
+        record["skipped"] = True
+        record["reason"] = "no TPU backend available"
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps(record))
+        return 0
+    record["skipped"] = False
+
+    from hmmspikesorter_tpu import native
+    from hmmspikesorter_tpu.core.emission import state_means
+    from hmmspikesorter_tpu.core.path_score import path_cumulative_ll
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.data.synthetic import (create_signal_fast,
+                                                   create_spike_template)
+    from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                               fit_spiking_model_fast)
+    from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
+
+    N, K, sigma = 2, 60, 0.3
+    T = 1 << args.log2T
+    rng = np.random.default_rng(1234)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.003, 0.001])
+    y, _ = create_signal_fast(T, sigma, pp, temps, rng=rng)
+    lp = np.log(pp)
+    ss_ov = build_state_space(N, K, True)
+
+    # --- 1. full-T production decode vs native reference semantics
+    x_tpu = np.asarray(ring_overlap_save(
+        jnp.asarray(y, jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps, jnp.float32), sigma, L=8192, H=256,
+        overlaps=True)[0])
+    t0 = time.perf_counter()
+    x_nat, ll_nat = native.viterbi(y, ss_ov, lp, temps, sigma)
+    record["native_full_T_seconds"] = round(time.perf_counter() - t0, 1)
+    agree = float((x_tpu == x_nat).mean())
+    record["full_T"] = T
+    record["agreement_ring_overlap_save_vs_native_full_T"] = agree
+    ndis = int((x_tpu != x_nat).sum())
+    record["n_disagreements"] = ndis
+    print(f"full-T agreement: {agree} ({ndis} disagreements)", flush=True)
+
+    # --- 2. fast-path ll (telescoped path score on the TPU labels) vs the
+    # native engine's cumulative ll; equal when the labels agree
+    ll_tpu_path = path_cumulative_ll(y, x_tpu, ss_ov.states, temps, sigma, lp)
+    record["ll_native"] = ll_nat
+    record["ll_fast_path_score"] = ll_tpu_path
+    record["ll_rel_diff"] = abs(ll_tpu_path - ll_nat) / abs(ll_nat)
+
+    # --- 3. ring vs gather-table engine on the TPU backend (2^17 slice:
+    # the gather engine's scalar-loop lowering is orders slower on TPU)
+    from hmmspikesorter_tpu.core.viterbi import viterbi_decode
+
+    Ts = 1 << 17
+    in_idx, in_w = ss_ov.in_table(lp)
+    smu = state_means(jnp.asarray(ss_ov.states),
+                      jnp.asarray(temps, jnp.float32))
+    xg, _ = viterbi_decode(jnp.asarray(y[:Ts], jnp.float32),
+                           jnp.asarray(in_idx),
+                           jnp.asarray(in_w, jnp.float32), smu, sigma)
+    from hmmspikesorter_tpu.ops.ring_viterbi import ring_viterbi_ov2
+
+    xr, _ = ring_viterbi_ov2(jnp.asarray(y[:Ts], jnp.float32),
+                             jnp.asarray(lp, jnp.float32),
+                             jnp.asarray(temps, jnp.float32), sigma,
+                             with_ll=False)
+    record["agreement_gather_vs_ring_tpu_2e17"] = float(
+        (np.asarray(xg) == np.asarray(xr)).mean())
+
+    # --- 4. one-shot vs streaming overlap-save on TPU
+    tm = HMMTemplateModel(mu=temps, sigma=sigma, lp=lp, allow_overlaps=True)
+    ms = fit_spiking_model_fast(tm, y[: 1 << 19], L=8192, H=256,
+                                streaming=True, blocks_per_call=32)
+    mo = fit_spiking_model_fast(tm, y[: 1 << 19], L=8192, H=256)
+    record["agreement_streaming_vs_oneshot_tpu_2e19"] = float(
+        (np.asarray(ms.ml_seq) == np.asarray(mo.ml_seq)).mean())
+
+    # --- 5. EM step f32 blocked on TPU vs native f64 reference EM
+    from hmmspikesorter_tpu.train.em import EMTables, em_step
+
+    Te = 1 << 17
+    ss_tr = build_state_space(N, K, False)
+    tables = EMTables.build(ss_tr)
+    lp_j, _, mu_j, sg_j, ll_j = em_step(
+        jnp.asarray(y[:Te], jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps, jnp.float32), jnp.float32(sigma), tables, K=K,
+        fb_mode="blocked")
+    lp_n, mu_n, sg_n, ll_n = native.em_step(y[:Te], ss_tr, lp, temps, sigma)
+    record["em_lp_max_abs_diff"] = float(
+        np.abs(np.asarray(lp_j) - lp_n).max())
+    record["em_mu_max_abs_diff"] = float(
+        np.abs(np.asarray(mu_j) - mu_n).max())
+    record["em_sigma_rel_diff"] = abs(float(sg_j) - sg_n) / sg_n
+    record["em_ll_rel_diff"] = abs(float(ll_j) - ll_n) / abs(ll_n)
+
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -90,3 +90,38 @@ def test_sort_data_fast_engine(tmp_path):
     # the fast engine fills the reference's numeric ll contract (the O(T)
     # telescoped path score), even on the CLI's overlap topology
     assert np.isfinite(out_fast["ll"])
+
+
+def test_load_data_2d_wide_short_convention(tmp_path):
+    """A recording with more channels than samples: the Julia (T, ncols)
+    column-major convention means h5py shape (ncols, T) and channel 1 ==
+    row 0. The old long-axis heuristic picked the wrong orientation here."""
+    rng = np.random.default_rng(0)
+    T, ncols = 50, 100
+    julia_cols = rng.normal(size=(ncols, T))      # h5py view of (T, ncols)
+    dfile = str(tmp_path / "wide.h5")
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = julia_cols
+    data = cli.load_data_file(dfile)
+    np.testing.assert_allclose(data, julia_cols[0])
+    assert data.shape == (T,)
+
+
+def test_load_data_matlab_v73_style_fixture(tmp_path):
+    """A file laid out the way MATLAB -v7.3 / Julia-HDF5 write it: column-
+    major dataset with MATLAB_class attrs. Channel 1 of the Julia (T, 3)
+    matrix must come back."""
+    rng = np.random.default_rng(1)
+    T = 400
+    chan1 = rng.normal(size=T)
+    stacked = np.stack([chan1, np.zeros(T), np.ones(T)])  # h5py (3, T)
+    dfile = str(tmp_path / "m73.h5")
+    with h5py.File(dfile, "w", userblock_size=512) as f:
+        g = f.create_group("highpassdata/data")
+        d = g.create_dataset("data", data=stacked)
+        d.attrs["MATLAB_class"] = np.bytes_("double")
+    # MATLAB v7.3 files carry a 512-byte userblock header; h5py skips it
+    with open(dfile, "r+b") as f:
+        f.write(b"MATLAB 7.3 MAT-file" + b" " * 97 + bytes([0, 2]) + b"IM")
+    data = cli.load_data_file(dfile)
+    np.testing.assert_allclose(data, chan1)

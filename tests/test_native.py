@@ -53,3 +53,21 @@ def test_native_forward_backward_match_jax():
                    smu, sigma)
     np.testing.assert_allclose(a_n, np.asarray(a_j), atol=1e-10)
     np.testing.assert_allclose(b_n, np.asarray(b_j), atol=1e-10)
+
+
+def test_native_em_step_matches_jax_em():
+    """The native BW baseline (hmmss_em_step) reproduces the jitted EM
+    update (train/em.py, itself oracle-matched at 1e-8)."""
+    from hmmspikesorter_tpu.train.em import EMTables, em_step
+
+    y, mu, ss, lp, sigma = _setup(T=1500, overlaps=False)
+    lp_n, mu_n, sg_n, ll_n = native.em_step(y, ss, lp, mu, sigma)
+
+    tables = EMTables.build(ss)
+    lp_j, _, mu_j, sg_j, ll_j = em_step(
+        jnp.asarray(y), jnp.asarray(lp), jnp.asarray(mu),
+        jnp.asarray(sigma), tables, K=mu.shape[0], fb_mode="gather")
+    np.testing.assert_allclose(lp_n, np.asarray(lp_j), rtol=1e-8)
+    np.testing.assert_allclose(mu_n, np.asarray(mu_j), rtol=0, atol=1e-8)
+    assert sg_n == pytest.approx(float(sg_j), rel=1e-10)
+    assert ll_n == pytest.approx(float(ll_j), rel=1e-10)
