@@ -1,0 +1,125 @@
+"""Virtual-mesh scaling curve (VERDICT round-1, item 7).
+
+Real multi-host TPU is unavailable in this environment, so this measures
+the thing that *can* be measured honestly: wall time of the time-sharded
+exact decode and the sharded EM step at **fixed total work** on a virtual
+D-device CPU mesh (XLA CPU backs each virtual device with host threads, so
+collective overhead and serialization are real, FLOPs are real, only the
+interconnect is loopback). Reported per D: wall time, speedup vs D=1,
+parallel efficiency speedup/D — the stand-in for the >=80% two-host
+target in BASELINE.md until multi-host hardware exists.
+
+Run:  python benchmarks/scaling.py            (forces CPU + 8 devices)
+Prints one JSON line per (phase, D).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _bench(fn, reps=3):
+    fn()                                    # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    from jax.sharding import Mesh
+
+    from hmmspikesorter_tpu.core.emission import state_means
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.data.synthetic import (create_signal_fast,
+                                                   create_spike_template)
+    from hmmspikesorter_tpu.parallel.sharded import sharded_blocked_viterbi
+    from hmmspikesorter_tpu.parallel.sharded_em import sharded_em_step
+    from hmmspikesorter_tpu.train.em import EMTables
+
+    N, K, sigma = 2, 60, 0.3
+    T = 1 << 17
+    L = 256
+    rng = np.random.default_rng(1234)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.003, 0.001])
+    y, _ = create_signal_fast(T, sigma, pp, temps, rng=rng)
+    lp = np.log(pp)
+    ss = build_state_space(N, K, False)
+    in_idx, in_w = ss.in_table(lp)
+    dtype = jnp.float32
+    in_idx = jnp.asarray(in_idx)
+    in_w = jnp.asarray(in_w, dtype)
+    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps, dtype))
+    y_d = jnp.asarray(y, dtype)
+    tables = EMTables.build(ss)
+
+    devs = np.array(jax.devices())
+    ncores = os.cpu_count() or 1
+    print(json.dumps({"host_cores": ncores,
+                      "note": "virtual devices beyond the physical core "
+                              "count oversubscribe and do not measure "
+                              "scaling; XLA-CPU intra-op threading also "
+                              "lets D=1 use several cores, so these "
+                              "efficiencies are lower bounds"}), flush=True)
+    results = []
+    base_dec = base_em = None
+    for D in (1, 2, 4, 8):
+        if D > ncores:
+            break
+        mesh = Mesh(devs[:D].reshape(1, D), ("channel", "time"))
+
+        def dec():
+            x, ll = sharded_blocked_viterbi(y_d, in_idx, in_w, smu, sigma,
+                                            mesh, L=L)
+            return np.asarray(x)
+
+        t_dec = _bench(dec)
+        if D == 1:
+            base_dec = t_dec
+        r = {"phase": "sharded_decode", "D": D, "T": T, "L": L,
+             "wall_s": round(t_dec, 4),
+             "speedup": round(base_dec / t_dec, 3),
+             "efficiency": round(base_dec / t_dec / D, 3)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+        ys = y[None, :].astype(np.float32)
+        lps = lp[None, :]
+        mus = temps[None]
+        sgs = np.array([sigma])
+
+        def em():
+            out = sharded_em_step(ys, lps, mus, sgs, tables, mesh, K=K, L=L)
+            return np.asarray(out[0])
+
+        t_em = _bench(em)
+        if D == 1:
+            base_em = t_em
+        r = {"phase": "sharded_em", "D": D, "T": T, "L": L,
+             "wall_s": round(t_em, 4),
+             "speedup": round(base_em / t_em, 3),
+             "efficiency": round(base_em / t_em / D, 3)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    return results
+
+
+if __name__ == "__main__":
+    main()

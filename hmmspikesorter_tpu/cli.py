@@ -114,6 +114,9 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     print("Creating template model...")
     print("Loading data...")
     data = load_data_file(datafile)
+    from .utils.guards import guard_inputs
+
+    guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
     print("Fitting model...")
     if engine == "fast":
         # streaming: one fixed-shape compiled program serves any recording

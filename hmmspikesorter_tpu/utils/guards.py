@@ -1,0 +1,83 @@
+"""NaN/-inf guard machinery for the log-space kernels (SURVEY.md §5.2).
+
+The reference has no concurrency and no sanitizers; its failure mode is
+silent NaN propagation through log-space recursions (e.g. sigma collapsing
+to 0, or exp overflow in logsumexp). The framework's hot paths are pure
+functions, so guarding is a wrapper concern:
+
+* `checked(fn)` — wraps a jittable function with jax.experimental.checkify
+  so that NaN in any float output raises a CheckifyError with the offending
+  output's name, instead of propagating silently. Used in tests and debug
+  runs; zero cost when not applied (the production path never wraps).
+* `assert_finite_tree(tree)` — host-side eager validation of a pytree of
+  arrays (checkpoint loads, CLI inputs): raises ValueError naming the leaf.
+  -inf is permitted (log-space padding is -inf by design); NaN is not.
+* `guard_inputs(y, sigma)` — the input-validation bail the CLI applies
+  before decoding (mirrors the reference's input checks, hmmsort.jl:40-53,
+  extended to data sanity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def checked(fn, *, check_inputs: bool = False):
+    """Wrap `fn` so NaNs in its (float) outputs raise instead of propagate.
+
+    Returns a callable with the same signature; the checkify error is
+    raised eagerly on the host after each call. Composes with jit (the
+    checkify transform runs under it)."""
+    from jax.experimental import checkify
+
+    def body(*args, **kwargs):
+        if check_inputs:
+            for i, a in enumerate(jax.tree_util.tree_leaves((args, kwargs))):
+                if isinstance(a, jax.Array) and jnp.issubdtype(
+                        a.dtype, jnp.floating):
+                    checkify.check(~jnp.any(jnp.isnan(a)),
+                                   f"NaN in input leaf {i}")
+        out = fn(*args, **kwargs)
+        for i, a in enumerate(jax.tree_util.tree_leaves(out)):
+            if isinstance(a, jax.Array) and jnp.issubdtype(
+                    a.dtype, jnp.floating):
+                checkify.check(~jnp.any(jnp.isnan(a)),
+                               f"NaN in output leaf {i}")
+        return out
+
+    checked_fn = checkify.checkify(body)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        err, out = checked_fn(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapper
+
+
+def assert_finite_tree(tree, *, name: str = "tree") -> None:
+    """Raise ValueError if any array leaf contains NaN (-inf is allowed:
+    log-space padding uses it by design)."""
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f" and np.isnan(arr).any():
+            raise ValueError(f"{name}: NaN in leaf {i} "
+                             f"(shape {arr.shape}, dtype {arr.dtype})")
+
+
+def guard_inputs(y, sigma: float) -> None:
+    """Validate decode inputs before touching the device (CLI bail path)."""
+    y = np.asarray(y)
+    if y.ndim != 1 or len(y) == 0:
+        raise ValueError(f"signal must be 1-D and non-empty, got {y.shape}")
+    if np.isnan(y).any():
+        raise ValueError("signal contains NaN samples")
+    if not np.isfinite(sigma) or sigma <= 0:
+        raise ValueError(f"noise sigma must be finite and positive, "
+                         f"got {sigma}")
