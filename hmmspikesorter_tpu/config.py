@@ -85,6 +85,7 @@ class DecodeConfig:
     streaming: bool = False          # fixed-shape block-batch driver
     blocks_per_call: int = 256
     repair: bool = True              # widen-and-re-decode flagged seams
+    block_engine: str = "auto"       # "ring" | "pallas" | "auto"
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
 
 

@@ -69,10 +69,10 @@ class HMMTemplateModel:
 
     @property
     def has_ring_engine(self) -> bool:
-        """True when a gather-free ring engine exists for this topology
-        (non-overlap any N; pairwise overlap up to N=6 — the trace-time
-        pair unrolling in ops/ring_viterbi_ovn grows O(N^2))."""
-        return (not self.allow_overlaps) or self.n_neurons <= 6
+        """True: a gather-free ring engine exists for every topology
+        (non-overlap any N; pairwise overlap any N via the table-driven
+        ops/ring_viterbi_ovn). Kept as a property for API stability."""
+        return True
 
 
 @dataclasses.dataclass
@@ -212,6 +212,7 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
                            streaming: bool | None = None,
                            blocks_per_call: int | None = None,
                            repair: bool | None = None,
+                           block_engine: str | None = None,
                            config=None) -> HMMSpikingModel:
     """Production decode: fully on-device parallel overlap-save with the
     ring engines (parallel/overlap_save.ring_overlap_save) — orders of
@@ -254,21 +255,29 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     streaming = arg(streaming, "streaming", False)
     blocks_per_call = arg(blocks_per_call, "blocks_per_call", 256)
     repair = arg(repair, "repair", True)
+    block_engine = arg(block_engine, "block_engine", "auto")
 
-    if not templates.has_ring_engine:
-        raise ValueError("fast decode requires non-overlap or N<=6 overlap "
-                         "topology; use fit_spiking_model instead")
     y = np.asarray(y, dtype=np.float64)
     if H is None:
         H = max(4 * templates.K, 64)
     if streaming and len(y) < L + 2 * H:
         streaming = False          # shorter than one window: decode one-shot
     if streaming:
+        import jax
+
+        from ..ops.pallas_viterbi_mb import CH, KP
         from ..ops.ring_viterbi import ring_block_decoder
         from ..parallel.overlap_save import overlap_save_decode_long
 
+        if block_engine == "auto":
+            usable = (templates.allow_overlaps
+                      and templates.n_neurons == 2
+                      and templates.K - 1 <= KP and (L + 2 * H) % CH == 0
+                      and jax.default_backend() not in ("cpu",))
+            block_engine = "pallas" if usable else "ring"
         dec = ring_block_decoder(templates.lp, templates.mu, templates.sigma,
-                                 overlaps=templates.allow_overlaps)
+                                 overlaps=templates.allow_overlaps,
+                                 block_engine=block_engine)
         # tables at the default dtype so the streaming window dtype matches
         # the one-shot path (f64 on CPU-x64, f32 on TPU) — a f32 window fed
         # to the f64 ring decoder could flip labels near score ties
@@ -279,7 +288,8 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     else:
         x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
                                        templates.sigma, L=L, H=H,
-                                       overlaps=templates.allow_overlaps)
+                                       overlaps=templates.allow_overlaps,
+                                       block_engine=block_engine)
     from ..core.path_score import path_cumulative_ll
 
     x = np.asarray(x)

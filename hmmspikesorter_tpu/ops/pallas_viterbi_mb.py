@@ -208,13 +208,15 @@ def _make_kernel(Km1: int, Wc: int):
 
 @partial(jax.jit, static_argnames=("silent_start0", "interpret"))
 def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
-                          interpret=False):
+                          silent_mask=None, interpret=False):
     """Fused multi-block forward over (B, W) windows.
 
-    B is padded to a multiple of G internally. Returns arrays in (B, ...)
-    layout: flags (B, W) i32 [bp_sil | b0_on | b1_on packed], rings
-    (B, W, KP) i8 [b0r | b1r packed], and final state vectors
-    vsT (B,), v0T/v1T (B, KP), vpT (B, KP, KP).
+    B is padded to a multiple of G internally. silent_start0 forces the
+    reference's silent start on block 0; silent_mask ((B,) bool, traced)
+    overrides it with per-block flags. Returns arrays in (B, ...) layout:
+    flags (B, W) i32 [bp_sil | b0_on | b1_on packed], rings (B, W, KP) i8
+    [b0r | b1r packed], and final state vectors vsT (B,), v0T/v1T (B, KP),
+    vpT (B, KP, KP).
     """
     B, W = y_win.shape
     K = mu.shape[0]
@@ -247,7 +249,9 @@ def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
     ypad = jnp.zeros((Bp, W), dtype).at[:B].set(y_win.astype(dtype))
     y_in = ypad.reshape(Bg, G, W).transpose(0, 2, 1)          # (Bg, W, G)
     sil = jnp.zeros((Bp,), jnp.int32)
-    if silent_start0:
+    if silent_mask is not None:
+        sil = sil.at[:B].set(jnp.asarray(silent_mask).astype(jnp.int32))
+    elif silent_start0:
         sil = sil.at[0].set(1)
     sil_in = sil.reshape(Bg, G)[:, None, :]                   # (Bg, 1, G)
 
@@ -315,12 +319,13 @@ def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
 
 
 def ov2_decode_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
-                         interpret=False):
+                         silent_mask=None, interpret=False):
     """(B, W) windows -> (B, W) int32 labels: fused multi-block forward +
     XLA backtrace (same chase as ring_viterbi_ov2, driven by the flags)."""
     K = jnp.asarray(mu).shape[0]
     outs = ov2_forward_pallas_mb(y_win, lp, mu, sigma,
                                  silent_start0=silent_start0,
+                                 silent_mask=silent_mask,
                                  interpret=interpret)
     return _backtrace_mb(outs, K - 1, y_win.shape[1])
 

@@ -20,7 +20,8 @@ Engines:
   * ring_viterbi_nov  — non-overlap space, any N.
   * ring_viterbi_ov2  — pairwise-overlap space for N == 2 (the production
     CLI/bench decode topology, 3600 states at K=60).
-Other overlap N falls back to the generic engine.
+  * ops/ring_viterbi_ovn.ring_viterbi_ovn — pairwise-overlap, any N
+    (table-driven).
 
 Both reproduce the reference decode semantics bit-for-bit (validated
 against the gather engine, which is itself oracle-bit-matched):
@@ -331,24 +332,30 @@ def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     return x, jnp.sum(path_scores)
 
 
-def ring_block_decoder(lp, mu, sigma, *, overlaps: bool):
+def ring_block_decoder(lp, mu, sigma, *, overlaps: bool,
+                       block_engine: str = "ring"):
     """Batched windowed decoder for overlap_save_decode_long: returns a
-    jitted callable (B, W) windows -> (B, W) int32 labels using the
-    ring-structured engines (emission-only init per window)."""
+    jitted callable ((B, W) windows, (B,) bool silent-start rows) ->
+    (B, W) int32 labels using the ring-structured engines (emission-only
+    init except flagged rows), or the fused multi-block Pallas kernel
+    (block_engine="pallas", N=2 overlap on TPU)."""
     from .ring_viterbi_ovn import ring_viterbi_ovn
 
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]
+    if block_engine == "pallas":
+        from .pallas_viterbi_mb import ov2_decode_pallas_mb
+
+        if not overlaps or N != 2:
+            raise ValueError("pallas block engine requires the N=2 "
+                             "overlap topology")
+        return jax.jit(lambda yw, sil: ov2_decode_pallas_mb(
+            yw, lp, mu, sigma, silent_mask=sil))
     if overlaps:
-        if N > 6:
-            raise ValueError("ring overlap engines support N <= 6")
         engine = ring_viterbi_ov2 if N == 2 else ring_viterbi_ovn
-        one = lambda yy: engine(yy, lp, mu, sigma,
-                                silent_start=False,
-                                with_ll=False)[0]
     else:
-        one = lambda yy: ring_viterbi_nov(yy, lp, mu, sigma,
-                                          silent_start=False,
-                                          with_ll=False)[0]
+        engine = ring_viterbi_nov
+    one = lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
+                                with_ll=False)[0]
     return jax.jit(jax.vmap(one))

@@ -23,12 +23,20 @@ log1p(-exp(sum(lp))), every still-silent neuron pays lpz):
   pair(i,j)@(1,k2>1)  symmetric
   pair(i,j)@(k1>1,k2>1) <- pair(i,j)@(k1-1,k2-1) ((N-2)lpz)
 
-All pair/neuron loops are unrolled at trace time (N <= ~6; the CLI caps at
-4 templates, src/hmmsort.jl:50), so the compiled step is pure slices,
-maxima, and selects — no gathers. Tie-breaking keeps the reference's
-first-max in ascending source-state order; candidates are always assembled
-in that order. Bit-parity with the generic gather engine is tested for
-N = 2, 3, 4 including forced overlapping spikes.
+The recursion step is TABLE-DRIVEN: all cross-pair interactions are
+expressed as one-hot selection matmuls against static membership tables
+(pairs-containing-n, third-member pair maps), so the compiled step is pure
+elementwise ops, maxima, and tiny matmuls — no gathers (XLA lowers dynamic
+gathers to scalar loops on TPU) and no trace-time unrolling, which is what
+capped the earlier version at N <= 6. Any N is supported; trace/compile
+cost grows with table sizes (O(N^2) states), not program size. One-hot
+matmuls are exact selections (inputs are always finite: every stored state
+score is reachable via the silent chain, so no -inf enters a matmul).
+
+Tie-breaking keeps the reference's first-max in ascending source-state
+order; candidate axes are always assembled in that order. Bit-parity with
+the generic gather engine is tested for N = 2, 3, 4 (including forced
+overlapping spikes) and N = 7 (past the old cap).
 """
 
 from __future__ import annotations
@@ -87,11 +95,70 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     PAIR = [1 + N * Km1 + q * Km1 * Km1 for q in range(P)]
     S = 1 + N * Km1 + P * Km1 * Km1
 
+    # ---- static membership tables (host NumPy; tiny)
+    import numpy as np
+
+    pairs_i = np.asarray([i for (i, _) in pairs])
+    pairs_j = np.asarray([j for (_, j) in pairs])
+    member = np.zeros((P, N), bool)
+    member[np.arange(P), pairs_i] = True
+    member[np.arange(P), pairs_j] = True
+    disjoint = ~(member @ member.T > 0)                    # (P, P)
+    # pairs containing n, ascending q, and whether n is the i-slot
+    Qn = np.zeros((N, max(N - 1, 1)), np.int64)
+    ISn = np.zeros((N, max(N - 1, 1)), bool)
+    for n in range(N):
+        c = 0
+        for q, (i, j) in enumerate(pairs):
+            if n in (i, j):
+                Qn[n, c] = q
+                ISn[n, c] = n == i
+                c += 1
+    # third-member maps: target pair q with member adv advancing and third
+    # m exiting; source pair r contains (adv, m) with adv in the i-slot iff
+    # adv < m (same construction as the backtrace tables below)
+    nO = max(N - 2, 0)
+    rowP = np.zeros((P, nO), np.int64)
+    rowI = np.zeros((P, nO), bool)
+    colP = np.zeros((P, nO), np.int64)
+    colI = np.zeros((P, nO), bool)
+    for q, (i, j) in enumerate(pairs):
+        for c, m in enumerate(m for m in range(N) if m not in (i, j)):
+            rowP[q, c] = pair_idx[(min(j, m), max(j, m))]
+            rowI[q, c] = j == min(j, m)
+            colP[q, c] = pair_idx[(min(i, m), max(i, m))]
+            colI[q, c] = i == min(i, m)
+
+    def _onehot(idx, active):
+        """(R, P) exact-selection matrix (inputs are finite, so 0*x = 0)."""
+        m = (np.arange(P)[None, :] == idx.reshape(-1)[:, None]) \
+            & active.reshape(-1)[:, None]
+        return jnp.asarray(m, dtype)
+
+    OH_ring_i = _onehot(Qn, ISn)                           # (N*(N-1), P)
+    OH_ring_j = _onehot(Qn, ~ISn)
+    OH_row_i = _onehot(rowP, rowI)                         # (P*(N-2), P)
+    OH_row_j = _onehot(rowP, ~rowI)
+    OH_col_i = _onehot(colP, colI)
+    OH_col_j = _onehot(colP, ~colI)
+    OH_jmem = jnp.asarray(
+        np.arange(N)[None, :] == pairs_j[:, None], dtype)  # (P, N)
+    OH_imem = jnp.asarray(np.arange(N)[None, :] == pairs_i[:, None], dtype)
+    mask_diag = jnp.asarray(np.where(np.eye(N, dtype=bool), -np.inf, 0.0),
+                            dtype)                         # (N, N)
+    mask_inpair = jnp.asarray(np.where(member.T, -np.inf, 0.0), dtype)
+    mask_member = jnp.asarray(np.where(member, -np.inf, 0.0), dtype)
+    mask_nondis = jnp.asarray(np.where(~disjoint, -np.inf, 0.0), dtype)
+    lp_i = lp[jnp.asarray(pairs_i)]                        # (P,)
+    lp_j = lp[jnp.asarray(pairs_j)]
+
     def maxplus_step(carry, y_t, want_bp):
         vs, vb, vp = carry            # scalar, (N, K-1), (P, K-1, K-1)
         es, eb, ep = em(y_t)
         ends = vb[:, -1]                                       # (N,)
         p_end = vp[:, -1, -1]                                  # (P,)
+        colend = vp[:, :-1, -1]                                # (P, K-2)
+        rowend = vp[:, -1, :-1]                                # (P, K-2)
 
         # ---- silent: [self | singles asc | pairs asc]
         sil_cand = jnp.concatenate([
@@ -102,89 +169,71 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         new_vs = jnp.max(sil_cand) + es
 
         # ---- single onset slots: per n, [silent | singles m | pairs q]
-        on_cands = []
-        for n in range(N):
-            cand = [(vs + lp[n] + (N - 1) * lpz)[None]]
-            for m in range(N):
-                cand.append((ends[m] + lp[n] + (N - 2) * lpz)[None]
-                            if m != n else jnp.full((1,), NEG, dtype))
-            for q, (i, j) in enumerate(pairs):
-                cand.append((p_end[q] + lp[n] + (N - 3) * lpz)[None]
-                            if n not in (i, j)
-                            else jnp.full((1,), NEG, dtype))
-            on_cands.append(jnp.concatenate(cand))
-        on_cands = jnp.stack(on_cands)                         # (N, 1+N+P)
+        on_cands = jnp.concatenate([
+            (vs + lp + (N - 1) * lpz)[:, None],
+            ends[None, :] + lp[:, None] + (N - 2) * lpz + mask_diag,
+            p_end[None, :] + lp[:, None] + (N - 3) * lpz + mask_inpair,
+        ], axis=1)                                             # (N, 1+N+P)
         bp_on = jnp.argmax(on_cands, axis=1).astype(jnp.int32)
         on_best = jnp.max(on_cands, axis=1)                    # (N,)
 
         # ---- single ring slots k>=2: per n, [same ring | pairs with n]
-        ring_cands = []
-        for n in range(N):
-            cand = [vb[n, :-1] + (N - 1) * lpz]                # (K-2,)
-            for q, (i, j) in enumerate(pairs):
-                if i == n:
-                    cand.append(vp[q, :-1, -1] + (N - 2) * lpz)
-                elif j == n:
-                    cand.append(vp[q, -1, :-1] + (N - 2) * lpz)
-            ring_cands.append(jnp.stack(cand))                 # (N, K-2)
-        ring_cands = jnp.stack(ring_cands)                     # (N, N, K-2)
+        pair_src = (OH_ring_i @ colend
+                    + OH_ring_j @ rowend).reshape(N, N - 1, Km1 - 1)
+        ring_cands = jnp.concatenate(
+            [(vb[:, :-1] + (N - 1) * lpz)[:, None, :],
+             pair_src + (N - 2) * lpz], axis=1)                # (N, N, K-2)
         bp_ring = jnp.argmax(ring_cands, axis=1).astype(jnp.int8)
         ring_best = jnp.max(ring_cands, axis=1)                # (N, K-2)
 
         new_vb = jnp.concatenate([on_best[:, None], ring_best], axis=1) + eb
 
-        # ---- pair grids
-        new_vp_rows = []
-        bp_corner = []
-        bp_prow = []
-        bp_pcol = []
-        for q, (i, j) in enumerate(pairs):
-            others = [m for m in range(N) if m not in (i, j)]
-            # corner (1,1): [silent | singles m | disjoint pairs]
-            cc = [(vs + lp[i] + lp[j] + (N - 2) * lpz)[None]]
-            for m in others:
-                cc.append((ends[m] + lp[i] + lp[j] + (N - 3) * lpz)[None])
-            dis = [r for r, (a, b) in enumerate(pairs)
-                   if a not in (i, j) and b not in (i, j)]
-            for r in dis:
-                cc.append((p_end[r] + lp[i] + lp[j] + (N - 4) * lpz)[None])
-            cc = jnp.concatenate(cc)
-            bp_corner.append(jnp.argmax(cc).astype(jnp.int32))
-            corner = jnp.max(cc)
+        # ---- pair grids (batched over q)
+        lpij = lp_i + lp_j
+        cc = jnp.concatenate([
+            (vs + lpij + (N - 2) * lpz)[:, None],
+            ends[None, :] + lpij[:, None] + (N - 3) * lpz + mask_member,
+            p_end[None, :] + lpij[:, None] + (N - 4) * lpz + mask_nondis,
+        ], axis=1)                                             # (P, 1+N+P)
+        bp_corner = jnp.argmax(cc, axis=1).astype(jnp.int32)
+        corner = jnp.max(cc, axis=1)                           # (P,)
 
-            # row k1=1, k2>=2: j advances; [single(j) | pairs (j,m)]
-            rc = [vb[j, :-1] + lp[i] + (N - 2) * lpz]
-            for m in others:
-                r = pair_idx[(min(j, m), max(j, m))]
-                src = (vp[r, :-1, -1] if j == min(j, m)
-                       else vp[r, -1, :-1])
-                rc.append(src + lp[i] + (N - 3) * lpz)
-            rc = jnp.stack(rc)                                 # (1+|others|, K-2)
-            bp_prow.append(jnp.argmax(rc, axis=0).astype(jnp.int8))
-            row_best = jnp.max(rc, axis=0)                     # (K-2,)
+        # row k1=1, k2>=2: j advances; [single(j) | pairs (j,m)]
+        slot0r = (OH_jmem @ vb[:, :-1]
+                  + lp_i[:, None] + (N - 2) * lpz)[:, None, :]
+        if N > 2:
+            rsrc = (OH_row_i @ colend
+                    + OH_row_j @ rowend).reshape(P, nO, Km1 - 1)
+            rc = jnp.concatenate(
+                [slot0r, rsrc + lp_i[:, None, None] + (N - 3) * lpz],
+                axis=1)                                        # (P, N-1, K-2)
+        else:
+            rc = slot0r
+        bp_prow = jnp.argmax(rc, axis=1).astype(jnp.int8)
+        row_best = jnp.max(rc, axis=1)                         # (P, K-2)
 
-            # col k2=1, k1>=2: i advances; [single(i) | pairs (i,m)]
-            kc = [vb[i, :-1] + lp[j] + (N - 2) * lpz]
-            for m in others:
-                r = pair_idx[(min(i, m), max(i, m))]
-                src = (vp[r, :-1, -1] if i == min(i, m)
-                       else vp[r, -1, :-1])
-                kc.append(src + lp[j] + (N - 3) * lpz)
-            kc = jnp.stack(kc)
-            bp_pcol.append(jnp.argmax(kc, axis=0).astype(jnp.int8))
-            col_best = jnp.max(kc, axis=0)                     # (K-2,)
+        # col k2=1, k1>=2: i advances; [single(i) | pairs (i,m)]
+        slot0c = (OH_imem @ vb[:, :-1]
+                  + lp_j[:, None] + (N - 2) * lpz)[:, None, :]
+        if N > 2:
+            csrc = (OH_col_i @ colend
+                    + OH_col_j @ rowend).reshape(P, nO, Km1 - 1)
+            kc = jnp.concatenate(
+                [slot0c, csrc + lp_j[:, None, None] + (N - 3) * lpz],
+                axis=1)
+        else:
+            kc = slot0c
+        bp_pcol = jnp.argmax(kc, axis=1).astype(jnp.int8)
+        col_best = jnp.max(kc, axis=1)                         # (P, K-2)
 
-            interior = vp[q, :-1, :-1] + (N - 2) * lpz         # (K-2, K-2)
-            top = jnp.concatenate([corner[None], row_best])    # (K-1,)
-            rest = jnp.concatenate([col_best[:, None], interior], axis=1)
-            new_vp_rows.append(
-                jnp.concatenate([top[None, :], rest], axis=0))
-        new_vp = jnp.stack(new_vp_rows) + ep                   # (P, K-1, K-1)
+        interior = vp[:, :-1, :-1] + (N - 2) * lpz             # (P, K-2, K-2)
+        top = jnp.concatenate([corner[:, None], row_best], axis=1)
+        rest = jnp.concatenate([col_best[:, :, None], interior], axis=2)
+        new_vp = jnp.concatenate([top[:, None, :], rest], axis=1) + ep
 
         bp = None
         if want_bp:
-            bp = (bp_sil, bp_on, bp_ring, jnp.stack(bp_corner),
-                  jnp.stack(bp_prow), jnp.stack(bp_pcol))
+            bp = (bp_sil, bp_on, bp_ring, bp_corner, bp_prow, bp_pcol)
         return (new_vs, new_vb, new_vp), bp
 
     es0, eb0, ep0 = em(y[0])
@@ -219,17 +268,10 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         ring_src_is_i.append(isi)
     ring_src_pair = jnp.asarray(ring_src_pair, jnp.int32)      # (N, N-1)
     ring_src_is_i = jnp.asarray(ring_src_is_i, jnp.int32)
-    # corner flags per pair: [silent | singles others | disjoint pairs]
-    corner_src = []
-    maxlen = 1 + (N - 2) + max(1, P)
-    for q, (i, j) in enumerate(pairs):
-        lst = [0]
-        lst += [SGL[m] + Km1 - 1 for m in range(N) if m not in (i, j)]
-        lst += [PAIR[r] + Km1 * Km1 - 1 for r, (a, b) in enumerate(pairs)
-                if a not in (i, j) and b not in (i, j)]
-        lst += [0] * (maxlen - len(lst))
-        corner_src.append(lst)
-    corner_src = jnp.asarray(corner_src, jnp.int32)            # (P, maxlen)
+    # corner flags: the table-driven step emits UNCOMPRESSED flags over
+    # [silent | all singles asc | all pairs asc] (invalid slots are
+    # -inf-masked and never win), so one shared 1-D decode table suffices
+    corner_src = sil_src                                       # (1+N+P,)
     # row/col third-member pair tables per pair
     row_pair = []
     row_is_i = []                      # whether the advancing member (j) is
@@ -304,10 +346,7 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         a = g // Km1
         b = g % Km1
         cflag = _onehot_i32(bp_c, q_c)
-        from_corner = jnp.sum(jnp.where(
-            (jnp.arange(P)[:, None] == q_c)
-            & (jnp.arange(corner_src.shape[1])[None, :] == cflag),
-            corner_src, 0))
+        from_corner = _onehot_i32(corner_src, cflag)
         # row (a==0, b>=1): j advanced from b-1
         prf = jnp.sum(jnp.where(
             (jnp.arange(P)[:, None] == q_c)

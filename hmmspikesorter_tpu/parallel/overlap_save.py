@@ -135,10 +135,12 @@ def overlap_save_viterbi(y, in_idx, in_w, state_mu, sigma, *, L: int, H: int):
 
 
 @partial(jax.jit, static_argnames=())
-def _decode_blocks_from_y(y_win, v0, in_idx, in_w, state_mu, sigma):
+def _decode_blocks_from_y(y_win, sil, in_idx, in_w, state_mu, sigma):
     """Like _decode_blocks but computes emissions inside the scan step, so
     the (B, W, S) emission tensor is never materialized — required for
-    overlap state spaces (S ~ 10^3-10^4) at long T."""
+    overlap state spaces (S ~ 10^3-10^4) at long T. sil: (B,) bool — rows
+    with the reference's forced silent start (the block containing sample
+    0, src/viterbi.jl:63)."""
     dtype = state_mu.dtype
     sigma = jnp.asarray(sigma, dtype)
     log_sigma = jnp.log(sigma)
@@ -166,8 +168,11 @@ def _decode_blocks_from_y(y_win, v0, in_idx, in_w, state_mu, sigma):
         _, xs = jax.lax.scan(back, xT, bps, reverse=True)
         return jnp.concatenate([xs, xT[None]])
 
-    return jax.vmap(decode_one)(y_win, jax.vmap(em)(y_win[:, 0])
-                                if v0 is None else v0)
+    v0 = jax.vmap(em)(y_win[:, 0])
+    S = state_mu.shape[0]
+    v0 = jnp.where(sil[:, None] & (jnp.arange(S) == 0)[None, :],
+                   jnp.asarray(0.0, dtype), v0)
+    return jax.vmap(decode_one)(y_win, v0)
 
 
 def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
@@ -182,8 +187,9 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     whole-signal emission tensors don't fit (SURVEY.md §2b).
 
     `block_decoder`, if given, replaces the generic gather engine: a
-    callable (B, W) float windows -> (B, W) int32 labels (e.g. the
-    ring-structured fast path, ops/ring_viterbi.py).
+    callable ((B, W) float windows, (B,) bool silent-start rows) ->
+    (B, W) int32 labels (e.g. the ring-structured fast path,
+    ops/ring_viterbi.ring_block_decoder).
 
     Returns (x (T,) int32, seam_ok (B-1,) bool).
     """
@@ -207,11 +213,18 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         if c1 - c0 < blocks_per_call:      # keep one compiled shape
             padb = blocks_per_call - (c1 - c0)
             y_win = np.concatenate([y_win, np.zeros((padb, W), dtype)])
+        # the block containing sample 0 gets the reference's forced
+        # silent start (src/viterbi.jl:63)
+        sil = np.zeros(len(y_win), bool)
+        if c0 == 0:
+            sil[0] = True
         if block_decoder is not None:
-            out = np.asarray(block_decoder(jnp.asarray(y_win)))
+            out = np.asarray(block_decoder(jnp.asarray(y_win),
+                                           jnp.asarray(sil)))
         else:
             out = np.asarray(_decode_blocks_from_y(
-                jnp.asarray(y_win), None, in_idx, in_w, state_mu, sigma))
+                jnp.asarray(y_win), jnp.asarray(sil), in_idx, in_w,
+                state_mu, sigma))
         labels[c0:c1] = out[: c1 - c0]
 
     # host-side seam snap + stitch (same protocol as overlap_save_viterbi);
@@ -243,7 +256,8 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     return x, seam_ok
 
 
-def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
+def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool,
+                      block_engine: str = "auto"):
     """Fully on-device overlap-save decode with the ring engines.
 
     One jitted program: window build, all block decodes (vmap), seam snap,
@@ -252,6 +266,13 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
     decode path (the chunked host driver above exists for signals whose
     backpointer footprint exceeds HBM).
 
+    block_engine selects the per-block forward implementation:
+      "ring"   the vmapped XLA ring scan (any supported topology/backend);
+      "pallas" the fused multi-block kernel (ops/pallas_viterbi_mb.py) —
+               N=2 overlap space, K <= 65, W % 16 == 0, TPU backend; ~1.3x
+               the XLA scan device-side (bit-identical labels);
+      "auto"   pallas when all of its conditions hold, else ring.
+
     Same seam protocol and edge handling as overlap_save_viterbi; block 0
     keeps the reference's forced silent start. Returns (x (T,), seam_ok).
     """
@@ -259,15 +280,22 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool):
         raise ValueError("need L >= 2H so seam cuts are monotone")
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
-    if overlaps and mu.shape[1] > 6:
-        raise ValueError("ring overlap engines support N <= 6")
+    if block_engine == "auto":
+        from ..ops.pallas_viterbi_mb import CH, KP
+
+        usable = (overlaps and mu.shape[1] == 2 and mu.shape[0] - 1 <= KP
+                  and (L + 2 * H) % CH == 0
+                  and jax.default_backend() not in ("cpu",))
+        block_engine = "pallas" if usable else "ring"
     return _ring_overlap_save_impl(jnp.asarray(y), lp, mu,
                                    jnp.asarray(sigma), L=L, H=H,
-                                   overlaps=overlaps)
+                                   overlaps=overlaps,
+                                   block_engine=block_engine)
 
 
-@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
-def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
+@partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))
+def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
+                            block_engine="ring"):
     from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
     from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
 
@@ -319,9 +347,14 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps):
         jax.lax.dynamic_slice_in_dim(y, T - W, W))
     sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
 
-    xb = jax.vmap(
-        lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
-                              with_ll=False)[0])(y_win, sil0)
+    if block_engine == "pallas":
+        from ..ops.pallas_viterbi_mb import ov2_decode_pallas_mb
+
+        xb = ov2_decode_pallas_mb(y_win, lp, mu, sigma, silent_start0=True)
+    else:
+        xb = jax.vmap(
+            lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
+                                  with_ll=False)[0])(y_win, sil0)
 
     # realign edge rows to uniform window coordinates (row B-1's uniform
     # start is Tp - L - H but it decoded [T - W, T))

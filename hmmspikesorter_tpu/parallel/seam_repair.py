@@ -41,8 +41,6 @@ def make_window_decoder(lp, mu, sigma, *, overlaps: bool):
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]
-    if overlaps and N > 6:
-        raise ValueError("ring overlap engines support N <= 6")
     if not overlaps:
         engine = ring_viterbi_nov
     elif N == 2:

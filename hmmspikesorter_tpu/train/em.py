@@ -41,7 +41,7 @@ import numpy as np
 from ..core.emission import emission_logprob, state_means
 from ..core.state_space import StateSpace, build_state_space
 from ..data.synthetic import create_spike_template
-from ..utils.logmath import logsumexp_rows
+from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
 from . import template_ops
 
 
@@ -161,7 +161,6 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     N = tables.states.shape[0]
 
     smu = state_means(tables.states, mu)
-    em = emission_logprob(y, smu, sigma)               # (T, S)
     if fb_mode == "ring":
         from ..ops.ring_fb import ring_backward, ring_forward
 
@@ -173,6 +172,7 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
         alpha, beta = ring_blocked_forward_backward(y, lp, mu, sigma,
                                                     L=block)
     elif fb_mode == "gather":
+        em = emission_logprob(y, smu, sigma)           # (T, S)
         in_w = edge_weights_from_structure(
             lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
         out_w = edge_weights_from_structure(
@@ -195,30 +195,38 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
         jnp.ones_like(tables.onset_n_silent, dtype=bool))
     tgt = tables.onset_targets                          # (N+1,)
     # xi_e(t) = alpha[t,0] + w_e + beta[t+1,tgt_e] + em[t+1,tgt_e] - logZ_{t+1}
+    # — only the onset-target emission columns are ever needed, so the
+    # (T, S) emission tensor is never materialized (saves a full HBM
+    # round trip per iteration at production T)
+    sigma_ = jnp.asarray(sigma, y.dtype)
+    em_tgt = (-HALF_LOG_2PI - jnp.log(sigma_)
+              - (y[1:, None] - smu[tgt][None, :]) ** 2
+              / (2.0 * sigma_ * sigma_))               # (T-1, N+1)
     xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
-          + beta[1:, tgt] + em[1:, tgt] - g[1:, None])  # (T-1, N+1)
+          + beta[1:, tgt] + em_tgt - g[1:, None])      # (T-1, N+1)
     xx = logsumexp_rows(xi, axis=0)                     # (N+1,)
     bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
     new_lp = (xx - bb)[1:]                              # drop silent self-loop
     new_pi = log_gamma[0]
 
+    # --- gamma statistics: one MXU matmul [1; y; y^2] @ gamma yields the
+    # occupancies and first/second moments every update below consumes
+    # (the reference makes three separate T-sweeps, baumwelch.jl:266-307)
+    gamma = jnp.exp(log_gamma)                          # (T, S)
+    P = jnp.stack([jnp.ones_like(y), y, y * y])         # (3, T)
+    M = P @ gamma                                       # (3, S)
+    G1, Gy, Gy2 = M[0], M[1], M[2]
+
     # --- template update over single-active states (baumwelch.jl:266-287)
-    # non-overlap layout: state 1 + n*(K-1) + (k-1) == neuron n at ring pos k,
-    # so columns 1..1+N*(K-1) of gamma map bijectively to (n, k).
-    gw = jnp.exp(log_gamma[:, 1 : 1 + N * (K - 1)])     # (T, N*(K-1))
-    num = y @ gw                                        # (N*(K-1),)
-    den = jnp.sum(gw, axis=0)
-    body = (num / den).reshape(N, K - 1).T              # (K-1, N)
+    # non-overlap layout: state 1 + n*(K-1) + (k-1) == neuron n at ring pos
+    # k, so columns 1..1+N*(K-1) of the moment matrix map to (n, k).
+    nbody = N * (K - 1)
+    body = (Gy[1 : 1 + nbody] / G1[1 : 1 + nbody]).reshape(N, K - 1).T
     new_mu = jnp.concatenate([jnp.zeros((1, N), mu.dtype), body], axis=0)
 
-    # --- global sigma (baumwelch.jl:294-307), via MXU-friendly reductions:
+    # --- global sigma (baumwelch.jl:294-307) from the same moments:
     # x2 = sum_tj gamma_tj (y_t - smu2_j)^2
-    #    = y^2 @ G 1 - 2 smu2 . (y @ G) + smu2^2 . (1 @ G)
     smu2 = state_means(tables.states, new_mu)
-    gamma = jnp.exp(log_gamma)                          # (T, S)
-    G1 = jnp.sum(gamma, axis=0)                         # (S,)
-    Gy = y @ gamma                                      # (S,)
-    Gy2 = (y * y) @ gamma                               # (S,)
     x2 = jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy) + jnp.dot(smu2 * smu2, G1)
     qq = jnp.sum(G1)
     new_sigma = jnp.sqrt(x2 / qq)

@@ -126,6 +126,15 @@ def main() -> int:
     record["agreement_streaming_vs_oneshot_tpu_2e19"] = float(
         (np.asarray(ms.ml_seq) == np.asarray(mo.ml_seq)).mean())
 
+    # --- 4b. pallas multi-block engine vs XLA ring engine, full production
+    # program on hardware (kernel correctness on real Mosaic lowering)
+    x_pal = np.asarray(ring_overlap_save(
+        jnp.asarray(y, jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps, jnp.float32), sigma, L=8192, H=256,
+        overlaps=True, block_engine="pallas")[0])
+    record["agreement_pallas_vs_ring_full_T"] = float(
+        (x_pal == x_tpu).mean())
+
     # --- 5. EM step f32 blocked on TPU vs native f64 reference EM
     from hmmspikesorter_tpu.train.em import EMTables, em_step
 

@@ -111,7 +111,7 @@ def test_overlap_save_seam_fallback_no_silence():
         overlap_save_decode_long)
     y, in_idx, in_w, smu, sigma = _setup(T=4096, K=12)
 
-    def never_silent(y_win):
+    def never_silent(y_win, sil):
         return jnp.ones(y_win.shape, jnp.int32)
 
     x, seam_ok = overlap_save_decode_long(
@@ -149,5 +149,32 @@ def test_tail_edge_bitmatch_ragged_T():
                                     blocks_per_call=2)
     np.testing.assert_array_equal(np.asarray(one.ml_seq, np.int64),
                                   np.asarray(seq.ml_seq, np.int64))
+    np.testing.assert_array_equal(np.asarray(stream.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))
+
+
+def test_streaming_first_block_silent_start():
+    """A recording that starts mid-spike: the streaming driver must apply
+    the reference's forced silent start to the block containing sample 0
+    (it used emission-only init there before, diverging from the
+    sequential engine at the signal head)."""
+    from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                               fit_spiking_model,
+                                               fit_spiking_model_fast)
+
+    K, sigma = 20, 0.1
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    rng = np.random.default_rng(2)
+    T = 6144
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    y = np.asarray(y, float)
+    y[:K - 5] += temps[5:, 0]            # signal opens mid-spike
+    tm = HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log(pp),
+                          allow_overlaps=True)
+    seq = fit_spiking_model(tm, y)
+    stream = fit_spiking_model_fast(tm, y, L=2048, H=256, streaming=True,
+                                    blocks_per_call=2)
     np.testing.assert_array_equal(np.asarray(stream.ml_seq, np.int64),
                                   np.asarray(seq.ml_seq, np.int64))

@@ -60,3 +60,30 @@ def test_ovn_stress_random_n3(seed):
                                  jnp.asarray(temps), 0.3)
     np.testing.assert_array_equal(np.asarray(x_r), np.asarray(x_g))
     assert float(ll_r) == pytest.approx(float(ll_g), rel=1e-12)
+
+
+def test_ovn_bitmatches_gather_n7_past_old_cap():
+    """N=7 (the earlier trace-time-unrolled engine was capped at N<=6):
+    the table-driven step must still bit-match the gather engine."""
+    N, K, T = 7, 6, 1200
+    rng = np.random.default_rng(7)
+    temps = np.stack([create_spike_template(K, 1.0 + 2 * rng.random(),
+                                            0.2 + 0.6 * rng.random(),
+                                            0.1 + 0.3 * rng.random())
+                      for _ in range(N)], axis=1)
+    pp = rng.uniform(0.02, 0.05, N)
+    y, _ = create_signal(T, 0.3, pp, temps, rng=rng)
+    y[50:50 + K - 1] += temps[1:, 0]         # force an overlap
+    y[53:53 + K - 1] += temps[1:, 3]
+    ss = build_state_space(N, K, True)
+    lp = np.log(pp)
+    in_idx, in_w = ss.in_table(lp)
+    smu = state_means(jnp.asarray(ss.states), jnp.asarray(temps))
+    x_g, ll_g = viterbi_decode(jnp.asarray(y), jnp.asarray(in_idx),
+                               jnp.asarray(in_w), smu, 0.3)
+    x_r, ll_r = ring_viterbi_ovn(jnp.asarray(y), jnp.asarray(lp),
+                                 jnp.asarray(temps), 0.3)
+    pair_base = 1 + N * (K - 1)
+    assert (np.asarray(x_g) >= pair_base).any()
+    np.testing.assert_array_equal(np.asarray(x_r), np.asarray(x_g))
+    assert float(ll_r) == pytest.approx(float(ll_g), rel=1e-12)
