@@ -72,24 +72,29 @@ def main():
     dec = jax.jit(lambda yw: jnp.sum(jax.vmap(
         lambda yy, s0: ring_viterbi_ov2(yy, lp_d, mu_d, jnp.float32(sigma),
                                         silent_start=s0, with_ll=False)[0]
-    )(yw, sil).astype(jnp.int64)))
-    whole = jax.jit(lambda yy: jnp.sum(ring_overlap_save(
-        yy, lp_d, mu_d, sigma, L=L, H=H, overlaps=True)[0]
-        .astype(jnp.int64)))
+    )(yw, sil).astype(jnp.int32)))
+
+    def whole_fn(engine):
+        return jax.jit(lambda yy: jnp.sum(ring_overlap_save(
+            yy, lp_d, mu_d, sigma, L=L, H=H, overlaps=True,
+            block_engine=engine)[0].astype(jnp.int32)))
 
     t_dec, lat_dec = _amortized(dec, y_win)
-    t_whole, lat_whole = _amortized(whole, y_d)
-    t_stitch = max(t_whole - t_dec, 0.0)
+    t_ring, _ = _amortized(whole_fn("ring"), y_d)
+    t_pal, lat_pal = _amortized(whole_fn("pallas"), y_d)
+    # stitch/window overhead isolated against the SAME (ring) block engine
+    t_stitch = max(t_ring - t_dec, 0.0)
 
     print(json.dumps({
         "metric": "decode_phase_breakdown_device_s",
         "config": f"N={N} K={K} S=3600 T=2^21 f32 B={B} W={W}",
-        "block_decode_fwd_plus_backtrace_s": round(t_dec, 4),
+        "block_decode_ring_fwd_plus_backtrace_s": round(t_dec, 4),
         "window_build_seam_stitch_s": round(t_stitch, 4),
-        "whole_program_s": round(t_whole, 4),
-        "device_samples_per_s": round(T / t_whole, 1),
-        "one_call_wall_s_incl_transfer": round(lat_whole, 4),
-        "transfer_and_latency_s": round(max(lat_whole - t_whole, 0.0), 4),
+        "whole_program_ring_s": round(t_ring, 4),
+        "whole_program_pallas_s": round(t_pal, 4),
+        "device_samples_per_s_pallas": round(T / t_pal, 1),
+        "one_call_wall_s_incl_transfer": round(lat_pal, 4),
+        "transfer_and_latency_s": round(max(lat_pal - t_pal, 0.0), 4),
         "device": str(jax.devices()[0]),
     }))
 
