@@ -102,14 +102,16 @@ def main():
     lp_t = jnp.asarray(lp, dtype)
     mu_t = jnp.asarray(temps, dtype)
     sg_t = dtype(sigma)
-    out = em_step(y_tr, lp_t, mu_t, sg_t, tables, K=K, fb_mode="blocked")
+    bw_mode, bw_block = "overlap", 2048         # the production TPU engine
+    out = em_step(y_tr, lp_t, mu_t, sg_t, tables, K=K, fb_mode=bw_mode,
+                  block=bw_block)
     np.asarray(out[0])                          # warmup/compile
     iters = 5
     t0 = time.perf_counter()
     l, m, s = lp_t, mu_t, sg_t
     for _ in range(iters):
         l, _, m, s, _ = em_step(y_tr, l, m, s, tables, K=K,
-                                fb_mode="blocked")
+                                fb_mode=bw_mode, block=bw_block)
     np.asarray(l)
     bw_iter_per_s = iters / (time.perf_counter() - t0)
 
@@ -145,7 +147,7 @@ def main():
                                    bw_baseline_iter_per_s else None),
         "bw_vs_baseline": (round(bw_vs_baseline, 2)
                            if bw_vs_baseline is not None else None),
-        "bw_config": f"N={N} K={K} non-overlap T=2^19 blocked",
+        "bw_config": f"N={N} K={K} non-overlap T=2^19 {bw_mode} L={bw_block}",
         "seams_ok_frac": float(np.mean(seam_ok)),
         "config": "N=2 K=60 overlaps S=3600 T=2^21 f32 L=8192 H=256 ring",
         "device": str(jax.devices()[0]),

@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.logmath import HALF_LOG_2PI
+from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
 
 
 def _weights(lp, dtype):
@@ -348,3 +348,113 @@ def ring_viterbi_path_ll(y, lp, mu, sigma, x, *, L: int = 1024,
 
     per_block = jax.vmap(replay_block)(v0s, y_steps, x_steps, mask)
     return jnp.sum(per_block)
+
+
+@partial(jax.jit, static_argnames=("L", "H"))
+def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
+    """Overlap-save (halo-window) forward/backward: the block-parallel EM
+    engine without S^2 operators.
+
+    Each of B = ceil(T/L) windows [b*L - H, b*L + L + H) runs the plain
+    sequential log-plus recursions with window-local init (the reference's
+    forward init is emission-only anyway, src/baumwelch.jl:25-51, and
+    beta's terminal is exact for the last window, which ends at the real
+    T). Inside a window, alpha/beta are the true quantities up to one
+    additive constant per window once the halo has mixed — and every EM
+    statistic is a *per-t normalized* quantity in which those constants
+    cancel exactly, provided alpha, beta, and the normalizer at each t are
+    read from the SAME window (train/em.py does). The only global
+    quantity, the sequence ll = lse(alpha[T-1]), telescopes over
+    same-window differences:
+
+        ll = lse(a_0(e_0)) + sum_{b>=1} [lse(a_b(e_b)) - lse(a_b(s_b-1))]
+
+    (s_b/e_b = core start/end of window b; block 0 is init-exact), each
+    difference is window-constant-free, so the halo approximation error is
+    O(exp(-H / mixing)) — with H of a few template lengths it is below
+    float precision (tested vs the exact engines).
+
+    FLOPs: T * (1 + 2H/L) sequential-step work, B-way parallel — versus
+    the blocked operator scheme's S x multiplier. This is the production
+    EM mode on TPU.
+
+    Returns (alpha_w, beta_w, y_win, ll): window tensors in (W, B, S)
+    step-major layout, uniform window coordinates (edge rows realigned to
+    the real signal edges), and the telescoped ll.
+    """
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    T = y.shape[0]
+    K, N = mu.shape
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em = _emission_fns(mu, sigma)
+
+    B = -(-T // L)
+    Tp = B * L
+    W = L + 2 * H
+    if B < 2 or T < W:
+        raise ValueError("signal shorter than two blocks; use the "
+                         "sequential or blocked engine")
+
+    # uniform windows: row b covers [b*L - H, b*L - H + W) (reshape trick,
+    # same construction as parallel/overlap_save.ring_overlap_save); edge
+    # rows handle the *real* signal edges and are rolled back to uniform
+    # coordinates
+    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))
+    A = y_ext.reshape(B + 1, L)
+    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
+    y_win = y_win.at[0].set(jax.lax.dynamic_slice_in_dim(y, 0, W))
+    y_win = y_win.at[B - 1].set(jax.lax.dynamic_slice_in_dim(y, T - W, W))
+
+    y_steps = y_win.T                                          # (W, B)
+
+    def bem(y_t):
+        # batched emissions: y_t (B,) against body means (N, K-1)
+        es, ebm = em(y_t[:, None, None])
+        return es[:, 0, 0], ebm                  # (B,), (B, N, K-1)
+
+    es0, eb0 = bem(y_steps[0])
+
+    def fstep(c, y_t):
+        vs, vb = c
+        es, ebm = bem(y_t)
+        vs, vb = _fwd_step(vs, vb, es, ebm, w)
+        return (vs, vb), _flat(vs, vb)
+
+    _, frest = jax.lax.scan(fstep, (es0, eb0), y_steps[1:])
+    alpha_w = jnp.concatenate([_flat(es0, eb0)[None], frest], axis=0)
+
+    bs0 = jnp.zeros((B,), dtype)
+    bb0 = jnp.zeros((B, N, K - 1), dtype)
+
+    def bstep(c, y_next):
+        bs, bb = c
+        es, ebm = bem(y_next)
+        bs, bb = _bwd_step(bs, bb, es, ebm, w)
+        return (bs, bb), _flat(bs, bb)
+
+    _, brest = jax.lax.scan(bstep, (bs0, bb0), y_steps[1:], reverse=True)
+    beta_w = jnp.concatenate([brest, _flat(bs0, bb0)[None]], axis=0)
+
+    # realign edge rows to uniform coordinates (row 0 decoded [0, W),
+    # row B-1 decoded [T - W, T))
+    alpha_w = alpha_w.at[:, 0].set(jnp.roll(alpha_w[:, 0], H, axis=0))
+    beta_w = beta_w.at[:, 0].set(jnp.roll(beta_w[:, 0], H, axis=0))
+    shift = T - Tp - H
+    alpha_w = alpha_w.at[:, B - 1].set(
+        jnp.roll(alpha_w[:, B - 1], shift, axis=0))
+    beta_w = beta_w.at[:, B - 1].set(
+        jnp.roll(beta_w[:, B - 1], shift, axis=0))
+    y_win = y_win.at[0].set(jnp.roll(y_win[0], H))
+    y_win = y_win.at[B - 1].set(jnp.roll(y_win[B - 1], shift))
+
+    # telescoped ll from same-window lse differences
+    lse = logsumexp_rows(alpha_w, axis=-1)                     # (W, B)
+    pre = lse[H - 1]                                           # (B,)
+    endc = lse[H + L - 1]                                      # (B,)
+    iT = (T - 1) - ((B - 1) * L - H)
+    last_end = lse[iT, B - 1]
+    mid = jnp.sum(endc[1 : B - 1] - pre[1 : B - 1])
+    ll = endc[0] + mid + (last_end - pre[B - 1])
+    return alpha_w, beta_w, y_win, ll

@@ -150,22 +150,53 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     nothing; SURVEY.md §5.5 upgrades observability).
 
     fb_mode selects the alpha/beta engine — identical statistics up to
-    logsumexp reassociation:
+    logsumexp reassociation (and, for "overlap", an O(exp(-H/mixing))
+    halo term far below float precision):
       "ring"    gather-free sequential scans (ops/ring_fb.py) — lowest
                 total FLOPs, but a T-step serial dependency (CPU-friendly);
-      "blocked" log-plus block operators (parallel/block_fb.py) — ~S x more
-                FLOPs but B-way parallel over time blocks: the TPU path
-                (a T-step scan is latency-bound on TPU);
+      "overlap" halo-window block-parallel scans
+                (ops/ring_fb.ring_overlap_forward_backward) — T*(1+2H/L)
+                FLOPs, B-way parallel, no S^2 operators: the fastest TPU
+                path at production T;
+      "blocked" log-plus block operators — ~S x more FLOPs but B-way
+                parallel with exact boundary vectors;
       "gather"  generic in-edge tables (reference-shaped fallback).
     """
     N = tables.states.shape[0]
+    T = y.shape[0]
 
     smu = state_means(tables.states, mu)
+    beta_next = g_next = ll_override = None
     if fb_mode == "ring":
         from ..ops.ring_fb import ring_backward, ring_forward
 
         alpha = ring_forward(y, lp, mu, sigma)         # (T, S)
         beta = ring_backward(y, lp, mu, sigma)         # (T, S)
+    elif fb_mode == "overlap":
+        # halo-window block-parallel engine (ops/ring_fb.py): per-window
+        # constants cancel in every per-t statistic as long as alpha,
+        # beta, and the normalizer at a given t come from the same window
+        # — which is why the t+1 terms of xi below are read from the
+        # owner window's own beta/g, not the next window's
+        from ..ops.ring_fb import ring_overlap_forward_backward
+
+        H = max(4 * K, 64)
+        Lov = max(block, 4 * H)
+        alpha_w, beta_w, _, ll_override = ring_overlap_forward_backward(
+            y, lp, mu, sigma, L=Lov, H=H)
+
+        S = alpha_w.shape[-1]
+
+        def core(win, j0):
+            # (W, B, S) uniform window coords -> assembled (T, S)
+            return (win[j0 : j0 + Lov].transpose(1, 0, 2)
+                    .reshape(-1, S)[:T])
+
+        alpha = core(alpha_w, H)
+        beta = core(beta_w, H)
+        beta_next = core(beta_w, H + 1)[: T - 1]
+        alpha_next = core(alpha_w, H + 1)[: T - 1]
+        g_next = logsumexp_rows(alpha_next + beta_next, axis=1)
     elif fb_mode == "blocked":
         from ..ops.ring_fb import ring_blocked_forward_backward
 
@@ -185,7 +216,10 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     ab = alpha + beta
     g = logsumexp_rows(ab, axis=1)                     # (T,) logZ_t
     log_gamma = ab - g[:, None]
-    ll = logsumexp_rows(alpha[-1], axis=-1)
+    # overlap mode: lse(alpha[-1]) carries the last window's constant; the
+    # exact telescoped ll comes from the engine instead
+    ll = (ll_override if ll_override is not None
+          else logsumexp_rows(alpha[-1], axis=-1))
 
     # --- transition update (silent-state out-edges only, baumwelch.jl:226-264)
     # onset edges carry the full per-edge weight: each still-silent neuron
@@ -202,8 +236,13 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     em_tgt = (-HALF_LOG_2PI - jnp.log(sigma_)
               - (y[1:, None] - smu[tgt][None, :]) ** 2
               / (2.0 * sigma_ * sigma_))               # (T-1, N+1)
-    xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
-          + beta[1:, tgt] + em_tgt - g[1:, None])      # (T-1, N+1)
+    if beta_next is not None:                          # overlap mode: the
+        xi = (alpha[:-1, 0][:, None] + onset_w[None, :]  # t+1 terms must
+              + beta_next[:, tgt] + em_tgt             # come from the SAME
+              - g_next[:, None])                       # window as alpha[t]
+    else:
+        xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
+              + beta[1:, tgt] + em_tgt - g[1:, None])  # (T-1, N+1)
     xx = logsumexp_rows(xi, axis=0)                     # (N+1,)
     bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
     new_lp = (xx - bb)[1:]                              # drop silent self-loop
@@ -268,11 +307,21 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
     """Run `nsteps` EM iterations on a fixed topology."""
     import time as _time
 
+    block = 256
     if fb_mode is None:
-        # serial scans are latency-bound on TPU; block-parallel operators
+        # serial scans are latency-bound on TPU; block-parallel engines
         # are wasted FLOPs on CPU (the TPU backend may register under a
-        # plugin name, so test for cpu rather than "tpu")
-        fb_mode = "ring" if jax.default_backend() == "cpu" else "blocked"
+        # plugin name, so test for cpu rather than "tpu"). On TPU the
+        # halo-window engine is ~3.5x the operator-blocked one at
+        # production T (BENCHMARKS.md); it needs at least two blocks.
+        if jax.default_backend() == "cpu":
+            fb_mode = "ring"
+        else:
+            Hov = max(4 * K, 64)
+            fb_mode = ("overlap" if len(y) >= 2 * (2048 + 2 * Hov)
+                       else "blocked")
+    if fb_mode == "overlap":
+        block = 2048
     N = mu.shape[1]
     lls = []
     if N == 0:
@@ -293,7 +342,8 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
             callback(np.asarray(mu_d))
         t0 = _time.perf_counter()
         lp_d, pi_d, mu_d, sigma_d, ll = em_step(
-            y, lp_d, mu_d, sigma_d, tables, K=K, fb_mode=fb_mode)
+            y, lp_d, mu_d, sigma_d, tables, K=K, fb_mode=fb_mode,
+            block=block)
         if not eager:
             ll_devs.append(ll)
             continue

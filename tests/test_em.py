@@ -145,3 +145,36 @@ def test_streaming_em_matches_materialized():
     for n, m, s in zip(names, out_m, out_s):
         np.testing.assert_allclose(np.asarray(s), np.asarray(m), atol=1e-9,
                                    err_msg=n)
+
+
+def test_em_step_overlap_mode_matches_gather():
+    """The halo-window EM engine (fb_mode='overlap'): per-window constants
+    cancel in every statistic and the telescoped ll is exact, so one EM
+    step matches the exact gather engine to float precision."""
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.train.em import EMTables, em_step
+
+    K, T, sigma = 14, 8192, 0.3
+    rng = np.random.default_rng(4)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.004])
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    ss = build_state_space(2, K, False)
+    tables = EMTables.build(ss)
+    args = (jnp.asarray(y), jnp.asarray(np.log(pp)), jnp.asarray(temps),
+            jnp.asarray(sigma))
+    lp_g, pi_g, mu_g, sg_g, ll_g = em_step(*args, tables, K=K,
+                                           fb_mode="gather")
+    lp_o, pi_o, mu_o, sg_o, ll_o = em_step(*args, tables, K=K,
+                                           fb_mode="overlap")
+    np.testing.assert_allclose(np.asarray(lp_o), np.asarray(lp_g),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_g),
+                               atol=1e-9)
+    assert float(sg_o) == pytest.approx(float(sg_g), rel=1e-10)
+    assert float(ll_o) == pytest.approx(float(ll_g), rel=1e-10)
+    np.testing.assert_allclose(np.asarray(pi_o), np.asarray(pi_g),
+                               atol=1e-7)
