@@ -118,6 +118,21 @@ def main():
              "efficiency": round(base_em / t_em / D, 3)}
         print(json.dumps(r), flush=True)
         results.append(r)
+
+        def em_ov():
+            out = sharded_em_step(ys, lps, mus, sgs, tables, mesh, K=K,
+                                  L=512, fb_mode="overlap", H=240)
+            return np.asarray(out[0])
+
+        t_ov = _bench(em_ov)
+        if D == 1:
+            base_ov = t_ov
+        r = {"phase": "sharded_em_overlap", "D": D, "T": T, "L": 512,
+             "H": 240, "wall_s": round(t_ov, 4),
+             "speedup": round(base_ov / t_ov, 3),
+             "efficiency": round(base_ov / t_ov / D, 3)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
     return results
 
 

@@ -225,12 +225,22 @@ def _em_one_channel(y_loc, step_valid, lp, mu, sigma, tables: EMTables, *,
 
 def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
                     K: int, L: int = 256, time_axis: str = "time",
-                    channel_axis: str | None = "channel"):
+                    channel_axis: str | None = "channel",
+                    fb_mode: str = "blocked", H: int | None = None):
     """One EM step for a (C, T) channel batch on a (channel, time) mesh.
 
     Per-channel independent models: lp (C, N), mu (C, K, N), sigma (C,).
     T must be a multiple of mesh.shape[time_axis] * L. Returns
     (new_lp, new_pi, new_mu, new_sigma, ll), channel-sharded.
+
+    fb_mode:
+      "blocked" exact S x S block operators; cross-device state = the
+                all_gathered device operators + boundary vectors.
+      "overlap" halo-window engine: cross-device state = 2H neighbor
+                samples per boundary (one ppermute) + the statistic psums
+                — no operators at all. Needs >= 2 blocks per device and
+                halo accuracy per ops/ring_fb.ring_overlap_forward_backward
+                (below float precision at H = 4K).
 
     Single-channel time-only use: pass C=1 arrays and a channel axis of
     size 1 (or channel_axis=None with a 1-axis mesh).
@@ -240,11 +250,33 @@ def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
     Dv = mesh.shape[time_axis]
     if T % (Dv * L) != 0:
         raise ValueError(f"T={T} must be a multiple of Dv*L={Dv * L}")
+    if H is None:
+        H = max(4 * K, 64)
+    if fb_mode == "overlap":
+        Ts = T // Dv
+        if Ts // L < 2 or L < 2 * H:
+            raise ValueError(
+                f"overlap mode needs >= 2 blocks of L >= 2H per device "
+                f"(Ts={Ts}, L={L}, H={H})")
 
     # dummy masked step 0 aligns steps with samples (module docstring)
     step_valid = jnp.arange(T) > 0
 
     def body(y_loc, step_valid_loc, lp_loc, mu_loc, sigma_loc):
+        if fb_mode == "overlap":
+            Dv_ = jax.lax.axis_size(time_axis)
+            # halo exchange: my tail -> right neighbor's left halo,
+            # my head -> left neighbor's right halo (zeros at mesh edges)
+            halo_l = jax.lax.ppermute(
+                y_loc[:, -H:], time_axis,
+                [(i, i + 1) for i in range(Dv_ - 1)])
+            halo_r = jax.lax.ppermute(
+                y_loc[:, :H], time_axis,
+                [(i + 1, i) for i in range(Dv_ - 1)])
+            fn = partial(_em_one_channel_overlap, tables=tables, K=K, L=L,
+                         H=H, time_axis=time_axis)
+            return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))(
+                y_loc, halo_l, halo_r, lp_loc, mu_loc, sigma_loc)
         fn = partial(_em_one_channel, tables=tables, K=K, L=L,
                      time_axis=time_axis)
         return jax.vmap(fn, in_axes=(0, None, 0, 0, 0))(
@@ -261,3 +293,152 @@ def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
     )
     return jax.jit(mapped)(y, step_valid, jnp.asarray(lp), jnp.asarray(mu),
                            jnp.asarray(sigma))
+
+
+def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
+                            tables: EMTables, *, K: int, L: int, H: int,
+                            time_axis: str):
+    """Per-device, per-channel overlap-save EM body (fb_mode='overlap').
+
+    The halo-window engine (ops/ring_fb.ring_overlap_forward_backward
+    semantics) needs NO (S, S) operators and no boundary-vector chains:
+    each device decodes its local windows using 2*H halo samples from its
+    neighbors (exchanged once via ppermute — the entire cross-device state)
+    and every EM statistic is a same-window per-t quantity whose window
+    constants cancel; only the statistic reductions and the telescoped ll
+    cross devices (psum). y_loc: (Ts,); halo_l/halo_r: (H,) neighbor
+    samples (zeros at the mesh edges — edge windows use the real signal
+    edges instead).
+    """
+    from ..ops.ring_fb import (_bwd_step, _emission_fns, _flat, _fwd_step,
+                               _weights)
+
+    N = tables.states.shape[0]
+    S = tables.states.shape[1]
+    dtype = y_loc.dtype
+    didx = jax.lax.axis_index(time_axis)
+    Dv = jax.lax.axis_size(time_axis)
+    Ts = y_loc.shape[0]
+    B = Ts // L
+    W = L + 2 * H
+
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em_fn = _emission_fns(jnp.asarray(mu, dtype), sigma)
+
+    # local windows over [b*L - H, b*L + L + H) of the halo-extended span
+    y_halo = jnp.concatenate([halo_l, y_loc, halo_r])      # (Ts + 2H,)
+    y_ext = jnp.pad(y_halo, (0, (B + 1) * L - (Ts + 2 * H)))
+    A = y_ext.reshape(B + 1, L)
+    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
+    # mesh-edge rows decode the real signal edges and are realigned
+    first_real = jax.lax.dynamic_slice_in_dim(y_loc, 0, W)
+    last_real = jax.lax.dynamic_slice_in_dim(y_loc, Ts - W, W)
+    y_win = y_win.at[0].set(jnp.where(didx == 0, first_real, y_win[0]))
+    y_win = y_win.at[B - 1].set(
+        jnp.where(didx == Dv - 1, last_real, y_win[B - 1]))
+
+    y_steps = y_win.T                                      # (W, B)
+
+    def bem(y_t):
+        es, ebm = em_fn(y_t[:, None, None])
+        return es[:, 0, 0], ebm
+
+    es0, eb0 = bem(y_steps[0])
+
+    def fstep(c, y_t):
+        vs, vb = c
+        es, ebm = bem(y_t)
+        vs, vb = _fwd_step(vs, vb, es, ebm, w)
+        return (vs, vb), _flat(vs, vb)
+
+    _, frest = jax.lax.scan(fstep, (es0, eb0), y_steps[1:])
+    alpha_w = jnp.concatenate([_flat(es0, eb0)[None], frest], axis=0)
+
+    bs0 = jnp.zeros((B,), dtype)
+    bb0 = jnp.zeros((B, N, K - 1), dtype)
+
+    def bstep(c, y_next):
+        bs, bb = c
+        es, ebm = bem(y_next)
+        bs, bb = _bwd_step(bs, bb, es, ebm, w)
+        return (bs, bb), _flat(bs, bb)
+
+    _, brest = jax.lax.scan(bstep, (bs0, bb0), y_steps[1:], reverse=True)
+    beta_w = jnp.concatenate([brest, _flat(bs0, bb0)[None]], axis=0)
+
+    # realign mesh-edge rows to uniform coordinates (roll by +-H)
+    def roll_row(win, b, shift, pred):
+        return win.at[:, b].set(
+            jnp.where(pred, jnp.roll(win[:, b], shift, axis=0), win[:, b]))
+
+    alpha_w = roll_row(alpha_w, 0, H, didx == 0)
+    beta_w = roll_row(beta_w, 0, H, didx == 0)
+    alpha_w = roll_row(alpha_w, B - 1, -H, didx == Dv - 1)
+    beta_w = roll_row(beta_w, B - 1, -H, didx == Dv - 1)
+    y_win = y_win.at[0].set(
+        jnp.where(didx == 0, jnp.roll(y_win[0], H), y_win[0]))
+    y_win = y_win.at[B - 1].set(
+        jnp.where(didx == Dv - 1, jnp.roll(y_win[B - 1], -H), y_win[B - 1]))
+
+    # assembled same-window views over the local span
+    def core(win, j0):
+        return win[j0 : j0 + L].transpose(1, 0, 2).reshape(Ts, S)
+
+    alpha_loc = core(alpha_w, H)
+    beta_loc = core(beta_w, H)
+    beta_next = core(beta_w, H + 1)
+    alpha_next = core(alpha_w, H + 1)
+    y_next = y_win[:, H + 1 : H + L + 1].reshape(Ts)
+
+    ab = alpha_loc + beta_loc
+    g = logsumexp_rows(ab, axis=1)
+    log_gamma = ab - g[:, None]
+    g_next = logsumexp_rows(alpha_next + beta_next, axis=1)
+
+    # telescoped ll: device 0's first window is init-exact (absolute
+    # term); every other window contributes a same-window difference
+    lse_w = logsumexp_rows(alpha_w, axis=-1)               # (W, B)
+    pre = lse_w[H - 1]
+    endc = lse_w[H + L - 1]
+    absolute = (didx == 0)
+    terms = jnp.where((jnp.arange(B) == 0) & absolute, endc, endc - pre)
+    ll = jax.lax.psum(jnp.sum(terms), time_axis)
+
+    # ---- transition statistics (same-window t+1 terms)
+    onset_w = edge_weights_from_structure(
+        lp, tables.onset_n_silent, tables.onset_onsets,
+        jnp.ones_like(tables.onset_n_silent, dtype=bool))
+    tgt = tables.onset_targets
+    smu = state_means(tables.states, mu)
+    sigma_ = jnp.asarray(sigma, dtype)
+    em_tgt = (-0.9189385332046727 - jnp.log(sigma_)
+              - (y_next[:, None] - smu[tgt][None, :]) ** 2
+              / (2.0 * sigma_ * sigma_))                   # (Ts, N+1)
+    xi = (alpha_loc[:, 0][:, None] + onset_w[None, :]
+          + beta_next[:, tgt] + em_tgt - g_next[:, None])
+    # step t -> t+1 exists for global t <= T-2: mask the global last sample
+    is_last = (didx == Dv - 1) & (jnp.arange(Ts) == Ts - 1)
+    xi = jnp.where(is_last[:, None], -jnp.inf, xi)
+    xx = _dist_lse(logsumexp_rows(xi, axis=0), time_axis)
+
+    g0 = jnp.where(is_last, -jnp.inf, log_gamma[:, 0])
+    bb_ = _dist_lse(logsumexp_rows(g0, axis=0), time_axis)
+    new_lp = (xx - bb_)[1:]
+
+    new_pi = jax.lax.psum(
+        jnp.where(didx == 0, log_gamma[0], jnp.zeros(S, dtype)), time_axis)
+
+    # ---- template update + global sigma (one MXU matmul of moments)
+    gamma = jnp.exp(log_gamma)
+    Pm = jnp.stack([jnp.ones_like(y_loc), y_loc, y_loc * y_loc])
+    M = jax.lax.psum(Pm @ gamma, time_axis)                # (3, S)
+    G1, Gy, Gy2 = M[0], M[1], M[2]
+    nbody = N * (K - 1)
+    body = (Gy[1 : 1 + nbody] / G1[1 : 1 + nbody]).reshape(N, K - 1).T
+    new_mu = jnp.concatenate([jnp.zeros((1, N), dtype), body], axis=0)
+    smu2 = state_means(tables.states, new_mu)
+    x2 = jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy) + jnp.dot(smu2 * smu2, G1)
+    new_sigma = jnp.sqrt(x2 / jnp.sum(G1))
+
+    return new_lp, new_pi, new_mu, new_sigma, ll

@@ -112,3 +112,33 @@ def test_runner_make_mesh_and_main_smoke(capsys):
     assert rc == 0
     rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["phase"] == "sharded_em" and rec["em_iter_per_s"] > 0
+
+
+@pytest.mark.parametrize("tdev,cdev", [(4, 1), (2, 2)])
+def test_sharded_em_overlap_mode_matches_single_device(tdev, cdev):
+    """Distributed overlap-save EM (fb_mode='overlap'): only 2H halo
+    samples cross devices, yet one step matches the exact single-device EM
+    to float precision (window constants cancel; ll telescopes)."""
+    y, mu, lp, sigma, ss = _mk(K=12, T=8192)
+    tables = EMTables.build(ss)
+    C = cdev
+    ys = np.stack([y] * C)
+    lps = np.stack([lp] * C)
+    mus = np.stack([mu] * C)
+    sigmas = np.full(C, sigma)
+
+    devs = np.array(jax.devices()[: tdev * cdev]).reshape(cdev, tdev)
+    mesh = Mesh(devs, ("channel", "time"))
+    out = sharded_em_step(ys, lps, mus, sigmas, tables, mesh, K=ss.K,
+                          L=512, fb_mode="overlap", H=128)
+    lp_sh, pi_sh, mu_sh, sig_sh, ll_sh = map(np.asarray, out)
+
+    lp_1, pi_1, mu_1, sig_1, ll_1 = em_step(
+        jnp.asarray(y), jnp.asarray(lp), jnp.asarray(mu),
+        jnp.asarray(sigma), tables, K=ss.K, fb_mode="gather")
+    for c in range(C):
+        np.testing.assert_allclose(lp_sh[c], np.asarray(lp_1), rtol=1e-9)
+        np.testing.assert_allclose(mu_sh[c], np.asarray(mu_1), atol=1e-9)
+        assert sig_sh[c] == pytest.approx(float(sig_1), rel=1e-10)
+        assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-10)
+        np.testing.assert_allclose(pi_sh[c], np.asarray(pi_1), atol=1e-7)
