@@ -149,7 +149,8 @@ def main():
                            if bw_vs_baseline is not None else None),
         "bw_config": f"N={N} K={K} non-overlap T=2^19 {bw_mode} L={bw_block}",
         "seams_ok_frac": float(np.mean(seam_ok)),
-        "config": "N=2 K=60 overlaps S=3600 T=2^21 f32 L=8192 H=256 ring",
+        "config": ("N=2 K=60 overlaps S=3600 T=2^21 f32 L=8192 H=256 "
+                   "block_engine=auto(pallas fwd+bt)"),
         "device": str(jax.devices()[0]),
     }))
 

@@ -207,17 +207,12 @@ def _make_kernel(Km1: int, Wc: int):
 
 
 @partial(jax.jit, static_argnames=("silent_start0", "interpret"))
-def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
-                          silent_mask=None, interpret=False):
-    """Fused multi-block forward over (B, W) windows.
-
-    B is padded to a multiple of G internally. silent_start0 forces the
-    reference's silent start on block 0; silent_mask ((B,) bool, traced)
-    overrides it with per-block flags. Returns arrays in (B, ...) layout:
-    flags (B, W) i32 [bp_sil | b0_on | b1_on packed], rings (B, W, KP) i8
-    [b0r | b1r packed], and final state vectors vsT (B,), v0T/v1T (B, KP),
-    vpT (B, KP, KP).
-    """
+def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
+                    silent_mask=None, interpret=False):
+    """Fused multi-block forward; outputs stay in the kernel's native
+    (Bg, ..., G) lane layout (no transposes): flags (Bg, W, G) i32,
+    rings (Bg, W*KP, G) i8, vsT (Bg, 1, G), v0T/v1T (Bg, KP, G),
+    vpT (Bg, KP*KP, G)."""
     B, W = y_win.shape
     K = mu.shape[0]
     Km1 = K - 1
@@ -305,8 +300,30 @@ def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(y_in, consts, b0m, b1m, pm, sil_in)
+    return flags, rings, vsT, v0T, v1T, vpT
 
-    # unpack lanes back to block-major layout
+
+def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
+                          silent_mask=None, interpret=False):
+    """Fused multi-block forward over (B, W) windows.
+
+    B is padded to a multiple of G internally. silent_start0 forces the
+    reference's silent start on block 0; silent_mask ((B,) bool, traced)
+    overrides it with per-block flags. Returns arrays in (B, ...) layout:
+    flags (B, W) i32 [bp_sil | b0_on | b1_on packed], rings (B, W, KP) i8
+    [b0r | b1r packed], and final state vectors vsT (B,), v0T/v1T (B, KP),
+    vpT (B, KP, KP).
+    """
+    outs = _forward_native(y_win, lp, mu, sigma, silent_start0=silent_start0,
+                           silent_mask=silent_mask, interpret=interpret)
+    return _native_to_blockmajor(outs, y_win.shape[0])
+
+
+def _native_to_blockmajor(outs, B):
+    """Unpack lanes back to block-major layout (the big transposes)."""
+    flags, rings, vsT, v0T, v1T, vpT = outs
+    Bg, W, _ = flags.shape
+    Bp = Bg * G
     flags = flags.transpose(0, 2, 1).reshape(Bp, W)[:B]
     rings = rings.reshape(Bg, W, KP, G).transpose(0, 3, 1, 2).reshape(
         Bp, W, KP)[:B]
@@ -319,15 +336,146 @@ def ov2_forward_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
 
 
 def ov2_decode_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
-                         silent_mask=None, interpret=False):
-    """(B, W) windows -> (B, W) int32 labels: fused multi-block forward +
-    XLA backtrace (same chase as ring_viterbi_ov2, driven by the flags)."""
+                         silent_mask=None, interpret=False,
+                         fused_backtrace=True):
+    """(B, W) windows -> (B, W) int32 labels via the fused multi-block
+    forward, then either the lane-parallel Pallas backtrace on the native
+    layout (fused_backtrace=True — skips the large flag transposes and the
+    serial XLA chase) or the XLA backtrace (identical labels)."""
     K = jnp.asarray(mu).shape[0]
-    outs = ov2_forward_pallas_mb(y_win, lp, mu, sigma,
-                                 silent_start0=silent_start0,
-                                 silent_mask=silent_mask,
-                                 interpret=interpret)
-    return _backtrace_mb(outs, K - 1, y_win.shape[1])
+    Km1 = K - 1
+    if not fused_backtrace:
+        outs = ov2_forward_pallas_mb(y_win, lp, mu, sigma,
+                                     silent_start0=silent_start0,
+                                     silent_mask=silent_mask,
+                                     interpret=interpret)
+        return _backtrace_mb(outs, Km1, y_win.shape[1])
+
+    B, W = y_win.shape
+    flags_g, rings_g, vsT_g, v0T_g, v1T_g, vpT_g = _forward_native(
+        y_win, lp, mu, sigma, silent_start0=silent_start0,
+        silent_mask=silent_mask, interpret=interpret)
+    Bg = flags_g.shape[0]
+    # per-block termination: first-argmax over the flat state order
+    # [silent | n0 ring | n1 ring | pair grid k1-major] (viterbi.jl:90)
+    vp4 = vpT_g.reshape(Bg, KP, KP, G)
+    flat = jnp.concatenate(
+        [vsT_g, v0T_g[:, :Km1, :], v1T_g[:, :Km1, :],
+         vp4[:, :Km1, :Km1, :].reshape(Bg, Km1 * Km1, G)], axis=1)
+    xT = jnp.argmax(flat, axis=1).astype(jnp.int32)[:, None, :]  # (Bg,1,G)
+    labels_g = _backtrace_mb_pallas(flags_g, rings_g, xT, Km1=Km1,
+                                    interpret=interpret)
+    return labels_g.transpose(0, 2, 1).reshape(Bg * G, W)[:B]
+
+
+def _make_backtrace_kernel(Km1: int, Wc: int):
+    """Lane-parallel backtrace: grid (Bg, Wc) iterated with the chunk axis
+    REVERSED via the index maps; the chase state lives in scratch and each
+    lane (block) follows its own pointer chain simultaneously. Per step the
+    ring-choice flag is read with a one-hot sublane reduction over the
+    (KP, G) ring rows — no gathers. Same arithmetic as the XLA backtrace
+    (mirroring ring_viterbi_ov2's `back`)."""
+    SGL0, SGL1, PAIR = 1, 1 + Km1, 1 + 2 * Km1
+
+    def kernel(flags_ref, rings_ref, xT_ref, lab_ref, x_s):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            x_s[0:1, :] = xT_ref[0]
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (KP, G), 0)
+        end0, end1 = SGL0 + Km1 - 1, SGL1 + Km1 - 1
+        pair_end = PAIR + (Km1 - 1) * Km1 + (Km1 - 1)
+
+        for s in range(CH - 1, -1, -1):
+            def step(s=s):
+                x = x_s[0:1, :]                               # (1, G)
+                lab_ref[0, s : s + 1, :] = x
+                f = flags_ref[0, s : s + 1, :]                # (1, G)
+                bp_s = f & 3
+                b0o = (f >> 2) & 1
+                b1o = f >> 3
+                rr = rings_ref[0, s * KP : (s + 1) * KP, :].astype(
+                    jnp.int32)                                # (KP, G)
+
+                from_sil = jnp.where(
+                    bp_s == 0, 0,
+                    jnp.where(bp_s == 1, end0,
+                              jnp.where(bp_s == 2, end1, pair_end)))
+                j0 = x - SGL0
+                c0 = jnp.sum(jnp.where(sub == j0, rr & 1, 0), axis=0,
+                             keepdims=True)
+                from_s0 = jnp.where(
+                    j0 == 0, jnp.where(b0o == 0, 0, end1),
+                    jnp.where(c0 == 0, x - 1,
+                              PAIR + (j0 - 1) * Km1 + (Km1 - 1)))
+                j1 = x - SGL1
+                c1 = jnp.sum(jnp.where(sub == j1, rr >> 1, 0), axis=0,
+                             keepdims=True)
+                from_s1 = jnp.where(
+                    j1 == 0, jnp.where(b1o == 0, 0, end0),
+                    jnp.where(c1 == 0, x - 1,
+                              PAIR + (Km1 - 1) * Km1 + (j1 - 1)))
+                jp = x - PAIR
+                a = jp // Km1
+                b = jp % Km1
+                from_p = jnp.where(
+                    (a == 0) & (b == 0), 0,
+                    jnp.where(b == 0, SGL0 + a - 1,
+                              jnp.where(a == 0, SGL1 + b - 1,
+                                        x - Km1 - 1)))
+                x_prev = jnp.where(
+                    x == 0, from_sil,
+                    jnp.where(x < SGL1, from_s0,
+                              jnp.where(x < PAIR, from_s1, from_p)))
+                x_s[0:1, :] = x_prev
+
+            if s == 0:
+                # t = chunk_start: only update the chase when t > 0
+                @pl.when(c < Wc - 1)
+                def _():
+                    step()
+                @pl.when(c == Wc - 1)
+                def _():
+                    lab_ref[0, 0:1, :] = x_s[0:1, :]
+            else:
+                step()
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("Km1", "interpret"))
+def _backtrace_mb_pallas(flags_g, rings_g, xT_g, *, Km1: int,
+                         interpret=False):
+    """Backtrace on the kernel's native (Bg, ..., G) layout.
+
+    flags_g (Bg, W, G) i32; rings_g (Bg, W*KP, G) i8; xT_g (Bg, 1, G) i32.
+    Returns labels (Bg, W, G) i32.
+    """
+    Bg, W, _ = flags_g.shape
+    Wc = W // CH
+    kernel = _make_backtrace_kernel(Km1, Wc)
+    # the chunk axis runs in REVERSE through the index maps
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bg, W, G), jnp.int32),
+        grid=(Bg, Wc),
+        in_specs=[
+            pl.BlockSpec((1, CH, G), lambda b, c: (b, Wc - 1 - c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH * KP, G), lambda b, c: (b, Wc - 1 - c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CH, G), lambda b, c: (b, Wc - 1 - c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, G), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(flags_g, rings_g, xT_g)
 
 
 @partial(jax.jit, static_argnames=("Km1", "W"))
