@@ -66,7 +66,9 @@ class ModelConfig:
 class TrainConfig:
     """EM training schedule and surgery thresholds (baumwelch.jl:311-354)."""
 
-    nsteps: int = 8
+    nsteps: int | None = None        # None -> entry-point default (8 for
+    #                                  train_model, baumwelch.jl:311; 10
+    #                                  for fit_template_model)
     p0: float | None = None          # None -> 2^(-3K/2) (baumwelch.jl:311)
     condense_alpha: float = 0.05     # merge chi^2 level (baumwelch.jl:340)
     sparse_lp0: float = -70.0        # onset-logp cutoff (baumwelch.jl:344)

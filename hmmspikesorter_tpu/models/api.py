@@ -104,8 +104,11 @@ def fit_template_model(
 
     A config.Config supplies defaults for anything not passed explicitly
     (this entry point's historical nsteps default is 10, vs train_model's
-    reference 8 — preserved when neither kwarg nor config specify it)."""
-    if nsteps is None and (config is None or config.train is None):
+    reference 8 — preserved when neither kwarg nor config specify it;
+    TrainConfig.nsteps defaults to None, so a config that only touches
+    other sections does not silently change the training schedule)."""
+    if nsteps is None and (config is None or config.train is None
+                          or config.train.nsteps is None):
         nsteps = 10
     res: TrainResult = train_model(
         y, n_neurons, K, nsteps, rng=rng, verbose=verbose, config=config,
@@ -347,7 +350,8 @@ def model_response(model: HMMSpikingModel) -> np.ndarray:
 
 def fit_template_models_batched(ys, n_neurons: int, K: int, nsteps: int,
                                 mesh, *, rng=None, L: int = 256,
-                                surgery: bool = True):
+                                surgery: bool = True,
+                                fb_mode: str = "blocked"):
     """Train independent template models for a channel batch on a
     (channel, time) mesh via the distributed EM step
     (parallel/sharded_em.py) — dp over channels, sp over time.
@@ -378,7 +382,8 @@ def fit_template_models_batched(ys, n_neurons: int, K: int, nsteps: int,
     tables = EMTables.build(ss)
 
     for _ in range(nsteps):
-        out = sharded_em_step(ys, lps, mus, sigmas, tables, mesh, K=K, L=L)
+        out = sharded_em_step(ys, lps, mus, sigmas, tables, mesh, K=K, L=L,
+                              fb_mode=fb_mode)
         lps, _, mus, sigmas = (np.asarray(out[0]), out[1],
                                np.asarray(out[2]), np.asarray(out[3]))
 

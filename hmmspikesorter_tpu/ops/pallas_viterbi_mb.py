@@ -51,7 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALF_LOG_2PI = 0.9189385332046727
+from ..utils.logmath import HALF_LOG_2PI
+
 NEG = -3.0e38
 G = 128          # blocks per program == VPU lanes
 KP = 64          # padded ring dimension (K-1 <= 64, i.e. K <= 65)

@@ -398,14 +398,22 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
                          "sequential or blocked engine")
 
     # uniform windows: row b covers [b*L - H, b*L - H + W) (reshape trick,
-    # same construction as parallel/overlap_save.ring_overlap_save); edge
-    # rows handle the *real* signal edges and are rolled back to uniform
-    # coordinates
+    # same construction as parallel/overlap_save.ring_overlap_save); rows
+    # whose uniform window would cross a real signal edge decode the real
+    # edge instead (zero padding is FAKE silence — a beta computed through
+    # it biases the EM statistics near the boundary) and are rolled back
+    # to uniform coordinates below. Rows that can overrun the right edge:
+    # B-1 always (by construction when T < Tp), and B-2 iff
+    # (B-1)*L + H > T, i.e. 0 < T mod L < H.
     y_ext = jnp.pad(y, (H, Tp - T + (L - H)))
     A = y_ext.reshape(B + 1, L)
     y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
-    y_win = y_win.at[0].set(jax.lax.dynamic_slice_in_dim(y, 0, W))
-    y_win = y_win.at[B - 1].set(jax.lax.dynamic_slice_in_dim(y, T - W, W))
+    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
+    for b, shift in edge_rows.items():
+        start = 0 if b == 0 else T - W
+        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, start, W))
 
     y_steps = y_win.T                                          # (W, B)
 
@@ -437,17 +445,14 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
     _, brest = jax.lax.scan(bstep, (bs0, bb0), y_steps[1:], reverse=True)
     beta_w = jnp.concatenate([brest, _flat(bs0, bb0)[None]], axis=0)
 
-    # realign edge rows to uniform coordinates (row 0 decoded [0, W),
-    # row B-1 decoded [T - W, T))
-    alpha_w = alpha_w.at[:, 0].set(jnp.roll(alpha_w[:, 0], H, axis=0))
-    beta_w = beta_w.at[:, 0].set(jnp.roll(beta_w[:, 0], H, axis=0))
-    shift = T - Tp - H
-    alpha_w = alpha_w.at[:, B - 1].set(
-        jnp.roll(alpha_w[:, B - 1], shift, axis=0))
-    beta_w = beta_w.at[:, B - 1].set(
-        jnp.roll(beta_w[:, B - 1], shift, axis=0))
-    y_win = y_win.at[0].set(jnp.roll(y_win[0], H))
-    y_win = y_win.at[B - 1].set(jnp.roll(y_win[B - 1], shift))
+    # realign edge rows to uniform coordinates (roll by
+    # actual_start - uniform_start; uniform positions beyond the real
+    # signal hold wrapped garbage, which the consumers mask/trim)
+    for b, shift in edge_rows.items():
+        alpha_w = alpha_w.at[:, b].set(jnp.roll(alpha_w[:, b], shift,
+                                                axis=0))
+        beta_w = beta_w.at[:, b].set(jnp.roll(beta_w[:, b], shift, axis=0))
+        y_win = y_win.at[b].set(jnp.roll(y_win[b], shift))
 
     # telescoped ll from same-window lse differences
     lse = logsumexp_rows(alpha_w, axis=-1)                     # (W, B)

@@ -146,9 +146,11 @@ def _decode_blocks_from_y(y_win, sil, in_idx, in_w, state_mu, sigma):
     log_sigma = jnp.log(sigma)
     inv_2s2 = 1.0 / (2.0 * sigma * sigma)
 
+    from ..utils.logmath import HALF_LOG_2PI
+
     def em(v):
         d = v - state_mu
-        return -0.9189385332046727 - log_sigma - d * d * inv_2s2
+        return -HALF_LOG_2PI - log_sigma - d * d * inv_2s2
 
     def decode_one(yy, v_init):
         def step(carry, y_t):
@@ -280,12 +282,17 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool,
         raise ValueError("need L >= 2H so seam cuts are monotone")
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
-    if block_engine == "auto":
+    if block_engine in ("auto", "pallas"):
         from ..ops.pallas_viterbi_mb import CH, KP
 
         usable = (overlaps and mu.shape[1] == 2 and mu.shape[0] - 1 <= KP
                   and (L + 2 * H) % CH == 0
                   and jax.default_backend() not in ("cpu",))
+        if block_engine == "pallas" and not usable:
+            raise ValueError(
+                "block_engine='pallas' requires the N=2 overlap topology "
+                f"with K <= {KP + 1}, window (L+2H) % {CH} == 0, and a "
+                "TPU backend")
         block_engine = "pallas" if usable else "ring"
     return _ring_overlap_save_impl(jnp.asarray(y), lp, mu,
                                    jnp.asarray(sigma), L=L, H=H,
@@ -337,14 +344,17 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
     y_ext = jnp.pad(y, (H, Tp - T + (L - H)))        # length Tp + L
     A = y_ext.reshape(B + 1, L)
     y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
-    # edge rows decode the *real* signal edges (reference-faithful init
-    # at sample 0 and termination at T): row 0 = y[0:W], row B-1 =
-    # y[T-W:T] — never the zero pad, whose fake silence would bias the
-    # backtrace of a spike straddling the true signal end; their labels
-    # are rolled back into uniform coordinates
-    y_win = y_win.at[0].set(jax.lax.dynamic_slice_in_dim(y, 0, W))
-    y_win = y_win.at[B - 1].set(
-        jax.lax.dynamic_slice_in_dim(y, T - W, W))
+    # rows whose uniform window would cross a real signal edge decode the
+    # real edge instead (reference-faithful init at sample 0, termination
+    # at T; zero-pad is fake silence that would bias the backtrace) and
+    # are rolled back into uniform coordinates after the decode. Besides
+    # rows 0 and B-1, row B-2's right halo overruns T iff 0 < T mod L < H.
+    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
+    for b in edge_rows:
+        start = 0 if b == 0 else T - W
+        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, start, W))
     sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
 
     if block_engine == "pallas":
@@ -356,10 +366,9 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
             lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
                                   with_ll=False)[0])(y_win, sil0)
 
-    # realign edge rows to uniform window coordinates (row B-1's uniform
-    # start is Tp - L - H but it decoded [T - W, T))
-    xb = xb.at[0].set(jnp.roll(xb[0], H))
-    xb = xb.at[B - 1].set(jnp.roll(xb[B - 1], T - Tp - H))
+    # realign edge rows to uniform window coordinates
+    for b, shift in edge_rows.items():
+        xb = xb.at[b].set(jnp.roll(xb[b], shift))
 
     # seam s at p=(s+1)L, window [p-H, p+H): static slices in uniform
     # coordinates

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.emission import emission_logprob, state_means
 from ..train.em import EMTables, edge_weights_from_structure
-from ..utils.logmath import logsumexp_rows
+from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
 from .block_fb import _lse_matvec_left, _lse_matvec_right
 
 
@@ -301,7 +301,11 @@ def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
     """Per-device, per-channel overlap-save EM body (fb_mode='overlap').
 
     The halo-window engine (ops/ring_fb.ring_overlap_forward_backward
-    semantics) needs NO (S, S) operators and no boundary-vector chains:
+    semantics — that module is the twin of this window/realignment logic;
+    any fix to one MUST be mirrored in the other, except that the ragged-T
+    edge cases cannot arise here because sharded_em_step enforces
+    T % (Dv*L) == 0) needs NO (S, S) operators and no boundary-vector
+    chains:
     each device decodes its local windows using 2*H halo samples from its
     neighbors (exchanged once via ppermute — the entire cross-device state)
     and every EM statistic is a same-window per-t quantity whose window
@@ -412,7 +416,7 @@ def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
     tgt = tables.onset_targets
     smu = state_means(tables.states, mu)
     sigma_ = jnp.asarray(sigma, dtype)
-    em_tgt = (-0.9189385332046727 - jnp.log(sigma_)
+    em_tgt = (-HALF_LOG_2PI - jnp.log(sigma_)
               - (y_next[:, None] - smu[tgt][None, :]) ** 2
               / (2.0 * sigma_ * sigma_))                   # (Ts, N+1)
     xi = (alpha_loc[:, 0][:, None] + onset_w[None, :]

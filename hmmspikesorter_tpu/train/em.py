@@ -317,9 +317,11 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
         if jax.default_backend() == "cpu":
             fb_mode = "ring"
         else:
+            # the overlap engine needs >= 2 windows of the ACTUAL window
+            # length em_step will derive (Lov = max(2048, 4H))
             Hov = max(4 * K, 64)
-            fb_mode = ("overlap" if len(y) >= 2 * (2048 + 2 * Hov)
-                       else "blocked")
+            Lov = max(2048, 4 * Hov)
+            fb_mode = "overlap" if len(y) >= 2 * Lov else "blocked"
     if fb_mode == "overlap":
         block = 2048
     N = mu.shape[1]

@@ -76,8 +76,11 @@ def guard_inputs(y, sigma: float) -> None:
     y = np.asarray(y)
     if y.ndim != 1 or len(y) == 0:
         raise ValueError(f"signal must be 1-D and non-empty, got {y.shape}")
-    if np.isnan(y).any():
-        raise ValueError("signal contains NaN samples")
+    if not np.isfinite(y).all():
+        # inf is as fatal as NaN here: an inf sample makes the emission
+        # -inf and 0 * -inf turns into NaN inside the one-hot selection
+        # matmuls of the table-driven engines
+        raise ValueError("signal contains NaN or infinite samples")
     if not np.isfinite(sigma) or sigma <= 0:
         raise ValueError(f"noise sigma must be finite and positive, "
                          f"got {sigma}")

@@ -13,7 +13,10 @@ from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_templa
 def test_defaults_mirror_reference():
     cfg = Config()
     assert (cfg.model.n_neurons, cfg.model.K) == (3, 60)
-    assert cfg.train.nsteps == 8                  # baumwelch.jl:311
+    # None = "unset": train_model falls back to the reference's 8
+    # (baumwelch.jl:311) and fit_template_model keeps its historical 10,
+    # so a Config touching only other sections never changes the schedule
+    assert cfg.train.nsteps is None
     assert cfg.train.p0 is None                   # -> 2^(-3K/2)
     assert cfg.train.sparse_lp0 == -70.0          # baumwelch.jl:344
     assert cfg.decode.chunksize == 100_000        # hmmsort.jl:90

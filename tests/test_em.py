@@ -178,3 +178,35 @@ def test_em_step_overlap_mode_matches_gather():
     assert float(ll_o) == pytest.approx(float(ll_g), rel=1e-10)
     np.testing.assert_allclose(np.asarray(pi_o), np.asarray(pi_g),
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("T", [1288, 1290, 1280 + 63])
+def test_em_step_overlap_mode_ragged_T(T):
+    """Ragged T with 0 < T mod L < H: the second-to-last window's right
+    halo must decode the real signal end, not the zero pad (whose fake
+    silence biased beta/gamma near (B-1)*L — review finding r2)."""
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.train.em import EMTables, em_step
+
+    K, sigma = 14, 2.0                   # large sigma amplifies the bias
+    rng = np.random.default_rng(4)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.004])
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    ss = build_state_space(2, K, False)
+    tables = EMTables.build(ss)
+    args = (jnp.asarray(y), jnp.asarray(np.log(pp)), jnp.asarray(temps),
+            jnp.asarray(sigma))
+    # block=256 -> Lov = max(256, 4*max(4K,64)) = 256, H = 64
+    lp_g, _, mu_g, sg_g, ll_g = em_step(*args, tables, K=K,
+                                        fb_mode="gather")
+    lp_o, _, mu_o, sg_o, ll_o = em_step(*args, tables, K=K,
+                                        fb_mode="overlap")
+    np.testing.assert_allclose(np.asarray(lp_o), np.asarray(lp_g),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_g),
+                               atol=1e-7)
+    assert float(ll_o) == pytest.approx(float(ll_g), rel=1e-9)

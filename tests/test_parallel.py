@@ -178,3 +178,31 @@ def test_streaming_first_block_silent_start():
                                     blocks_per_call=2)
     np.testing.assert_array_equal(np.asarray(stream.ml_seq, np.int64),
                                   np.asarray(seq.ml_seq, np.int64))
+
+
+def test_tail_edge_bitmatch_T_mod_L_less_than_H():
+    """0 < T mod L < H: row B-2's right halo also overruns the true end
+    and must decode the real signal, not the zero pad (review finding r2;
+    the earlier tail test had T mod L > H and missed this band)."""
+    from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                               fit_spiking_model,
+                                               fit_spiking_model_fast)
+
+    K, sigma = 20, 0.2
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    rng = np.random.default_rng(13)
+    L, H = 1024, 256
+    T = 5 * L + 100                       # T mod L = 100 < H
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    y = np.asarray(y, float)
+    # spikes straddling the B-2/B-1 window boundary region near (B-1)*L
+    for t0 in (5 * L - 30, 5 * L + 40):
+        y[t0 : t0 + K - 1] += temps[1:, 0][: max(0, min(K - 1, T - t0))]
+    tm = HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log(pp),
+                          allow_overlaps=True)
+    seq = fit_spiking_model(tm, y)
+    fast = fit_spiking_model_fast(tm, y, L=L, H=H)
+    np.testing.assert_array_equal(np.asarray(fast.ml_seq, np.int64),
+                                  np.asarray(seq.ml_seq, np.int64))
