@@ -56,7 +56,7 @@ from ..utils.logmath import HALF_LOG_2PI
 NEG = -3.0e38
 G = 128          # blocks per program == VPU lanes
 KP = 64          # padded ring dimension (K-1 <= 64, i.e. K <= 65)
-CH = 16          # window steps per grid chunk
+CH = 32          # window steps per grid chunk
 
 
 def _round_up(x, m):
