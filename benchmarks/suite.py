@@ -140,8 +140,7 @@ def config4():
     import jax
     import jax.numpy as jnp
 
-    from hmmspikesorter_tpu.parallel.overlap_save import (
-        _ring_overlap_save_impl)
+    from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
 
     K, sigma, C, Tc = 60, 0.3, 16, 1_000_000
     Tc = (Tc // 8192) * 8192
@@ -151,10 +150,11 @@ def config4():
     lp = jnp.asarray(np.log(pp), jnp.float32)
     mu = jnp.asarray(_mk_signal(100, sigma, pp, K)[2], jnp.float32)
 
-    # per-channel on-device overlap-save; one compile, C executions
+    # per-channel on-device overlap-save (block_engine=auto -> the fused
+    # pallas kernels on TPU); one compile, C executions
     def one(yy):
-        x, _ = _ring_overlap_save_impl(yy, lp, mu, jnp.float32(sigma),
-                                       L=8192, H=256, overlaps=True)
+        x, _ = ring_overlap_save(yy, lp, mu, jnp.float32(sigma),
+                                 L=8192, H=256, overlaps=True)
         return np.asarray(x)
 
     yd = [jnp.asarray(ys[c]) for c in range(C)]
