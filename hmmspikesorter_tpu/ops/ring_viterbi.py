@@ -332,30 +332,51 @@ def ring_viterbi_ov2(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     return x, jnp.sum(path_scores)
 
 
+@partial(jax.jit, static_argnames=("engine_name",))
+def _block_decode_batched(y_win, sil, lp, mu, sigma, *, engine_name: str):
+    """Module-level jitted batch decode: repeated calls with the same
+    shapes hit the global jit cache. (A per-call jit(lambda ...) closure
+    would recompile the whole program — including the Pallas kernels —
+    on every fit_spiking_model_fast invocation: tens of seconds through
+    the remote compiler.)"""
+    from .ring_viterbi_ovn import ring_viterbi_ovn
+
+    if engine_name == "pallas":
+        from .pallas_viterbi_mb import ov2_decode_pallas_mb
+
+        x = ov2_decode_pallas_mb(y_win, lp, mu, sigma, silent_mask=sil)
+    else:
+        engine = {"nov": ring_viterbi_nov, "ov2": ring_viterbi_ov2,
+                  "ovn": ring_viterbi_ovn}[engine_name]
+        one = lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
+                                    with_ll=False)[0]
+        x = jax.vmap(one)(y_win, sil)
+    # int16 when the state space fits: halves the device->host label
+    # transfer, which dominates streaming wall time on tunneled backends
+    K, N = mu.shape
+    S = (1 + N * (K - 1) + (N * (N - 1) // 2) * (K - 1) ** 2
+         if engine_name in ("ov2", "ovn", "pallas") else 1 + N * (K - 1))
+    return x.astype(jnp.int16) if S <= 32767 else x
+
+
 def ring_block_decoder(lp, mu, sigma, *, overlaps: bool,
                        block_engine: str = "ring"):
     """Batched windowed decoder for overlap_save_decode_long: returns a
-    jitted callable ((B, W) windows, (B,) bool silent-start rows) ->
-    (B, W) int32 labels using the ring-structured engines (emission-only
-    init except flagged rows), or the fused multi-block Pallas kernel
+    callable ((B, W) windows, (B,) bool silent-start rows) -> (B, W) int32
+    labels using the ring-structured engines (emission-only init except
+    flagged rows), or the fused multi-block Pallas kernel
     (block_engine="pallas", N=2 overlap on TPU)."""
-    from .ring_viterbi_ovn import ring_viterbi_ovn
-
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]
     if block_engine == "pallas":
-        from .pallas_viterbi_mb import ov2_decode_pallas_mb
-
         if not overlaps or N != 2:
             raise ValueError("pallas block engine requires the N=2 "
                              "overlap topology")
-        return jax.jit(lambda yw, sil: ov2_decode_pallas_mb(
-            yw, lp, mu, sigma, silent_mask=sil))
-    if overlaps:
-        engine = ring_viterbi_ov2 if N == 2 else ring_viterbi_ovn
+        name = "pallas"
+    elif overlaps:
+        name = "ov2" if N == 2 else "ovn"
     else:
-        engine = ring_viterbi_nov
-    one = lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
-                                with_ll=False)[0]
-    return jax.jit(jax.vmap(one))
+        name = "nov"
+    return lambda yw, sil: _block_decode_batched(yw, sil, lp, mu, sigma,
+                                                 engine_name=name)
