@@ -4,7 +4,9 @@ model topology, EM training, decode protocol, and device-mesh layout.
 The reference scatters every option across positional/keyword defaults
 (src/baumwelch.jl:311, src/fit.jl:11, src/hmmsort.jl:6-34); this module
 gives them one typed home while every public entry point keeps its plain
-kwargs as sugar:
+kwargs as sugar (None fields mean "unset" and fall through to the entry
+point's own default — e.g. nsteps resolves to 8 in train_model and 10 in
+fit_template_model):
 
     cfg = Config(model=ModelConfig(n_neurons=2, K=60),
                  train=TrainConfig(nsteps=12),
@@ -14,8 +16,8 @@ kwargs as sugar:
 
 Resolution rule everywhere: an explicitly passed kwarg wins over the
 config, which wins over the built-in (reference) default. Field defaults
-mirror the reference's: N=3, K=60, nsteps=8, p0=2^(-3K/2) (derived when
-None), condense alpha=0.05, sparse cutoff -70, chunksize=100_000,
+mirror the reference's: N=3, K=60, p0=2^(-3K/2) (derived when None),
+condense alpha=0.05, sparse cutoff -70, chunksize=100_000,
 max_templates=4.
 """
 

@@ -362,10 +362,11 @@ def _block_decode_batched(y_win, sil, lp, mu, sigma, *, engine_name: str):
 def ring_block_decoder(lp, mu, sigma, *, overlaps: bool,
                        block_engine: str = "ring"):
     """Batched windowed decoder for overlap_save_decode_long: returns a
-    callable ((B, W) windows, (B,) bool silent-start rows) -> (B, W) int32
-    labels using the ring-structured engines (emission-only init except
-    flagged rows), or the fused multi-block Pallas kernel
-    (block_engine="pallas", N=2 overlap on TPU)."""
+    callable ((B, W) windows, (B,) bool silent-start rows) -> (B, W)
+    integer labels (int16 when the state space fits, else int32) using
+    the ring-structured engines (emission-only init except flagged rows),
+    or the fused multi-block Pallas kernel (block_engine="pallas", N=2
+    overlap on TPU)."""
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]

@@ -190,8 +190,9 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
 
     `block_decoder`, if given, replaces the generic gather engine: a
     callable ((B, W) float windows, (B,) bool silent-start rows) ->
-    (B, W) int32 labels (e.g. the ring-structured fast path,
-    ops/ring_viterbi.ring_block_decoder).
+    (B, W) integer labels (e.g. the ring-structured fast path,
+    ops/ring_viterbi.ring_block_decoder, which returns int16 when the
+    state space fits).
 
     Returns (x (T,) int32, seam_ok (B-1,) bool).
     """
@@ -271,8 +272,9 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool,
     block_engine selects the per-block forward implementation:
       "ring"   the vmapped XLA ring scan (any supported topology/backend);
       "pallas" the fused multi-block kernel (ops/pallas_viterbi_mb.py) —
-               N=2 overlap space, K <= 65, W % 16 == 0, TPU backend; ~1.3x
-               the XLA scan device-side (bit-identical labels);
+               N=2 overlap space, K <= 65, window (L+2H) a multiple of its
+               chunk size CH (currently 32), TPU backend; ~3x the XLA
+               scan device-side (bit-identical labels);
       "auto"   pallas when all of its conditions hold, else ring.
 
     Same seam protocol and edge handling as overlap_save_viterbi; block 0

@@ -250,14 +250,17 @@ def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
     Dv = mesh.shape[time_axis]
     if T % (Dv * L) != 0:
         raise ValueError(f"T={T} must be a multiple of Dv*L={Dv * L}")
+    if fb_mode not in ("blocked", "overlap"):
+        raise ValueError(f"fb_mode must be 'blocked' or 'overlap', "
+                         f"got {fb_mode!r}")
     if H is None:
         H = max(4 * K, 64)
     if fb_mode == "overlap":
         Ts = T // Dv
-        if Ts // L < 2 or L < 2 * H:
+        if H < 1 or Ts // L < 2 or L < 2 * H:
             raise ValueError(
-                f"overlap mode needs >= 2 blocks of L >= 2H per device "
-                f"(Ts={Ts}, L={L}, H={H})")
+                f"overlap mode needs 1 <= H <= L/2 and >= 2 blocks per "
+                f"device (Ts={Ts}, L={L}, H={H})")
 
     # dummy masked step 0 aligns steps with samples (module docstring)
     step_valid = jnp.arange(T) > 0
