@@ -99,3 +99,28 @@ def test_fast_decode_ll_finite_and_matches_sequential_overlap():
         # fast ll is then the exact score of the returned path — still
         # finite and close
         assert fast.ll == pytest.approx(seq.ll, rel=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_matches_oracle_ll_randomized(seed):
+    """Property check over random small topologies (N in {1,2,3}, K in
+    [5, 16], overlaps on/off, random rates/noise): the telescoped path
+    score always equals the oracle's ll on the decoded path."""
+    rng = np.random.default_rng(1000 + seed)
+    N = int(rng.integers(1, 4))
+    K = int(rng.integers(5, 17))
+    overlaps = bool(rng.integers(0, 2)) and N >= 2
+    T = int(rng.integers(200, 800))
+    temps = np.stack([create_spike_template(
+        K, 1.0 + 2 * rng.random(), 0.2 + 0.6 * rng.random(),
+        0.1 + 0.3 * rng.random()) for _ in range(N)], axis=1)
+    pp = rng.uniform(0.005, 0.05, N)
+    sigma = 0.2 + 0.4 * rng.random()
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    ss = build_state_space(N, K, overlaps)
+    lp = np.log(pp)
+    edges = list(zip(ss.edges_from.tolist(), ss.edges_to.tolist(),
+                     ss.edge_weights(lp).tolist()))
+    x_ref, ll_ref = ref.viterbi(y, ss.states, edges, temps, sigma)
+    ll = path_cumulative_ll(y, x_ref, ss.states, temps, sigma, lp)
+    assert ll == pytest.approx(ll_ref, rel=1e-11)
