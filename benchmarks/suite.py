@@ -140,7 +140,8 @@ def config4():
     import jax
     import jax.numpy as jnp
 
-    from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        ring_overlap_save_batched)
 
     K, sigma, C, Tc = 60, 0.3, 16, 1_000_000
     Tc = (Tc // 8192) * 8192
@@ -150,18 +151,18 @@ def config4():
     lp = jnp.asarray(np.log(pp), jnp.float32)
     mu = jnp.asarray(_mk_signal(100, sigma, pp, K)[2], jnp.float32)
 
-    # per-channel on-device overlap-save (block_engine=auto -> the fused
-    # pallas kernels on TPU); one compile, C executions
-    def one(yy):
-        x, _ = ring_overlap_save(yy, lp, mu, jnp.float32(sigma),
-                                 L=8192, H=256, overlaps=True)
+    # channel-batched on-device overlap-save: every channel's blocks fold
+    # into one block batch (single program, single round trip)
+    yd = jax.device_put(jnp.asarray(ys))
+
+    def run():
+        x, _ = ring_overlap_save_batched(yd, lp, mu, jnp.float32(sigma),
+                                         L=8192, H=256, overlaps=True)
         return np.asarray(x)
 
-    yd = [jnp.asarray(ys[c]) for c in range(C)]
-    one(yd[0])                                  # warm/compile
+    run()                                       # warm/compile
     t0 = time.perf_counter()
-    for c in range(C):
-        one(yd[c])
+    run()
     dec_s = time.perf_counter() - t0
     total = C * Tc
     return {"config": 4, "channels": C, "samples_per_channel": Tc,

@@ -341,22 +341,7 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
                    with_ll=False)[0]
         return x.astype(out_dtype), jnp.ones((0,), bool)
 
-    # uniform windows: row b covers [b*L - H, b*L - H + W) of the
-    # H-zero-padded signal == rows of one reshape plus a shifted head
-    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))        # length Tp + L
-    A = y_ext.reshape(B + 1, L)
-    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
-    # rows whose uniform window would cross a real signal edge decode the
-    # real edge instead (reference-faithful init at sample 0, termination
-    # at T; zero-pad is fake silence that would bias the backtrace) and
-    # are rolled back into uniform coordinates after the decode. Besides
-    # rows 0 and B-1, row B-2's right halo overruns T iff 0 < T mod L < H.
-    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
-    if B >= 3 and (B - 1) * L + H > T:
-        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
-    for b in edge_rows:
-        start = 0 if b == 0 else T - W
-        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, start, W))
+    y_win, edge_rows = _build_windows(y, T=T, L=L, H=H, B=B, W=W)
     sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
 
     if block_engine == "pallas":
@@ -368,6 +353,40 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
             lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
                                   with_ll=False)[0])(y_win, sil0)
 
+    x, seam_ok = _snap_and_stitch(xb, T=T, L=L, H=H, B=B,
+                                  edge_rows=edge_rows)
+    return x.astype(out_dtype), seam_ok
+
+
+def _build_windows(y, *, T, L, H, B, W):
+    """Uniform halo windows: row b covers [b*L - H, b*L - H + W) of the
+    H-zero-padded signal == rows of one reshape plus a shifted head.
+    Rows whose uniform window would cross a real signal edge decode the
+    real edge instead (reference-faithful init at sample 0, termination
+    at T; zero-pad is fake silence that would bias the backtrace) and are
+    rolled back into uniform coordinates after the decode. Besides rows 0
+    and B-1, row B-2's right halo overruns T iff 0 < T mod L < H.
+
+    Returns (y_win (B, W), edge_rows {row: realign shift})."""
+    Tp = B * L
+    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))        # length Tp + L
+    A = y_ext.reshape(B + 1, L)
+    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
+    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
+    for b in edge_rows:
+        start = 0 if b == 0 else T - W
+        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, start, W))
+    return y_win, edge_rows
+
+
+def _snap_and_stitch(xb, *, T, L, H, B, edge_rows):
+    """Silence-snap every seam and stitch (B, W) block labels into (T,).
+
+    Returns (x (T,), seam_ok (B-1,)). Pure static slices/wheres; safely
+    vmappable over a leading channel axis of xb."""
+    Tp = B * L
     # realign edge rows to uniform window coordinates
     for b, shift in edge_rows.items():
         xb = xb.at[b].set(jnp.roll(xb[b], shift))
@@ -407,4 +426,95 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
     x = jnp.where(t_grid < prev_cut[:, None], prev_full,
                   jnp.where(t_grid >= next_cut[:, None], next_full,
                             core)).reshape(-1)
-    return x[:T].astype(out_dtype), seam_ok
+    return x[:T], seam_ok
+
+
+def ring_overlap_save_batched(ys, lp, mu, sigma, *, L: int, H: int,
+                              overlaps: bool, block_engine: str = "auto"):
+    """Channel-batched production decode: (C, T) recordings -> (C, T)
+    labels in ONE device program.
+
+    The reference CLI processes channel 1 only (src/hmmsort.jl:56); this
+    is the single-chip DP axis: every channel's overlap-save blocks are
+    folded into one block batch (C*B windows) so the fused Pallas kernels
+    decode all channels together, and the whole batch pays a single
+    host<->device round trip — versus C serial calls each paying one
+    (benchmarks/suite.py config 4). Same per-channel seam protocol and
+    edge handling as ring_overlap_save; returns (x (C, T), seam_ok
+    (C, B-1)).
+    """
+    if L < 2 * H:
+        raise ValueError("need L >= 2H so seam cuts are monotone")
+    ys = jnp.asarray(ys)
+    lp = jnp.asarray(lp)
+    mu = jnp.asarray(mu)
+    if ys.shape[1] < L + 2 * H:
+        raise ValueError("signal shorter than one window; decode directly")
+    if block_engine in ("auto", "pallas"):
+        from ..ops.pallas_viterbi_mb import CH, KP
+
+        usable = (overlaps and mu.shape[1] == 2 and mu.shape[0] - 1 <= KP
+                  and (L + 2 * H) % CH == 0
+                  and jax.default_backend() not in ("cpu",))
+        if block_engine == "pallas" and not usable:
+            raise ValueError(
+                "block_engine='pallas' requires the N=2 overlap topology "
+                f"with K <= {KP + 1}, window (L+2H) % {CH} == 0, and a "
+                "TPU backend")
+        block_engine = "pallas" if usable else "ring"
+    return _ring_overlap_save_batched_impl(
+        ys, lp, mu, jnp.asarray(sigma), L=L, H=H, overlaps=overlaps,
+        block_engine=block_engine)
+
+
+@partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))
+def _ring_overlap_save_batched_impl(ys, lp, mu, sigma, *, L, H, overlaps,
+                                    block_engine="ring"):
+    from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
+    from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
+
+    dtype = mu.dtype
+    ys = ys.astype(dtype)
+    C, T = ys.shape
+    B = -(-T // L)
+    W = L + 2 * H
+    K, Nn = mu.shape
+    S = (1 + Nn * (K - 1) + (Nn * (Nn - 1) // 2) * (K - 1) ** 2
+         if overlaps else 1 + Nn * (K - 1))
+    out_dtype = jnp.int16 if S <= 32767 else jnp.int32
+
+    build = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B, W=W))
+    y_win = build(ys)                                # (C, B, W)
+    _, edge_rows = _build_windows(ys[0], T=T, L=L, H=H, B=B, W=W)
+
+    sil = jnp.zeros((C, B), bool).at[:, 0].set(True)
+    y_flat = y_win.reshape(C * B, W)
+    sil_flat = sil.reshape(C * B)
+
+    if block_engine == "pallas":
+        from ..ops.pallas_viterbi_mb import ov2_decode_pallas_mb
+
+        xb = ov2_decode_pallas_mb(y_flat, lp, mu, sigma,
+                                  silent_mask=sil_flat)
+    else:
+        if not overlaps:
+            engine = ring_viterbi_nov
+        elif Nn == 2:
+            engine = ring_viterbi_ov2
+        else:
+            engine = ring_viterbi_ovn
+        xb = jax.vmap(
+            lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
+                                  with_ll=False)[0])(y_flat, sil_flat)
+
+    xb = xb.reshape(C, B, W)
+    stitch = jax.vmap(partial(_snap_and_stitch, T=T, L=L, H=H, B=B,
+                              edge_rows=edge_rows))
+    x, seam_ok = stitch(xb)
+    return x.astype(out_dtype), seam_ok
+
+
+def _build_windows_arrays(y, *, T, L, H, B, W):
+    """vmap-friendly wrapper: _build_windows minus the (static) edge_rows."""
+    y_win, _ = _build_windows(y, T=T, L=L, H=H, B=B, W=W)
+    return y_win

@@ -206,3 +206,27 @@ def test_tail_edge_bitmatch_T_mod_L_less_than_H():
     fast = fit_spiking_model_fast(tm, y, L=L, H=H)
     np.testing.assert_array_equal(np.asarray(fast.ml_seq, np.int64),
                                   np.asarray(seq.ml_seq, np.int64))
+
+
+def test_batched_overlap_save_matches_per_channel():
+    """ring_overlap_save_batched folds all channels' blocks into one
+    program; per-channel results must equal the single-channel path."""
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        ring_overlap_save, ring_overlap_save_batched)
+
+    K, sigma, C = 20, 0.3, 3
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    lp = np.log(pp)
+    T = 5000                              # ragged T exercises edge rows
+    ys = np.stack([create_signal(T, sigma, pp, temps,
+                                 rng=np.random.default_rng(100 + c))[0]
+                   for c in range(C)])
+    xs_b, ok_b = ring_overlap_save_batched(ys, lp, temps, sigma,
+                                           L=1024, H=256, overlaps=True)
+    for c in range(C):
+        x1, ok1 = ring_overlap_save(ys[c], lp, temps, sigma,
+                                    L=1024, H=256, overlaps=True)
+        np.testing.assert_array_equal(np.asarray(xs_b)[c], np.asarray(x1))
+        np.testing.assert_array_equal(np.asarray(ok_b)[c], np.asarray(ok1))
