@@ -348,6 +348,66 @@ def model_response(model: HMMSpikingModel) -> np.ndarray:
     return model.y
 
 
+def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
+                                    L: int | None = None,
+                                    H: int | None = None,
+                                    repair: bool | None = None,
+                                    block_engine: str | None = None,
+                                    config=None) -> list[HMMSpikingModel]:
+    """Channel-batched production decode: (C, T) recordings, one shared
+    template model, ONE device program for every channel's blocks
+    (parallel/overlap_save.ring_overlap_save_batched — the single-chip DP
+    axis; the reference CLI only ever decodes channel 1, hmmsort.jl:56).
+
+    Returns a list of C HMMSpikingModel with per-channel seam flags,
+    repair, and the telescoped ll, identical to running
+    fit_spiking_model_fast per channel."""
+    dc = _section(config, "decode")
+
+    def arg(v, field, default):
+        return pick(UNSET if v is None else v, dc(field), default)
+
+    L = arg(L, "L", 8192)
+    H = arg(H, "H", None)
+    repair = arg(repair, "repair", True)
+    block_engine = arg(block_engine, "block_engine", "auto")
+    if H is None:
+        H = max(4 * templates.K, 64)
+
+    from ..core.path_score import path_cumulative_ll
+    from ..parallel.overlap_save import ring_overlap_save_batched
+
+    ys = np.asarray(ys, dtype=np.float64)
+    xs, oks = ring_overlap_save_batched(ys, templates.lp, templates.mu,
+                                        templates.sigma, L=L, H=H,
+                                        overlaps=templates.allow_overlaps,
+                                        block_engine=block_engine)
+    xs = np.asarray(xs)
+    oks = np.asarray(oks)
+    models = []
+    for c in range(len(ys)):
+        x, ok = xs[c], oks[c]
+        n_rep = 0
+        if repair and not ok.all():
+            from ..parallel.seam_repair import (make_window_decoder,
+                                                repair_seams)
+
+            dec = make_window_decoder(templates.lp, templates.mu,
+                                      templates.sigma,
+                                      overlaps=templates.allow_overlaps)
+            failed = (np.nonzero(~ok)[0] + 1) * L
+            x, _ = repair_seams(ys[c], x, failed, dec, H=H)
+            n_rep = int((~ok).sum())
+            ok = np.ones_like(ok)
+        ll = path_cumulative_ll(ys[c], x, templates.state_space.states,
+                                templates.mu, templates.sigma, templates.lp)
+        m = HMMSpikingModel(templates, x, ll, ys[c])
+        m.seam_ok = ok
+        m.seams_repaired = n_rep
+        models.append(m)
+    return models
+
+
 def fit_template_models_batched(ys, n_neurons: int, K: int, nsteps: int,
                                 mesh, *, rng=None, L: int = 256,
                                 surgery: bool = True,

@@ -174,3 +174,32 @@ def test_fast_decode_streaming_matches_oneshot():
                                         streaming=True, blocks_per_call=4)
     np.testing.assert_array_equal(stream.ml_seq, one.ml_seq)
     assert stream.seam_ok.all()
+
+
+def test_fit_spiking_models_fast_batched_matches_per_channel():
+    """The batched decode API equals per-channel fit_spiking_model_fast
+    (labels, ll, seam flags) on a (C, T) batch."""
+    from hmmspikesorter_tpu.data.synthetic import (create_signal,
+                                                   create_spike_template)
+    from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                               fit_spiking_model_fast,
+                                               fit_spiking_models_fast_batched)
+
+    K, sigma, C, T = 20, 0.3, 3, 5000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    ys = np.stack([create_signal(T, sigma, pp, temps,
+                                 rng=np.random.default_rng(30 + c))[0]
+                   for c in range(C)])
+    tm = HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log(pp),
+                          allow_overlaps=True)
+    batch = fit_spiking_models_fast_batched(tm, ys, L=1024, H=256)
+    assert len(batch) == C
+    for c in range(C):
+        single = fit_spiking_model_fast(tm, ys[c], L=1024, H=256)
+        np.testing.assert_array_equal(np.asarray(batch[c].ml_seq, np.int64),
+                                      np.asarray(single.ml_seq, np.int64))
+        assert batch[c].ll == pytest.approx(single.ll, rel=1e-12)
+        np.testing.assert_array_equal(np.asarray(batch[c].seam_ok),
+                                      np.asarray(single.seam_ok))
