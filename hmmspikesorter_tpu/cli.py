@@ -12,6 +12,9 @@ Contract matches the reference CLI (src/hmmsort.jl:36-118):
   `highpassdata/data/data` (hmmsort.jl:66-78); 2-D data uses channel 1;
 * decode-only (templates come from an upstream tool), overlaps ON,
   chunked at 100_000 samples (hmmsort.jl:90);
+* `--channels all` (extension, default off) decodes every channel of a
+  2-D recording instead of only channel 1 — with `--engine fast` as one
+  batched device program (the single-chip DP axis);
 * MAT output dict {mlseq, ll, waveforms, lp, sigma} (hmmsort.jl:94-101),
   where mlseq is the *unrolled* per-neuron state matrix with the
   reference's 1-based ring-position convention (state 1 = silent);
@@ -58,8 +61,12 @@ def load_template_file(inputfile: str, max_templates: int = MAX_TEMPLATES):
                                 allow_overlaps=True)
 
 
-def load_data_file(datafile: str) -> np.ndarray:
-    """Read the voltage trace (reference hmmsort.jl:66-88)."""
+def load_data_file(datafile: str, *, channels=1) -> np.ndarray:
+    """Read the voltage trace (reference hmmsort.jl:66-88).
+
+    channels=1 (reference behavior) returns channel 1 as a (T,) trace;
+    channels="all" returns every channel as a (C, T) matrix (a 1-D
+    dataset becomes (1, T))."""
     import h5py
 
     with h5py.File(datafile, "r") as ff:
@@ -74,15 +81,20 @@ def load_data_file(datafile: str) -> np.ndarray:
         # through h5py with the dims reversed, (ncols, T), so column 1 ==
         # row 0 — unconditionally: a long-axis guess would silently pick
         # the wrong orientation on a recording with more channels than
-        # samples.
-        data = data[0]
+        # samples. With channels="all" the h5py rows are exactly the
+        # Julia columns, already (C, T).
+        if channels != "all":
+            data = data[0]
+    elif channels == "all":
+        data = data[None]
     return np.asarray(data, dtype=np.float64)
 
 
 def sort_data(inputfile: str, datafile: str, outputfile: str, *,
               dosave: bool = True, max_templates: int | None = None,
               chunksize: int | None = None, progress=None,
-              engine: str | None = None, config=None) -> dict:
+              engine: str | None = None, channels=None,
+              config=None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
@@ -91,13 +103,22 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     magnitude faster on TPU), with automatic seam repair and the same
     finite cumulative-score ll in the output (core/path_score.py).
 
+    channels=1 (default) decodes channel 1 only — the reference contract
+    (hmmsort.jl:66-78). channels="all" decodes every channel of a 2-D
+    recording against the shared templates: with engine="fast" the whole
+    (C, T) batch runs as ONE device program (the single-chip DP axis,
+    models/api.fit_spiking_models_fast_batched); with engine="reference"
+    channels are decoded sequentially. The output keeps the same keys with
+    a leading channel axis: mlseq (C, N, T) and ll (C,).
+
     A config.Config supplies defaults for anything not passed explicitly.
     """
     import scipy.io
 
     from .config import UNSET, _section, pick
     from .io.extraction import unroll_mlseq
-    from .models.api import fit_spiking_model, fit_spiking_model_fast
+    from .models.api import (fit_spiking_model, fit_spiking_model_fast,
+                             fit_spiking_models_fast_batched)
 
     dc = _section(config, "decode")
     engine = pick(UNSET if engine is None else engine, dc("engine"),
@@ -106,6 +127,8 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
                      dc("chunksize"), CHUNKSIZE)
     max_templates = pick(UNSET if max_templates is None else max_templates,
                          dc("max_templates"), MAX_TEMPLATES)
+    channels = pick(UNSET if channels is None else channels,
+                    dc("channels"), 1)
 
     print("Loading templates...")
     tm = load_template_file(inputfile, max_templates)
@@ -113,26 +136,38 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
         return {}
     print("Creating template model...")
     print("Loading data...")
-    data = load_data_file(datafile)
+    data = load_data_file(datafile, channels=channels)
     from .utils.guards import guard_inputs
 
     guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
     print("Fitting model...")
-    if engine == "fast":
-        # streaming: one fixed-shape compiled program serves any recording
-        # length (a per-T one-shot program can compile for minutes)
-        model = fit_spiking_model_fast(tm, data, streaming=True,
-                                       config=config)
+    if channels == "all":
+        if engine == "fast":
+            models = fit_spiking_models_fast_batched(tm, data, config=config)
+        else:
+            models = [fit_spiking_model(tm, row, chunksize=chunksize,
+                                        progress=progress) for row in data]
+        mlseq = np.stack([unroll_mlseq(m.ml_seq, tm.state_space.states) + 1
+                          for m in models])
+        ll = np.array([m.ll for m in models])
     else:
-        model = fit_spiking_model(tm, data, chunksize=chunksize,
-                                  progress=progress)
-    # reference output convention: unrolled per-neuron ring positions,
-    # 1-based with 1 == silent (StateMatrix stores positions + 1,
-    # types.jl:150)
-    mlseq = unroll_mlseq(model.ml_seq, tm.state_space.states) + 1
+        if engine == "fast":
+            # streaming: one fixed-shape compiled program serves any
+            # recording length (a per-T one-shot program can compile for
+            # minutes)
+            model = fit_spiking_model_fast(tm, data, streaming=True,
+                                           config=config)
+        else:
+            model = fit_spiking_model(tm, data, chunksize=chunksize,
+                                      progress=progress)
+        # reference output convention: unrolled per-neuron ring positions,
+        # 1-based with 1 == silent (StateMatrix stores positions + 1,
+        # types.jl:150)
+        mlseq = unroll_mlseq(model.ml_seq, tm.state_space.states) + 1
+        ll = model.ll
     output = {
         "mlseq": mlseq,
-        "ll": model.ll,
+        "ll": ll,
         "waveforms": tm.mu,
         "lp": tm.lp,
         "sigma": tm.sigma,
@@ -181,6 +216,11 @@ def main(argv=None) -> int:
                    help="'reference' = sequential chunked decode (exact "
                         "reference protocol); 'fast' = on-device parallel "
                         "overlap-save (TPU production path)")
+    p.add_argument("--channels", choices=["1", "all"], default="1",
+                   help="'1' = channel 1 only (reference contract); "
+                        "'all' = decode every channel of a 2-D recording "
+                        "(with --engine fast, one batched device program; "
+                        "output mlseq/ll gain a leading channel axis)")
     args = p.parse_args(argv)
 
     import os
@@ -191,7 +231,9 @@ def main(argv=None) -> int:
     from .config import Config, DecodeConfig
 
     cfg = Config(decode=DecodeConfig(engine=args.engine,
-                                     chunksize=args.chunksize))
+                                     chunksize=args.chunksize,
+                                     channels=(1 if args.channels == "1"
+                                               else "all")))
     sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg)
     return 0
 

@@ -88,8 +88,10 @@ class DecodeConfig:
     H: int | None = None             # halo; None -> max(4K, 64)
     streaming: bool = False          # fixed-shape block-batch driver
     blocks_per_call: int = 256
+    prefetch: int = 2                # streaming double-buffer depth
     repair: bool = True              # widen-and-re-decode flagged seams
     block_engine: str = "auto"       # "ring" | "pallas" | "auto"
+    channels: object = 1             # 1 (reference contract) | "all"
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
 
 

@@ -214,6 +214,7 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
                            H: int | None = None,
                            streaming: bool | None = None,
                            blocks_per_call: int | None = None,
+                           prefetch: int | None = None,
                            repair: bool | None = None,
                            block_engine: str | None = None,
                            config=None) -> HMMSpikingModel:
@@ -227,7 +228,9 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     the recording length* — so one compile serves any T (the one-shot jit
     path compiles per T, which can take minutes for multi-M-sample programs
     on remote-compile backends). Also bounds device memory for recordings
-    whose backpointers would not fit.
+    whose backpointers would not fit. `prefetch` chunk calls are kept in
+    flight (double-buffering): the next chunk's host window build + H2D
+    transfer and the previous chunk's label fetch overlap device compute.
 
     The reference's cumulative-score ll (src/viterbi.jl:92-96) is computed
     for every topology via the O(T) telescoped path score
@@ -257,6 +260,7 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     H = arg(H, "H", None)
     streaming = arg(streaming, "streaming", False)
     blocks_per_call = arg(blocks_per_call, "blocks_per_call", 256)
+    prefetch = arg(prefetch, "prefetch", 2)
     repair = arg(repair, "repair", True)
     block_engine = arg(block_engine, "block_engine", "auto")
 
@@ -287,7 +291,8 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
         in_idx, in_w, smu = templates.decode_tables()
         x, seam_ok = overlap_save_decode_long(
             y, in_idx, in_w, smu, templates.sigma, L=L, H=H,
-            blocks_per_call=blocks_per_call, block_decoder=dec)
+            blocks_per_call=blocks_per_call, block_decoder=dec,
+            prefetch=prefetch)
     else:
         x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
                                        templates.sigma, L=L, H=H,
@@ -378,6 +383,12 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
     from ..parallel.overlap_save import ring_overlap_save_batched
 
     ys = np.asarray(ys, dtype=np.float64)
+    if ys.shape[1] < L + 2 * H:
+        # shorter than one window: per-channel one-shot exact decode
+        return [fit_spiking_model_fast(templates, row, L=L, H=H,
+                                       repair=repair,
+                                       block_engine=block_engine)
+                for row in ys]
     xs, oks = ring_overlap_save_batched(ys, templates.lp, templates.mu,
                                         templates.sigma, L=L, H=H,
                                         overlaps=templates.allow_overlaps,

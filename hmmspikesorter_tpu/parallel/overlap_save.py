@@ -179,7 +179,7 @@ def _decode_blocks_from_y(y_win, sil, in_idx, in_w, state_mu, sigma):
 
 def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
                              H: int, blocks_per_call: int = 8,
-                             block_decoder=None):
+                             block_decoder=None, prefetch: int = 2):
     """Host-driven overlap-save decode of arbitrarily long signals.
 
     Streams batches of `blocks_per_call` halo-extended blocks through the
@@ -194,10 +194,20 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     ops/ring_viterbi.ring_block_decoder, which returns int16 when the
     state space fits).
 
+    `prefetch` is the double-buffering depth: up to that many chunk calls
+    are dispatched before the oldest is fetched, so the host-side window
+    build + H2D transfer of chunk k+1 and the D2H label fetch of chunk k
+    run under the device compute of the chunks in between (JAX dispatch is
+    asynchronous; the fetch is the only blocking point). At most
+    `prefetch` (blocks_per_call, W) input windows are live on the device.
+    prefetch=1 reproduces the strictly serial dispatch-then-fetch loop.
+
     Returns (x (T,) int32, seam_ok (B-1,) bool).
     """
     if L < 2 * H:
         raise ValueError("need L >= 2H so seam cuts are monotone")
+    if prefetch < 1:
+        raise ValueError("prefetch must be >= 1")
     y = np.asarray(y)
     T = len(y)
     Tp = -(-T // L) * L                    # seam grid; windows themselves
@@ -209,6 +219,15 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     starts[-1] = T - W                     # real termination at T, not pad
     labels = np.empty((B, W), np.int32)
     dtype = np.dtype(state_mu.dtype)
+
+    from collections import deque
+
+    pending = deque()                      # (c0, c1, device labels)
+
+    def fetch_oldest():
+        p0, p1, dev = pending.popleft()
+        labels[p0:p1] = np.asarray(dev)[: p1 - p0]
+
     for c0 in range(0, B, blocks_per_call):
         c1 = min(c0 + blocks_per_call, B)
         idx = starts[c0:c1, None] + np.arange(W)[None, :]
@@ -222,13 +241,16 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         if c0 == 0:
             sil[0] = True
         if block_decoder is not None:
-            out = np.asarray(block_decoder(jnp.asarray(y_win),
-                                           jnp.asarray(sil)))
+            out = block_decoder(jnp.asarray(y_win), jnp.asarray(sil))
         else:
-            out = np.asarray(_decode_blocks_from_y(
+            out = _decode_blocks_from_y(
                 jnp.asarray(y_win), jnp.asarray(sil), in_idx, in_w,
-                state_mu, sigma))
-        labels[c0:c1] = out[: c1 - c0]
+                state_mu, sigma)
+        pending.append((c0, c1, out))
+        if len(pending) >= prefetch:
+            fetch_oldest()
+    while pending:
+        fetch_oldest()
 
     # host-side seam snap + stitch (same protocol as overlap_save_viterbi);
     # the last seam's window is clamped to the true signal end

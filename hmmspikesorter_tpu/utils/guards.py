@@ -72,10 +72,13 @@ def assert_finite_tree(tree, *, name: str = "tree") -> None:
 
 
 def guard_inputs(y, sigma: float) -> None:
-    """Validate decode inputs before touching the device (CLI bail path)."""
+    """Validate decode inputs before touching the device (CLI bail path).
+
+    Accepts a (T,) trace or a (C, T) channel batch."""
     y = np.asarray(y)
-    if y.ndim != 1 or len(y) == 0:
-        raise ValueError(f"signal must be 1-D and non-empty, got {y.shape}")
+    if y.ndim not in (1, 2) or y.size == 0:
+        raise ValueError(f"signal must be a non-empty 1-D trace or 2-D "
+                         f"channel batch, got {y.shape}")
     if not np.isfinite(y).all():
         # inf is as fatal as NaN here: an inf sample makes the emission
         # -inf and 0 * -inf turns into NaN inside the one-hot selection

@@ -92,6 +92,40 @@ def test_sort_data_fast_engine(tmp_path):
     assert np.isfinite(out_fast["ll"])
 
 
+def test_sort_data_all_channels(tmp_path):
+    """channels='all' decodes every channel of a 2-D recording; channel 1's
+    row of the batched output matches the default single-channel run, and
+    both engines agree per channel."""
+    tfile, _, temps, pp, y = _write_inputs(tmp_path, T=4096)
+    rng = np.random.default_rng(9)
+    y2, _ = create_signal(4096, 0.3, pp, temps, rng=rng)
+    d2 = str(tmp_path / "multi.h5")
+    with h5py.File(d2, "w") as f:
+        f["rh/data/analogData"] = np.stack([y, y2])  # Julia (T, 2) columns
+    out_one = cli.sort_data(tfile, d2, str(tmp_path / "c1.mat"),
+                            engine="fast")
+    out_all = cli.sort_data(tfile, d2, str(tmp_path / "call.mat"),
+                            engine="fast", channels="all")
+    assert out_all["mlseq"].shape == (2,) + out_one["mlseq"].shape
+    assert out_all["ll"].shape == (2,)
+    np.testing.assert_array_equal(out_all["mlseq"][0], out_one["mlseq"])
+    assert out_all["ll"][0] == out_one["ll"]
+    out_ref = cli.sort_data(tfile, d2, str(tmp_path / "cref.mat"),
+                            channels="all", chunksize=1500)
+    assert out_ref["mlseq"].shape == out_all["mlseq"].shape
+    for c in range(2):
+        agree = (out_ref["mlseq"][c] == out_all["mlseq"][c]).mean()
+        assert agree > 0.99
+
+
+def test_load_data_all_channels_1d(tmp_path):
+    """channels='all' on a 1-D dataset returns a (1, T) matrix."""
+    _, dfile, *_rest, y = _write_inputs(tmp_path)
+    data = cli.load_data_file(dfile, channels="all")
+    assert data.shape == (1, len(y))
+    np.testing.assert_allclose(data[0], y)
+
+
 def test_load_data_2d_wide_short_convention(tmp_path):
     """A recording with more channels than samples: the Julia (T, ncols)
     column-major convention means h5py shape (ncols, T) and channel 1 ==

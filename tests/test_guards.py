@@ -61,5 +61,8 @@ def test_guard_inputs():
         guard_inputs(np.array([1.0, np.nan]), 0.3)
     with pytest.raises(ValueError, match="sigma"):
         guard_inputs(np.ones(10), 0.0)
+    guard_inputs(np.ones((2, 5)), 0.3)         # (C, T) channel batch OK
     with pytest.raises(ValueError, match="1-D"):
-        guard_inputs(np.ones((2, 5)), 0.3)
+        guard_inputs(np.ones((2, 2, 5)), 0.3)
+    with pytest.raises(ValueError, match="non-empty"):
+        guard_inputs(np.ones((0,)), 0.3)

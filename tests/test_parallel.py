@@ -82,6 +82,23 @@ def test_overlap_save_decode_long_matches_sequential():
     assert agree > 0.999
 
 
+def test_overlap_save_decode_long_prefetch_invariant():
+    """Double-buffering depth never changes the output: prefetch=1 (serial
+    dispatch-then-fetch), 2 (default), and deeper all produce identical
+    labels and seam flags — only scheduling differs."""
+    from hmmspikesorter_tpu.parallel.overlap_save import overlap_save_decode_long
+    y, in_idx, in_w, smu, sigma = _setup(T=10000, K=20)
+    outs = [overlap_save_decode_long(
+        np.asarray(y), in_idx, in_w, smu, sigma, L=1024, H=128,
+        blocks_per_call=3, prefetch=p) for p in (1, 2, 4)]
+    for x, ok in outs[1:]:
+        np.testing.assert_array_equal(x, outs[0][0])
+        np.testing.assert_array_equal(ok, outs[0][1])
+    with pytest.raises(ValueError):
+        overlap_save_decode_long(np.asarray(y), in_idx, in_w, smu, sigma,
+                                 L=1024, H=128, prefetch=0)
+
+
 def test_ring_overlap_save_matches_host_driver():
     from hmmspikesorter_tpu.parallel.overlap_save import (
         overlap_save_decode_long, ring_overlap_save)
