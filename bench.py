@@ -102,7 +102,11 @@ def main():
     lp_t = jnp.asarray(lp, dtype)
     mu_t = jnp.asarray(temps, dtype)
     sg_t = dtype(sigma)
-    bw_mode, bw_block = "overlap", 2048         # the production TPU engine
+    # the production TPU engine: fused Pallas halo-window EM (falls back
+    # to the XLA overlap engine off-TPU)
+    bw_mode = ("overlap_pallas" if jax.default_backend() != "cpu"
+               else "overlap")
+    bw_block = 2048
     out = em_step(y_tr, lp_t, mu_t, sg_t, tables, K=K, fb_mode=bw_mode,
                   block=bw_block)
     np.asarray(out[0])                          # warmup/compile

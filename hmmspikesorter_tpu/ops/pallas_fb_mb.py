@@ -1,0 +1,531 @@
+"""Pallas TPU kernels, multi-block layout: fused Baum-Welch E-step for the
+non-overlap ring space — forward, backward, and the EM sufficient
+statistics in two kernels, G overlap-save windows per program on the VPU
+lane axis.
+
+This is the log-plus sibling of ops/pallas_viterbi_mb.py, applied to the
+halo-window EM engine (ops/ring_fb.ring_overlap_forward_backward +
+train/em.py fb_mode="overlap"):
+
+  * window (block) axis = VPU lanes (G = 128);
+  * ring slots = sublanes, one KP-padded segment per neuron
+    (NKP = N * KP rows; KP = 64, so K <= 65);
+  * every structural read of the per-neuron ring recursion
+    (src/baumwelch.jl:25-98 semantics: stay-silent, onset, ring shift,
+    ring exit, exit+onset handoff) is a static slice or a sublane roll.
+
+Kernel 1 (forward) streams log-alpha slabs to HBM in the native
+(Bg, CH·NKP, G) chunk layout plus the per-step logsumexp of alpha (for
+the telescoped ll). Kernel 2 walks the chunk grid REVERSED, maintains
+beta in VMEM scratch, re-reads the alpha slabs, and accumulates — per
+lane, fully fused, nothing (T, S)-shaped ever materialized:
+
+  * gamma occupancies and first/second signal moments per state
+    (G1, Gy, Gy2 — the inputs of the mu/sigma M-step,
+    src/baumwelch.jl:266-307), window-core-masked so each sample is
+    counted by exactly its owner window;
+  * the silent-state onset statistics sum_t exp(xi_e(t)) and the
+    matching silent-occupancy denominator (the lp M-step,
+    src/baumwelch.jl:226-264), with the t and t+1 terms read from the
+    SAME window so per-window constants cancel exactly (the invariant
+    train/em.py's overlap mode relies on);
+  * the terminal beta state of window 0 (for pi = gamma[:, 0]).
+
+Accumulation is linear-space f32: every summand is a normalized
+posterior in [0, 1] and per-window step counts are a few thousand, so
+the relative error is ~2^-24·sqrt(T) — far below the f32 EM tolerance.
+
+Statistics match train/em.py fb_mode="overlap" to f32 round-off
+(tested in interpret mode); the M-step that consumes them is shared.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.logmath import HALF_LOG_2PI
+
+NEG = -3.0e38
+G = 128          # windows per program == VPU lanes
+KP = 64          # padded ring dimension (K-1 <= 64)
+CH = 32          # max window steps per grid chunk (W must divide by this)
+
+
+def _chunk(N: int) -> int:
+    """Steps per grid chunk, sized so the (ch, NKP, G) alpha-slab block
+    (plus double buffering) stays well inside VMEM as N grows."""
+    return 32 if N <= 3 else (16 if N <= 5 else 8)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _lae(a, b):
+    """logaddexp without branching (NEG acts as -inf: exp underflows)."""
+    m = jnp.maximum(a, b)
+    return m + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m))
+
+
+def _lse_rows(rows):
+    """logsumexp over a python list of (1, G) rows — unrolled, so Mosaic
+    never sees an ADD reduction over a small offset-layout tensor (its
+    shape-invariant mode rejects those)."""
+    m = rows[0]
+    for r in rows[1:]:
+        m = jnp.maximum(m, r)
+    s = jnp.exp(rows[0] - m)
+    for r in rows[1:]:
+        s = s + jnp.exp(r - m)
+    return m + jnp.log(s)
+
+
+def _make_fwd_kernel(N: int, Km1: int, ch: int):
+    NKP = N * KP
+
+    def kernel(y_ref, consts_ref, lpv_ref, bm_ref,
+               asl_ref, ab_ref, la_ref, as_s, ab_s):
+        c = pl.program_id(1)
+        lpz = consts_ref[0, 0]
+        log_sigma = consts_ref[0, 1]
+        inv_2s2 = consts_ref[0, 2]
+        silent_mean = consts_ref[0, 3]
+        econst = -HALF_LOG_2PI - log_sigma
+        self_w = N * lpz
+        stay_w = (N - 1) * lpz
+        swap_w = (N - 2) * lpz
+        lpn = [lpv_ref[n : n + 1, :] for n in range(N)]        # (1, G) each
+
+        subk = jax.lax.broadcasted_iota(jnp.int32, (NKP, G), 0) % KP
+        maskk = subk < Km1
+
+        bm = bm_ref[...]
+
+        def em(y_t):
+            es = econst - (y_t - silent_mean) ** 2 * inv_2s2   # (1, G)
+            eb = econst - (y_t - bm) ** 2 * inv_2s2            # (NKP, G)
+            return es, eb
+
+        def write(s, a_s, a_b, la):
+            asl_ref[0, s : s + 1, :] = a_s
+            ab_ref[0, s * NKP : (s + 1) * NKP, :] = a_b
+            la_ref[0, s : s + 1, :] = la
+
+        def lse_all(a_s, a_b):
+            m = jnp.maximum(jnp.max(a_b, axis=0, keepdims=True), a_s)
+            return m + jnp.log(
+                jnp.sum(jnp.exp(a_b - m), axis=0, keepdims=True)
+                + jnp.exp(a_s - m))
+
+        for s in range(ch):
+            def step(s=s):
+                vs = as_s[0:1, :]
+                vb = ab_s[...]
+                y_t = y_ref[0, s : s + 1, :]
+                es, eb = em(y_t)
+                # per-neuron ring-end rows, static slices (1, G)
+                ends = [vb[n * KP + Km1 - 1 : n * KP + Km1, :]
+                        for n in range(N)]
+                new_vs = _lae(vs + self_w, _lse_rows(ends) + stay_w) + es
+                first = []
+                for n in range(N):
+                    on = vs + lpn[n] + stay_w
+                    others = [ends[m] for m in range(N) if m != n]
+                    if others:
+                        sw = _lse_rows(others) + swap_w
+                        first.append(_lae(on, sw + lpn[n]))
+                    else:
+                        first.append(on)
+                rolled = pltpu.roll(vb, 1, axis=0) + stay_w
+                firstx = jnp.concatenate(
+                    [jnp.broadcast_to(first[n], (KP, G)) for n in range(N)],
+                    axis=0)
+                new_vb = jnp.where(subk == 0, firstx, rolled)
+                new_vb = jnp.where(maskk, new_vb + eb, NEG)
+                as_s[0:1, :] = new_vs
+                ab_s[...] = new_vb
+                write(s, new_vs, new_vb, lse_all(new_vs, new_vb))
+
+            if s == 0:
+                @pl.when(c == 0)
+                def _init():
+                    y0 = y_ref[0, 0:1, :]
+                    es, eb = em(y0)
+                    a_b = jnp.where(maskk, eb, NEG)
+                    as_s[0:1, :] = es
+                    ab_s[...] = a_b
+                    write(0, es, a_b, lse_all(es, a_b))
+
+                @pl.when(c > 0)
+                def _():
+                    step()
+            else:
+                step()
+
+    return kernel
+
+
+def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
+    NKP = N * KP
+
+    def kernel(y_ref, asl_ref, ab_ref, consts_ref, lpv_ref, bm_ref,
+               bounds_ref, s0_ref, s1_ref, s2_ref, sil_ref, xx_ref,
+               b0s_ref, b0b_ref,
+               bs_s, bb_s, ems_s, emb_s, g_s,
+               a0_s, a1_s, a2_s, asil_s, ax_s):
+        c = pl.program_id(1)
+        cc = Wc - 1 - c                       # actual chunk index
+        lpz = consts_ref[0, 0]
+        log_sigma = consts_ref[0, 1]
+        inv_2s2 = consts_ref[0, 2]
+        silent_mean = consts_ref[0, 3]
+        econst = -HALF_LOG_2PI - log_sigma
+        self_w = N * lpz
+        stay_w = (N - 1) * lpz
+        swap_w = (N - 2) * lpz
+        lpn = [lpv_ref[n : n + 1, :] for n in range(N)]        # (1, G) each
+
+        subk = jax.lax.broadcasted_iota(jnp.int32, (NKP, G), 0) % KP
+        maskk = subk < Km1
+        endrow = subk == Km1 - 1
+
+        bm = bm_ref[...]
+        core_lo = bounds_ref[0, 0:1, :]                       # (1, G)
+        core_hi = bounds_ref[0, 1:2, :]
+        xi_hi = bounds_ref[0, 2:3, :]
+
+        zero1 = jnp.zeros((1, G), jnp.float32)
+        zerob = jnp.zeros((NKP, G), jnp.float32)
+
+        @pl.when(c == 0)
+        def _zero_accs():
+            a0_s[...] = zerob
+            a1_s[...] = zerob
+            a2_s[...] = zerob
+            asil_s[...] = jnp.zeros((8, G), jnp.float32)
+            ax_s[...] = jnp.zeros((8, G), jnp.float32)
+
+        def em(y_t):
+            es = econst - (y_t - silent_mean) ** 2 * inv_2s2
+            eb = econst - (y_t - bm) ** 2 * inv_2s2
+            return es, eb
+
+        for s in range(ch - 1, -1, -1):
+            def tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim):
+                # g_t and the gamma statistics (owner-core masked)
+                tot = a_b + new_bb
+                sil = a_s + new_bs
+                m = jnp.maximum(jnp.max(tot, axis=0, keepdims=True), sil)
+                g_t = m + jnp.log(
+                    jnp.sum(jnp.exp(tot - m), axis=0, keepdims=True)
+                    + jnp.exp(sil - m))
+                gb = jnp.exp(tot - g_t)                       # (NKP, G)
+                gs = jnp.exp(sil - g_t)                       # (1, G)
+                cm = (t >= core_lo) & (t < core_hi)
+                gbm = jnp.where(cm, gb, 0.0)
+                gsm = jnp.where(cm, gs, 0.0)
+                a0_s[...] = a0_s[...] + gbm
+                a1_s[...] = a1_s[...] + gbm * y_t
+                a2_s[...] = a2_s[...] + gbm * (y_t * y_t)
+                asil_s[0:1, :] = asil_s[0:1, :] + gsm
+                asil_s[1:2, :] = asil_s[1:2, :] + gsm * y_t
+                asil_s[2:3, :] = asil_s[2:3, :] + gsm * (y_t * y_t)
+                asil_s[3:4, :] = asil_s[3:4, :] + jnp.where(xim, gs, 0.0)
+                # caches for the next (earlier-t) step
+                bs_s[0:1, :] = new_bs
+                bb_s[...] = new_bb
+                ems_s[0:1, :] = es
+                emb_s[...] = eb
+                g_s[0:1, :] = g_t
+
+            def step(s=s):
+                t = cc * ch + s
+                y_t = y_ref[0, s : s + 1, :]
+                es, eb = em(y_t)
+                a_s = asl_ref[0, s : s + 1, :]
+                a_b = ab_ref[0, s * NKP : (s + 1) * NKP, :]
+                xim = (t >= core_lo) & (t < xi_hi)
+
+                bs = bs_s[0:1, :]
+                bb = bb_s[...]
+                emsp = ems_s[0:1, :]                          # em at t+1
+                embp = emb_s[...]
+                gp = g_s[0:1, :]                              # g at t+1
+
+                # per-neuron onset-slot rows, static slices (1, G)
+                bon = [bb[n * KP : n * KP + 1, :] for n in range(N)]
+                eon = [embp[n * KP : n * KP + 1, :] for n in range(N)]
+
+                # onset xi statistics: alpha_t[sil] + w_e + beta_{t+1}[on]
+                # + em_{t+1}[on] - g_{t+1}, accumulated in linear space
+                for n in range(N):
+                    xi = a_s + lpn[n] + stay_w + bon[n] + eon[n] - gp
+                    ax_s[n : n + 1, :] = ax_s[n : n + 1, :] + jnp.where(
+                        xim, jnp.exp(xi), 0.0)
+
+                # beta update (uses the t+1 emissions)
+                onset_terms = [bon[n] + eon[n] + lpn[n] + stay_w
+                               for n in range(N)]
+                new_bs = _lae(bs + emsp + self_w, _lse_rows(onset_terms))
+                rolledb = pltpu.roll(bb + embp, NKP - 1, axis=0) + stay_w
+                exit_term = []
+                for n in range(N):
+                    others = [bon[m] + eon[m] + lpn[m]
+                              for m in range(N) if m != n]
+                    if others:
+                        each = _lse_rows(others) + swap_w
+                        exit_term.append(_lae(bs + emsp + stay_w, each))
+                    else:
+                        exit_term.append(bs + emsp + stay_w)
+                exitx = jnp.concatenate(
+                    [jnp.broadcast_to(exit_term[n], (KP, G))
+                     for n in range(N)], axis=0)
+                new_bb = jnp.where(endrow, exitx, rolledb)
+                new_bb = jnp.where(maskk, new_bb, NEG)
+                tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim)
+
+            if s == ch - 1:
+                @pl.when(c == 0)
+                def _init():
+                    # t = W-1: terminal beta = 0 (exact for the last
+                    # window, which ends at the real T)
+                    t = cc * ch + s
+                    y_t = y_ref[0, s : s + 1, :]
+                    es, eb = em(y_t)
+                    a_s = asl_ref[0, s : s + 1, :]
+                    a_b = ab_ref[0, s * NKP : (s + 1) * NKP, :]
+                    xim = (t >= core_lo) & (t < xi_hi)
+                    new_bs = zero1
+                    new_bb = jnp.where(maskk, zerob, NEG)
+                    tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim)
+
+                @pl.when(c > 0)
+                def _():
+                    step()
+            else:
+                step()
+
+        @pl.when(c == Wc - 1)
+        def _final():
+            s0_ref[0] = a0_s[...]
+            s1_ref[0] = a1_s[...]
+            s2_ref[0] = a2_s[...]
+            sil_ref[0] = asil_s[...]
+            xx_ref[0] = ax_s[...]
+            b0s_ref[0] = bs_s[0:1, :]
+            b0b_ref[0] = bb_s[...]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("L", "H", "interpret"))
+def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
+    T = y.shape[0]
+    K, N = mu.shape
+    Km1 = K - 1
+    NKP = N * KP
+    B = -(-T // L)
+    W = L + 2 * H
+    dtype = jnp.float32
+
+    y = jnp.asarray(y, dtype)
+    lp = jnp.asarray(lp, dtype)
+    mu = jnp.asarray(mu, dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    silent_mean = jnp.sum(mu[0])
+    consts = jnp.stack([lpz, jnp.log(sigma),
+                        1.0 / (2.0 * sigma * sigma), silent_mean,
+                        0.0, 0.0, 0.0, 0.0])[None, :]
+    lpv = jnp.zeros((8, 1), dtype).at[:N, 0].set(lp)
+    lpv = jnp.broadcast_to(lpv, (8, G))
+    # per-state body means in segment layout: row n*KP + k = mean of
+    # neuron n at ring position k+1 (ops/ring_fb._emission_fns)
+    body = mu[1:].T + (silent_mean - mu[0])[:, None]           # (N, Km1)
+    bmg = jnp.zeros((N, KP), dtype).at[:, :Km1].set(body)
+    bm = jnp.broadcast_to(bmg.reshape(NKP, 1), (NKP, G))
+
+    # windows with clamped edge rows (no rolling: per-lane core bounds
+    # keep every sample owned by exactly one window, in that window's own
+    # coordinates) — same construction as ring_overlap_forward_backward
+    Tp = B * L
+    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))
+    A = y_ext.reshape(B + 1, L)
+    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
+    starts = np.maximum(np.arange(B) * L - H, 0)
+    starts[-1] = T - W
+    edge = {0: 0, B - 1: T - W}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge[B - 2] = T - W
+        starts[B - 2] = T - W
+    for b, st in edge.items():
+        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, st, W))
+    core_lo = np.arange(B) * L - starts
+    core_hi = np.minimum((np.arange(B) + 1) * L, T) - starts
+    xi_hi = core_hi.copy()
+    xi_hi[B - 1] -= 1                        # xi is defined for t <= T-2
+
+    Bg = _round_up(B, G) // G
+    Bp = Bg * G
+    ch = _chunk(N)
+    Wc = W // ch
+
+    ypad = jnp.zeros((Bp, W), dtype).at[:B].set(y_win)
+    y_in = ypad.reshape(Bg, G, W).transpose(0, 2, 1)           # (Bg, W, G)
+    bnp = np.zeros((Bp, 3), np.int32)                          # padded rows:
+    bnp[:B, 0] = core_lo                                       # lo=hi=0 ->
+    bnp[:B, 1] = core_hi                                       # no stats
+    bnp[:B, 2] = xi_hi
+    bounds = jnp.asarray(bnp).reshape(Bg, G, 3).transpose(0, 2, 1)
+
+    fkernel = _make_fwd_kernel(N, Km1, ch)
+    fin_specs = [
+        pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, G), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NKP, G), lambda b, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    fout_specs = [
+        pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch * NKP, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    fout_shape = [
+        jax.ShapeDtypeStruct((Bg, W, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, W * NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, W, G), jnp.float32),
+    ]
+    fscratch = [pltpu.VMEM((8, G), jnp.float32),
+                pltpu.VMEM((NKP, G), jnp.float32)]
+    asl, ab, la = pl.pallas_call(
+        fkernel, out_shape=fout_shape, grid=(Bg, Wc), in_specs=fin_specs,
+        out_specs=fout_specs, scratch_shapes=fscratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(y_in, consts, lpv, bm)
+
+    bkernel = _make_bwd_kernel(N, Km1, Wc, ch)
+    rev = lambda b, c: (b, Wc - 1 - c, 0)
+    bin_specs = [
+        pl.BlockSpec((1, ch, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch * NKP, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, G), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NKP, G), lambda b, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bout_specs = [
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bout_shape = [
+        jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, 8, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, 8, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, 1, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+    ]
+    bscratch = [
+        pltpu.VMEM((8, G), jnp.float32),       # beta silent
+        pltpu.VMEM((NKP, G), jnp.float32),     # beta body
+        pltpu.VMEM((8, G), jnp.float32),       # em silent cache (t+1)
+        pltpu.VMEM((NKP, G), jnp.float32),     # em body cache (t+1)
+        pltpu.VMEM((8, G), jnp.float32),       # g cache (t+1)
+        pltpu.VMEM((NKP, G), jnp.float32),     # acc S0 body
+        pltpu.VMEM((NKP, G), jnp.float32),     # acc S1 body
+        pltpu.VMEM((NKP, G), jnp.float32),     # acc S2 body
+        pltpu.VMEM((8, G), jnp.float32),       # acc silent S0/S1/S2/Xd
+        pltpu.VMEM((8, G), jnp.float32),       # acc X (onset edges)
+    ]
+    s0, s1, s2, sil, xx, b0s, b0b = pl.pallas_call(
+        bkernel, out_shape=bout_shape, grid=(Bg, Wc), in_specs=bin_specs,
+        out_specs=bout_specs, scratch_shapes=bscratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(y_in, asl, ab, consts, lpv, bm, bounds)
+
+    # --- combine: per-state sufficient statistics in the flat layout
+    # [silent | body ravel (N, K-1) n-major] of core/state_space.py
+    def body_sum(x):
+        return jnp.sum(x, axis=(0, 2)).reshape(N, KP)[:, :Km1].reshape(-1)
+
+    sil_sum = jnp.sum(sil, axis=(0, 2))                        # (8,)
+    G1 = jnp.concatenate([sil_sum[0:1], body_sum(s0)])
+    Gy = jnp.concatenate([sil_sum[1:2], body_sum(s1)])
+    Gy2 = jnp.concatenate([sil_sum[2:3], body_sum(s2)])
+    Xd = sil_sum[3]
+    X = jnp.sum(xx, axis=(0, 2))[:N]                           # (N,)
+
+    # beta at t=0 of window 0 (lane 0 of program 0), flat layout
+    beta0 = jnp.concatenate(
+        [b0s[0, :, 0], b0b[0, :, 0].reshape(N, KP)[:, :Km1].reshape(-1)])
+
+    # telescoped ll from the per-step lse(alpha) output:
+    # ll = endc[0] + sum_{b>=1} (endc[b] - pre[b]) with pre/endc at the
+    # owner-core edges of each window (ring_overlap_forward_backward)
+    la_bm = la.transpose(0, 2, 1).reshape(Bp, W)[:B]           # (B, W)
+    pos = jnp.arange(W)[None, :]
+    endc = jnp.sum(jnp.where(pos == (core_hi - 1)[:, None], la_bm, 0.0),
+                   axis=1)
+    pre = jnp.sum(jnp.where(pos == (core_lo - 1)[:, None], la_bm, 0.0),
+                  axis=1)
+    ll = endc[0] + jnp.sum(endc[1:] - pre[1:])
+
+    return G1, Gy, Gy2, X, Xd, beta0, ll
+
+
+def overlap_em_stats_pallas(y, lp, mu, sigma, *, L: int, H: int,
+                            interpret: bool = False):
+    """Fused-kernel EM sufficient statistics over halo windows.
+
+    Returns (G1, Gy, Gy2, X, Xd, beta0, ll): per-state occupancy and
+    signal moments (flat [silent | body] layout, linear space), the
+    linear-space onset-edge xi sums X (N,) with silent-occupancy
+    denominator Xd, the terminal beta of window 0 (log space, for pi),
+    and the telescoped sequence ll. Requires the non-overlap topology,
+    K <= KP + 1, N <= 8, W = L + 2H a multiple of CH, and at least two
+    windows.
+    """
+    T = len(y)
+    K, N = np.shape(mu)
+    W = L + 2 * H
+    if K - 1 > KP:
+        raise ValueError(f"pallas EM kernel supports K <= {KP + 1}")
+    if N > 8:
+        raise ValueError("pallas EM kernel supports N <= 8")
+    if W % CH != 0:
+        raise ValueError(f"W = L + 2H = {W} must be a multiple of {CH}")
+    if L < 2 * H:
+        raise ValueError("need L >= 2H")
+    if T < W or T <= L:
+        raise ValueError("signal shorter than two windows")
+    return _overlap_em_stats_impl(y, lp, mu, sigma, L=L, H=H,
+                                  interpret=interpret)

@@ -139,9 +139,10 @@ def _backward_beta(em, out_idx, out_w):
     return jnp.concatenate([rest, bT[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("K", "fb_mode", "block"))
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block", "fb_interpret"))
 def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
-            fb_mode: str = "ring", block: int = 256):
+            fb_mode: str = "ring", block: int = 256,
+            fb_interpret: bool = False):
     """One full EM iteration: (lp, mu, sigma) -> (lp, pi, mu, sigma, ll).
 
     y: (T,) signal; lp: (N,) onset log-probs; mu: (K, N) templates;
@@ -160,10 +161,20 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
                 path at production T;
       "blocked" log-plus block operators — ~S x more FLOPs but B-way
                 parallel with exact boundary vectors;
-      "gather"  generic in-edge tables (reference-shaped fallback).
+      "gather"  generic in-edge tables (reference-shaped fallback);
+      "overlap_pallas"  the halo-window engine as two fused Pallas
+                kernels (ops/pallas_fb_mb.py): forward streams log-alpha
+                slabs, backward accumulates every EM sufficient statistic
+                in VMEM — no (T, S) or (W, B, S) tensor exists, and the
+                M-step below consumes the statistics directly. Requires
+                K <= 65, N <= 8, TPU backend (or fb_interpret=True).
     """
     N = tables.states.shape[0]
     T = y.shape[0]
+
+    if fb_mode == "overlap_pallas":
+        return _em_step_overlap_pallas(y, lp, mu, sigma, tables, K=K,
+                                       block=block, interpret=fb_interpret)
 
     smu = state_means(tables.states, mu)
     beta_next = g_next = ll_override = None
@@ -273,6 +284,62 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     return new_lp, new_pi, new_mu, new_sigma, ll
 
 
+def pallas_em_geometry(K: int, block: int) -> tuple[int, int]:
+    """(L, H) for the fused-kernel halo windows: the usual overlap-mode
+    sizes (H = max(4K, 64), L = max(block, 4H)) rounded up so the window
+    W = L + 2H divides the kernel chunk (H to 16, L to 32). H only sets
+    the mixing margin, so the rounding is statistics-neutral."""
+    H = max(4 * K, 64)
+    H = -(-H // 16) * 16
+    L = max(block, 4 * H)
+    L = -(-L // 32) * 32
+    return L, H
+
+
+def _em_step_overlap_pallas(y, lp, mu, sigma, tables: EMTables, *, K: int,
+                            block: int, interpret: bool):
+    """EM iteration from the fused-kernel sufficient statistics
+    (ops/pallas_fb_mb.py) — the same M-step formulas as the materialized
+    path (src/baumwelch.jl:226-307 semantics), fed by linear-space
+    per-state statistics instead of (T, S) posteriors."""
+    from ..ops.pallas_fb_mb import overlap_em_stats_pallas
+    from ..ops.ring_fb import _emission_fns, _flat
+
+    N = tables.states.shape[0]
+    dtype = mu.dtype
+    L, H = pallas_em_geometry(K, block)
+    G1, Gy, Gy2, X, Xd, beta0, ll = overlap_em_stats_pallas(
+        y, lp, mu, sigma, L=L, H=H, interpret=interpret)
+
+    # onset update: log of the xi / silent-occupancy linear sums
+    # (== lse_t(xi) - lse_t(log_gamma_silent) of the materialized path)
+    new_lp = (jnp.log(X) - jnp.log(Xd)).astype(dtype)
+
+    # pi = gamma[:, 0]: forward init is emission-only (dead-pi quirk), so
+    # alpha_0 is one emission row; beta_0 comes from the kernel
+    mu32 = mu.astype(jnp.float32)
+    es0, eb0 = _emission_fns(mu32, jnp.asarray(sigma, jnp.float32))(
+        jnp.asarray(y[0], jnp.float32))
+    alpha0 = _flat(es0, eb0)
+    g0 = jax.nn.logsumexp(alpha0 + beta0)
+    new_pi = (alpha0 + beta0 - g0).astype(dtype)
+
+    # template update over single-active states (body layout is n-major,
+    # matching columns 1..1+N*(K-1) of the flat state order)
+    body = (Gy[1:] / G1[1:]).reshape(N, K - 1).T
+    new_mu = jnp.concatenate(
+        [jnp.zeros((1, N), jnp.float32), body], axis=0)
+
+    # global sigma from the same moments
+    smu2 = state_means(tables.states, new_mu)
+    x2 = (jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy)
+          + jnp.dot(smu2 * smu2, G1))
+    qq = jnp.sum(G1)
+    new_sigma = jnp.sqrt(x2 / qq).astype(dtype)
+
+    return new_lp, new_pi, new_mu.astype(dtype), new_sigma, ll.astype(dtype)
+
+
 def init_templates(K: int, N: int, sigma: float, rng: np.random.Generator):
     """Random template init (reference src/baumwelch.jl:313-321):
     create_spike_template(K, 3*sigma*U, 0.5 + 0.1*randn, 1.5*U), row 0 = 0."""
@@ -312,17 +379,24 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
         # serial scans are latency-bound on TPU; block-parallel engines
         # are wasted FLOPs on CPU (the TPU backend may register under a
         # plugin name, so test for cpu rather than "tpu"). On TPU the
-        # halo-window engine is ~3.5x the operator-blocked one at
-        # production T (BENCHMARKS.md); it needs at least two blocks.
+        # fused-kernel halo-window engine is ~8x the XLA one at
+        # production T (BENCHMARKS.md); both need at least two windows.
         if jax.default_backend() == "cpu":
             fb_mode = "ring"
         else:
-            # the overlap engine needs >= 2 windows of the ACTUAL window
-            # length em_step will derive (Lov = max(2048, 4H))
+            from ..ops.pallas_fb_mb import KP as _KP
+
+            N_ = mu.shape[1]
+            Lpk, _ = pallas_em_geometry(K, 2048)
             Hov = max(4 * K, 64)
             Lov = max(2048, 4 * Hov)
-            fb_mode = "overlap" if len(y) >= 2 * Lov else "blocked"
-    if fb_mode == "overlap":
+            if K - 1 <= _KP and 0 < N_ <= 8 and len(y) >= 2 * Lpk:
+                fb_mode = "overlap_pallas"
+            elif len(y) >= 2 * Lov:
+                fb_mode = "overlap"
+            else:
+                fb_mode = "blocked"
+    if fb_mode in ("overlap", "overlap_pallas"):
         block = 2048
     N = mu.shape[1]
     lls = []

@@ -153,6 +153,23 @@ def main() -> int:
     record["em_sigma_rel_diff"] = abs(float(sg_j) - sg_n) / sg_n
     record["em_ll_rel_diff"] = abs(float(ll_j) - ll_n) / abs(ll_n)
 
+    # --- 5b. fused Pallas EM (overlap_pallas) on hardware vs the native
+    # f64 reference EM at T=2^19 (kernel correctness on real Mosaic
+    # lowering; ll uses the halo-telescoped definition, same as overlap)
+    Tp = 1 << 19
+    lp_p, _, mu_p, sg_p, ll_p = em_step(
+        jnp.asarray(y[:Tp], jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps, jnp.float32), jnp.float32(sigma), tables, K=K,
+        fb_mode="overlap_pallas", block=2048)
+    lp_n2, mu_n2, sg_n2, ll_n2 = native.em_step(y[:Tp], ss_tr, lp, temps,
+                                                sigma)
+    record["empallas_lp_max_abs_diff"] = float(
+        np.abs(np.asarray(lp_p) - lp_n2).max())
+    record["empallas_mu_max_abs_diff"] = float(
+        np.abs(np.asarray(mu_p) - mu_n2).max())
+    record["empallas_sigma_rel_diff"] = abs(float(sg_p) - sg_n2) / sg_n2
+    record["empallas_ll_rel_diff"] = abs(float(ll_p) - ll_n2) / abs(ll_n2)
+
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
