@@ -93,7 +93,7 @@ def main():
     # --- Baum-Welch iterations/s (second BASELINE.json metric): blocked
     # gather-free EM on the training topology (non-overlap), device-chained
     # iterations with one final materialization barrier
-    from hmmspikesorter_tpu.train.em import EMTables, em_step
+    from hmmspikesorter_tpu.train.em import EMTables, em_chain
 
     Tb = 1 << 19
     ss_tr = build_state_space(N, K, False)
@@ -103,19 +103,19 @@ def main():
     mu_t = jnp.asarray(temps, dtype)
     sg_t = dtype(sigma)
     # the production TPU engine: fused Pallas halo-window EM (falls back
-    # to the XLA overlap engine off-TPU)
+    # to the XLA overlap engine off-TPU), iterations chained into ONE
+    # compiled program (em_chain — what train_model runs when no per-iter
+    # host output is requested), so the tunnel dispatch is paid once
     bw_mode = ("overlap_pallas" if jax.default_backend() != "cpu"
                else "overlap")
     bw_block = 2048
-    out = em_step(y_tr, lp_t, mu_t, sg_t, tables, K=K, fb_mode=bw_mode,
-                  block=bw_block)
+    iters = 10
+    out = em_chain(y_tr, lp_t, mu_t, sg_t, tables, K=K, n_iters=iters,
+                   fb_mode=bw_mode, block=bw_block)
     np.asarray(out[0])                          # warmup/compile
-    iters = 5
     t0 = time.perf_counter()
-    l, m, s = lp_t, mu_t, sg_t
-    for _ in range(iters):
-        l, _, m, s, _ = em_step(y_tr, l, m, s, tables, K=K,
-                                fb_mode=bw_mode, block=bw_block)
+    l, _, m, s, _ = em_chain(y_tr, lp_t, mu_t, sg_t, tables, K=K,
+                             n_iters=iters, fb_mode=bw_mode, block=bw_block)
     np.asarray(l)
     bw_iter_per_s = iters / (time.perf_counter() - t0)
 

@@ -284,6 +284,31 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     return new_lp, new_pi, new_mu, new_sigma, ll
 
 
+@partial(jax.jit,
+         static_argnames=("K", "n_iters", "fb_mode", "block", "fb_interpret"))
+def em_chain(y, lp, mu, sigma, tables: EMTables, *, K: int, n_iters: int,
+             fb_mode: str = "ring", block: int = 256,
+             fb_interpret: bool = False):
+    """`n_iters` EM iterations as ONE compiled program (lax.scan over the
+    em_step body): a single dispatch covers the whole phase, so per-call
+    host/link latency — which dwarfs the ~4 ms fused-kernel iteration on
+    remote-attached devices — is paid once instead of per iteration.
+    Returns (lp, pi, mu, sigma, lls) with lls the (n_iters,) per-iteration
+    ll history; identical to n_iters chained em_step calls (tested)."""
+
+    def body(carry, _):
+        lp_c, mu_c, sg_c = carry
+        nlp, pi, nmu, nsg, ll = em_step(y, lp_c, mu_c, sg_c, tables, K=K,
+                                        fb_mode=fb_mode, block=block,
+                                        fb_interpret=fb_interpret)
+        return (nlp, nmu, nsg), (ll, pi)
+
+    (lp, mu, sigma), (lls, pis) = jax.lax.scan(
+        body, (jnp.asarray(lp), jnp.asarray(mu), jnp.asarray(sigma)),
+        None, length=n_iters)
+    return lp, pis[-1], mu, sigma, lls
+
+
 def pallas_em_geometry(K: int, block: int) -> tuple[int, int]:
     """(L, H) for the fused-kernel halo windows: the usual overlap-mode
     sizes (H = max(4K, 64), L = max(block, 4H)) rounded up so the window
@@ -412,6 +437,15 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
     # per-iteration host syncs (float(ll) etc.) cost a device round-trip
     # each — only pay them when the caller wants per-iteration output
     eager = verbose > 0 or metrics is not None or checkpoint_dir is not None
+    if not eager and callback is None and nsteps > 0:
+        # no per-iteration host output wanted: run the whole phase as one
+        # compiled program (one dispatch instead of nsteps round trips)
+        lp_d, pi_d, mu_d, sigma_d, lls_dev = em_chain(
+            y, lp_d, mu_d, sigma_d, tables, K=K, n_iters=nsteps,
+            fb_mode=fb_mode, block=block)
+        lls = [float(v) for v in np.asarray(lls_dev)]
+        return (np.asarray(lp_d), np.asarray(pi_d), np.asarray(mu_d),
+                float(sigma_d), lls)
     ll_devs = []
     for i in range(nsteps):
         if callback is not None:

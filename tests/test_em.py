@@ -210,3 +210,27 @@ def test_em_step_overlap_mode_ragged_T(T):
     np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_g),
                                atol=1e-7)
     assert float(ll_o) == pytest.approx(float(ll_g), rel=1e-9)
+
+
+def test_em_chain_matches_sequential_steps():
+    """em_chain (n iterations in one program) == n chained em_step calls
+    bit-for-bit on the same engine."""
+    from hmmspikesorter_tpu.train.em import em_chain
+
+    y, temps, ss, lp, sigma = _small_case(T=800)
+    tables = EMTables.build(ss)
+    args0 = (jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+             jnp.asarray(sigma))
+    l, m, s = args0[1], args0[2], args0[3]
+    lls = []
+    for _ in range(3):
+        l, pi, m, s, ll = em_step(args0[0], l, m, s, tables, K=8,
+                                  fb_mode="ring")
+        lls.append(float(ll))
+    cl, cpi, cm, cs, clls = em_chain(args0[0], args0[1], args0[2], args0[3],
+                                     tables, K=8, n_iters=3, fb_mode="ring")
+    np.testing.assert_array_equal(np.asarray(cl), np.asarray(l))
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(m))
+    np.testing.assert_array_equal(np.asarray(cpi), np.asarray(pi))
+    assert float(cs) == float(s)
+    np.testing.assert_allclose(np.asarray(clls), lls, rtol=0)
