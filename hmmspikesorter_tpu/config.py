@@ -90,7 +90,7 @@ class DecodeConfig:
     blocks_per_call: int = 256
     prefetch: int = 2                # streaming double-buffer depth
     repair: bool = True              # widen-and-re-decode flagged seams
-    block_engine: str = "auto"       # "ring" | "pallas" | "auto"
+    block_engine: str = "auto"   # "ring" | "pallas" | "pallas_ovn" | "auto"
     channels: object = 1             # 1 (reference contract) | "all"
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
 

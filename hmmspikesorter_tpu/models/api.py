@@ -270,18 +270,14 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     if streaming and len(y) < L + 2 * H:
         streaming = False          # shorter than one window: decode one-shot
     if streaming:
-        import jax
-
-        from ..ops.pallas_viterbi_mb import CH, KP
         from ..ops.ring_viterbi import ring_block_decoder
-        from ..parallel.overlap_save import overlap_save_decode_long
+        from ..parallel.overlap_save import (overlap_save_decode_long,
+                                             resolve_block_engine)
 
         if block_engine == "auto":
-            usable = (templates.allow_overlaps
-                      and templates.n_neurons == 2
-                      and templates.K - 1 <= KP and (L + 2 * H) % CH == 0
-                      and jax.default_backend() not in ("cpu",))
-            block_engine = "pallas" if usable else "ring"
+            block_engine = resolve_block_engine(
+                "auto", templates.allow_overlaps, templates.K,
+                templates.n_neurons, L + 2 * H)
         dec = ring_block_decoder(templates.lp, templates.mu, templates.sigma,
                                  overlaps=templates.allow_overlaps,
                                  block_engine=block_engine)

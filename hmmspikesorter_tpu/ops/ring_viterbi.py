@@ -345,6 +345,10 @@ def _block_decode_batched(y_win, sil, lp, mu, sigma, *, engine_name: str):
         from .pallas_viterbi_mb import ov2_decode_pallas_mb
 
         x = ov2_decode_pallas_mb(y_win, lp, mu, sigma, silent_mask=sil)
+    elif engine_name == "pallas_ovn":
+        from .pallas_viterbi_ovn_mb import ovn_decode_pallas_mb
+
+        x = ovn_decode_pallas_mb(y_win, lp, mu, sigma, silent_mask=sil)
     else:
         engine = {"nov": ring_viterbi_nov, "ov2": ring_viterbi_ov2,
                   "ovn": ring_viterbi_ovn}[engine_name]
@@ -355,7 +359,8 @@ def _block_decode_batched(y_win, sil, lp, mu, sigma, *, engine_name: str):
     # transfer, which dominates streaming wall time on tunneled backends
     K, N = mu.shape
     S = (1 + N * (K - 1) + (N * (N - 1) // 2) * (K - 1) ** 2
-         if engine_name in ("ov2", "ovn", "pallas") else 1 + N * (K - 1))
+         if engine_name in ("ov2", "ovn", "pallas", "pallas_ovn")
+         else 1 + N * (K - 1))
     return x.astype(jnp.int16) if S <= 32767 else x
 
 
@@ -365,8 +370,8 @@ def ring_block_decoder(lp, mu, sigma, *, overlaps: bool,
     callable ((B, W) windows, (B,) bool silent-start rows) -> (B, W)
     integer labels (int16 when the state space fits, else int32) using
     the ring-structured engines (emission-only init except flagged rows),
-    or the fused multi-block Pallas kernel (block_engine="pallas", N=2
-    overlap on TPU)."""
+    or the fused multi-block Pallas kernels (block_engine="pallas" for the
+    N=2 overlap topology, "pallas_ovn" for general N >= 2, TPU only)."""
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]
@@ -375,6 +380,11 @@ def ring_block_decoder(lp, mu, sigma, *, overlaps: bool,
             raise ValueError("pallas block engine requires the N=2 "
                              "overlap topology")
         name = "pallas"
+    elif block_engine == "pallas_ovn":
+        if not overlaps:
+            raise ValueError("pallas_ovn block engine requires an overlap "
+                             "topology")
+        name = "pallas_ovn"
     elif overlaps:
         name = "ov2" if N == 2 else "ovn"
     else:

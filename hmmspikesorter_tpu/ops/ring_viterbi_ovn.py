@@ -31,7 +31,10 @@ gathers to scalar loops on TPU) and no trace-time unrolling, which is what
 capped the earlier version at N <= 6. Any N is supported; trace/compile
 cost grows with table sizes (O(N^2) states), not program size. One-hot
 matmuls are exact selections (inputs are always finite: every stored state
-score is reachable via the silent chain, so no -inf enters a matmul).
+score is reachable via the silent chain, so no -inf enters a matmul) and
+are forced to Precision.HIGHEST — the default matmul precision rounds f32
+operands to bf16 on TPU (and on some CPU paths), which would quietly
+corrupt selected scores by ~1e-3 relative and flip labels near ties.
 
 Tie-breaking keeps the reference's first-max in ascending source-state
 order; candidate axes are always assembled in that order. Bit-parity with
@@ -53,6 +56,12 @@ NEG = -jnp.inf
 
 def _pairs(N):
     return [(i, j) for i in range(N - 1) for j in range(i + 1, N)]
+
+
+def _sel(oh, x):
+    """Exact one-hot selection: matmul pinned to HIGHEST precision (the
+    default rounds f32 operands to bf16 on the MXU, corrupting scores)."""
+    return jnp.matmul(oh, x, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("with_ll",))
@@ -178,8 +187,8 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         on_best = jnp.max(on_cands, axis=1)                    # (N,)
 
         # ---- single ring slots k>=2: per n, [same ring | pairs with n]
-        pair_src = (OH_ring_i @ colend
-                    + OH_ring_j @ rowend).reshape(N, N - 1, Km1 - 1)
+        pair_src = (_sel(OH_ring_i, colend)
+                    + _sel(OH_ring_j, rowend)).reshape(N, N - 1, Km1 - 1)
         ring_cands = jnp.concatenate(
             [(vb[:, :-1] + (N - 1) * lpz)[:, None, :],
              pair_src + (N - 2) * lpz], axis=1)                # (N, N, K-2)
@@ -199,11 +208,11 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         corner = jnp.max(cc, axis=1)                           # (P,)
 
         # row k1=1, k2>=2: j advances; [single(j) | pairs (j,m)]
-        slot0r = (OH_jmem @ vb[:, :-1]
+        slot0r = (_sel(OH_jmem, vb[:, :-1])
                   + lp_i[:, None] + (N - 2) * lpz)[:, None, :]
         if N > 2:
-            rsrc = (OH_row_i @ colend
-                    + OH_row_j @ rowend).reshape(P, nO, Km1 - 1)
+            rsrc = (_sel(OH_row_i, colend)
+                    + _sel(OH_row_j, rowend)).reshape(P, nO, Km1 - 1)
             rc = jnp.concatenate(
                 [slot0r, rsrc + lp_i[:, None, None] + (N - 3) * lpz],
                 axis=1)                                        # (P, N-1, K-2)
@@ -213,11 +222,11 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         row_best = jnp.max(rc, axis=1)                         # (P, K-2)
 
         # col k2=1, k1>=2: i advances; [single(i) | pairs (i,m)]
-        slot0c = (OH_imem @ vb[:, :-1]
+        slot0c = (_sel(OH_imem, vb[:, :-1])
                   + lp_j[:, None] + (N - 2) * lpz)[:, None, :]
         if N > 2:
-            csrc = (OH_col_i @ colend
-                    + OH_col_j @ rowend).reshape(P, nO, Km1 - 1)
+            csrc = (_sel(OH_col_i, colend)
+                    + _sel(OH_col_j, rowend)).reshape(P, nO, Km1 - 1)
             kc = jnp.concatenate(
                 [slot0c, csrc + lp_j[:, None, None] + (N - 3) * lpz],
                 axis=1)

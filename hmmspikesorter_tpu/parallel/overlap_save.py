@@ -293,10 +293,12 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool,
 
     block_engine selects the per-block forward implementation:
       "ring"   the vmapped XLA ring scan (any supported topology/backend);
-      "pallas" the fused multi-block kernel (ops/pallas_viterbi_mb.py) —
-               N=2 overlap space, K <= 65, window (L+2H) a multiple of its
-               chunk size CH (currently 32), TPU backend; ~3x the XLA
-               scan device-side (bit-identical labels);
+      "pallas" the fused multi-block kernels — overlap spaces on a TPU
+               backend with K <= 65: N=2 uses ops/pallas_viterbi_mb
+               (window (L+2H) % 32 == 0), N >= 3 the general-N kernel
+               ops/pallas_viterbi_ovn_mb (window % 16 == 0, VMEM-budget
+               gated — N=4 pair grids exceed a 16 MB core);
+               bit-identical labels, ~3-40x the XLA scan device-side;
       "auto"   pallas when all of its conditions hold, else ring.
 
     Same seam protocol and edge handling as overlap_save_viterbi; block 0
@@ -306,22 +308,35 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool,
         raise ValueError("need L >= 2H so seam cuts are monotone")
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
-    if block_engine in ("auto", "pallas"):
-        from ..ops.pallas_viterbi_mb import CH, KP
-
-        usable = (overlaps and mu.shape[1] == 2 and mu.shape[0] - 1 <= KP
-                  and (L + 2 * H) % CH == 0
-                  and jax.default_backend() not in ("cpu",))
-        if block_engine == "pallas" and not usable:
-            raise ValueError(
-                "block_engine='pallas' requires the N=2 overlap topology "
-                f"with K <= {KP + 1}, window (L+2H) % {CH} == 0, and a "
-                "TPU backend")
-        block_engine = "pallas" if usable else "ring"
+    K, N = mu.shape
+    block_engine = resolve_block_engine(block_engine, overlaps, K, N,
+                                        L + 2 * H)
     return _ring_overlap_save_impl(jnp.asarray(y), lp, mu,
                                    jnp.asarray(sigma), L=L, H=H,
                                    overlaps=overlaps,
                                    block_engine=block_engine)
+
+
+def resolve_block_engine(block_engine, overlaps, K, N, W):
+    """Map "auto"/"pallas" to the concrete usable engine for this topology:
+    "pallas" (the N=2 kernel), "pallas_ovn" (general N >= 3), or "ring"."""
+    if block_engine not in ("auto", "pallas"):
+        return block_engine
+    from ..ops import pallas_viterbi_ovn_mb as povn
+    from ..ops.pallas_viterbi_mb import CH, KP
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if overlaps and N == 2 and K - 1 <= KP and W % CH == 0 and on_tpu:
+        return "pallas"
+    if (overlaps and N >= 3 and K - 1 <= 64 and W % povn.CH == 0
+            and on_tpu and povn.ovn_mb_vmem_ok(N, K)):
+        return "pallas_ovn"
+    if block_engine == "pallas":
+        raise ValueError(
+            "block_engine='pallas' requires an overlap topology with "
+            f"K <= {KP + 1}, window (L+2H) divisible by {CH} (N=2) or "
+            f"{povn.CH} (N>=3, VMEM-budget permitting), and a TPU backend")
+    return "ring"
 
 
 @partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))
@@ -370,6 +385,10 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
         from ..ops.pallas_viterbi_mb import ov2_decode_pallas_mb
 
         xb = ov2_decode_pallas_mb(y_win, lp, mu, sigma, silent_start0=True)
+    elif block_engine == "pallas_ovn":
+        from ..ops.pallas_viterbi_ovn_mb import ovn_decode_pallas_mb
+
+        xb = ovn_decode_pallas_mb(y_win, lp, mu, sigma, silent_start0=True)
     else:
         xb = jax.vmap(
             lambda yy, s0: engine(yy, lp, mu, sigma, silent_start=s0,
@@ -472,18 +491,8 @@ def ring_overlap_save_batched(ys, lp, mu, sigma, *, L: int, H: int,
     mu = jnp.asarray(mu)
     if ys.shape[1] < L + 2 * H:
         raise ValueError("signal shorter than one window; decode directly")
-    if block_engine in ("auto", "pallas"):
-        from ..ops.pallas_viterbi_mb import CH, KP
-
-        usable = (overlaps and mu.shape[1] == 2 and mu.shape[0] - 1 <= KP
-                  and (L + 2 * H) % CH == 0
-                  and jax.default_backend() not in ("cpu",))
-        if block_engine == "pallas" and not usable:
-            raise ValueError(
-                "block_engine='pallas' requires the N=2 overlap topology "
-                f"with K <= {KP + 1}, window (L+2H) % {CH} == 0, and a "
-                "TPU backend")
-        block_engine = "pallas" if usable else "ring"
+    block_engine = resolve_block_engine(block_engine, overlaps, mu.shape[0],
+                                        mu.shape[1], L + 2 * H)
     return _ring_overlap_save_batched_impl(
         ys, lp, mu, jnp.asarray(sigma), L=L, H=H, overlaps=overlaps,
         block_engine=block_engine)
@@ -517,6 +526,11 @@ def _ring_overlap_save_batched_impl(ys, lp, mu, sigma, *, L, H, overlaps,
         from ..ops.pallas_viterbi_mb import ov2_decode_pallas_mb
 
         xb = ov2_decode_pallas_mb(y_flat, lp, mu, sigma,
+                                  silent_mask=sil_flat)
+    elif block_engine == "pallas_ovn":
+        from ..ops.pallas_viterbi_ovn_mb import ovn_decode_pallas_mb
+
+        xb = ovn_decode_pallas_mb(y_flat, lp, mu, sigma,
                                   silent_mask=sil_flat)
     else:
         if not overlaps:
