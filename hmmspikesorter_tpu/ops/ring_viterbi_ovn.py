@@ -410,8 +410,17 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
         x_prev = x_prev.astype(jnp.int32)
         return x_prev, x_prev
 
-    _, xs = jax.lax.scan(back, xT, bps, reverse=True)
-    x = jnp.concatenate([xs, xT[None]])
+    # Explicit flip + forward scan instead of scan(reverse=True): under
+    # vmap, XLA:CPU (jax 0.9.0) miscompiles the reverse-scan slicing of
+    # this many-element mixed-dtype flag pytree for some batch sizes
+    # (observed: B=5, row 0 only — time-misaligned flag reads that decode
+    # an invalid path; forward scores and the stored flags themselves are
+    # bit-correct). The flipped forward scan is bit-identical semantics
+    # and compiles correctly at every batch size (regression:
+    # tests/test_vmap_batch_consistency.py).
+    bps_f = jax.tree_util.tree_map(lambda a: jnp.flip(a, axis=0), bps)
+    _, xs_r = jax.lax.scan(back, xT, bps_f)
+    x = jnp.concatenate([jnp.flip(xs_r, axis=0), xT[None]])
 
     if not with_ll:
         return x, jnp.asarray(0.0, dtype)
