@@ -7,6 +7,7 @@ Public surface:
 """
 
 from .models import api  # noqa: F401
+from .models import multichannel  # noqa: F401
 from .io import extraction  # noqa: F401
 from .config import (Config, DecodeConfig, MeshConfig, ModelConfig,  # noqa: F401
                      TrainConfig)

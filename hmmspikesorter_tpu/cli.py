@@ -61,6 +61,45 @@ def load_template_file(inputfile: str, max_templates: int = MAX_TEMPLATES):
                                 allow_overlaps=True)
 
 
+def load_template_file_mc(inputfile: str, max_templates: int = MAX_TEMPLATES):
+    """Read {spikeForms, cinv, p} keeping EVERY template channel
+    (beyond-reference: the reference drops all but channel 1,
+    hmmsort.jl:56) -> HMMTemplateModelMC or None (bail).
+
+    Per-channel noise comes from cinv: a (C,) vector is per-channel inverse
+    variances; a (C, C) matrix contributes its diagonal; a scalar
+    broadcasts (sigma_c = sqrt(1 / cinv_c), the C-channel reading of
+    hmmsort.jl:56)."""
+    import h5py
+
+    from .models.multichannel import HMMTemplateModelMC
+
+    with h5py.File(inputfile, "r") as ff:
+        if "spikeForms" not in ff:
+            print("No spike forms found. Bailing...")
+            return None
+        wf = np.asarray(ff["spikeForms"])
+        if wf.ndim == 2:                       # (N, K) single-channel file
+            wf = wf[:, None, :]
+        wf = wf.T                              # -> (K, nchan, N) Julia layout
+        cinv = np.asarray(ff["cinv"])
+        pp = np.ravel(np.asarray(ff["p"]))
+        if len(pp) > max_templates:
+            print("The number of templates exceeds the maximum. Bailing out...")
+            return None
+        K, C, N = wf.shape
+        mu = wf.transpose(0, 2, 1)             # (K, N, C)
+        if cinv.ndim == 2 and cinv.shape == (C, C):
+            cdiag = np.diag(cinv)
+        else:
+            cdiag = np.broadcast_to(np.ravel(cinv),
+                                    (C,)) if np.ravel(cinv).size in (1, C) \
+                else np.full(C, np.ravel(cinv)[0])
+        sigmas = np.sqrt(1.0 / np.asarray(cdiag, np.float64))
+        return HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=np.log(pp),
+                                  allow_overlaps=True)
+
+
 def load_data_file(datafile: str, *, channels=1) -> np.ndarray:
     """Read the voltage trace (reference hmmsort.jl:66-88).
 
@@ -94,7 +133,7 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
               dosave: bool = True, max_templates: int | None = None,
               chunksize: int | None = None, progress=None,
               engine: str | None = None, channels=None,
-              config=None) -> dict:
+              multichannel: bool | None = None, config=None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
@@ -110,6 +149,14 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     models/api.fit_spiking_models_fast_batched); with engine="reference"
     channels are decoded sequentially. The output keeps the same keys with
     a leading channel axis: mlseq (C, N, T) and ll (C,).
+
+    multichannel=True (beyond reference) decodes ONE spike train from ALL
+    channels jointly: every channel of spikeForms is kept (the reference
+    discards all but channel 1, hmmsort.jl:56) and the decode uses the
+    joint per-channel Gaussian evidence (models/multichannel). The output
+    keeps the reference keys; waveforms is (K, N, C) and sigma a (C,)
+    vector. Mutually exclusive with channels="all" (which decodes each
+    channel independently).
 
     A config.Config supplies defaults for anything not passed explicitly.
     """
@@ -129,6 +176,50 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
                          dc("max_templates"), MAX_TEMPLATES)
     channels = pick(UNSET if channels is None else channels,
                     dc("channels"), 1)
+    multichannel = bool(pick(UNSET if multichannel is None else multichannel,
+                             dc("multichannel"), False))
+    if multichannel and channels == "all":
+        raise ValueError("multichannel (joint decode) and channels='all' "
+                         "(independent per-channel decode) are mutually "
+                         "exclusive")
+
+    from .utils.guards import guard_inputs
+
+    if multichannel:
+        from .models.multichannel import (fit_spiking_model_mc,
+                                          fit_spiking_model_mc_fast)
+
+        print("Loading templates...")
+        tmc = load_template_file_mc(inputfile, max_templates)
+        if tmc is None:
+            return {}
+        print("Creating template model...")
+        print("Loading data...")
+        data = load_data_file(datafile, channels="all")   # (C, T)
+        if data.shape[0] < tmc.n_channels:
+            raise ValueError(
+                f"recording has {data.shape[0]} channels but the templates "
+                f"have {tmc.n_channels}")
+        yc = np.ascontiguousarray(data[: tmc.n_channels].T)  # (T, C)
+        guard_inputs(yc.T, float(tmc.sigmas[0]))
+        print("Fitting model...")
+        if engine == "fast":
+            model = fit_spiking_model_mc_fast(tmc, yc)
+        else:
+            model = fit_spiking_model_mc(tmc, yc, chunksize=chunksize,
+                                         progress=progress)
+        mlseq = unroll_mlseq(model.ml_seq, tmc.state_space.states) + 1
+        output = {
+            "mlseq": mlseq,
+            "ll": model.ll,
+            "waveforms": tmc.mu,
+            "lp": tmc.lp,
+            "sigma": tmc.sigmas,
+        }
+        if dosave:
+            scipy.io.savemat(outputfile, output)
+            print(f"Done! Results saved to {outputfile}")
+        return output
 
     print("Loading templates...")
     tm = load_template_file(inputfile, max_templates)
@@ -137,7 +228,6 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     print("Creating template model...")
     print("Loading data...")
     data = load_data_file(datafile, channels=channels)
-    from .utils.guards import guard_inputs
 
     guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
     print("Fitting model...")
@@ -221,6 +311,11 @@ def main(argv=None) -> int:
                         "'all' = decode every channel of a 2-D recording "
                         "(with --engine fast, one batched device program; "
                         "output mlseq/ll gain a leading channel axis)")
+    p.add_argument("--multichannel", action="store_true",
+                   help="decode ONE spike train from ALL channels jointly, "
+                        "using every channel of spikeForms (the reference "
+                        "uses channel 1 only); mutually exclusive with "
+                        "--channels all")
     args = p.parse_args(argv)
 
     import os
@@ -233,7 +328,8 @@ def main(argv=None) -> int:
     cfg = Config(decode=DecodeConfig(engine=args.engine,
                                      chunksize=args.chunksize,
                                      channels=(1 if args.channels == "1"
-                                               else "all")))
+                                               else "all"),
+                                     multichannel=args.multichannel))
     sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg)
     return 0
 

@@ -92,6 +92,8 @@ class DecodeConfig:
     repair: bool = True              # widen-and-re-decode flagged seams
     block_engine: str = "auto"   # "ring" | "pallas" | "pallas_ovn" | "auto"
     channels: object = 1             # 1 (reference contract) | "all"
+    multichannel: bool = False       # joint multi-channel decode (all
+    #                                  spikeForms channels; beyond reference)
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
 
 

@@ -93,3 +93,33 @@ def path_cumulative_ll(y, x, states, mu, sigma, lp, *,
     w = path_transition_weights(pos[:, :-1], pos[:, 1:], lp, K)  # (T-1,)
     prefix = prefix0 + np.cumsum(w + em[1:])              # T1[x_t,t], t>=1
     return float(prefix.sum())
+
+
+def path_cumulative_ll_mc(yc, x, states, mu, sigmas, lp, *,
+                          silent_start: bool = True) -> float:
+    """Multi-channel variant of path_cumulative_ll: the same telescoped
+    O(T) score with the emission replaced by the per-channel Gaussian sum
+    (core/emission_mc.py). yc: (T, C); mu: (K, N, C); sigmas: (C,)."""
+    yc = np.asarray(yc, np.float64)
+    x = np.asarray(x, np.int64)
+    states = np.asarray(states)
+    mu = np.asarray(mu, np.float64)
+    sigmas = np.asarray(sigmas, np.float64)
+    T = len(yc)
+    if T == 0:
+        return 0.0
+    K, N, C = mu.shape
+
+    smu = mu[states, np.arange(N)[:, None]].sum(axis=0)   # (S, C)
+    d = yc - smu[x]                                       # (T, C)
+    em = np.sum(-HALF_LOG_2PI - np.log(sigmas)
+                - d * d / (2.0 * sigmas * sigmas), axis=1)  # (T,)
+
+    prefix0 = 0.0 if (silent_start and x[0] == 0) else float(em[0])
+    if T == 1:
+        return 0.0
+
+    pos = states[:, x]
+    w = path_transition_weights(pos[:, :-1], pos[:, 1:], lp, K)
+    prefix = prefix0 + np.cumsum(w + em[1:])
+    return float(prefix.sum())

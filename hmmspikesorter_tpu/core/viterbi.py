@@ -92,3 +92,38 @@ def viterbi_decode_batched(y, in_idx, in_w, state_mu, sigma, *, silent_start=Tru
     fn = lambda yy: viterbi_decode(yy, in_idx, in_w, state_mu, sigma,
                                    silent_start=silent_start)
     return jax.vmap(fn)(y)
+
+
+def viterbi_decode_em(em, in_idx, in_w, *, silent_start=True):
+    """Decode from precomputed per-state emissions — same dynamics, tie
+    break, and ll definition as viterbi_decode, with the Gaussian emission
+    replaced by an arbitrary (T, S) log-probability table. This is the
+    generic path for emission models the scalar (y - mean)^2 form cannot
+    express (e.g. the multi-channel model, core/emission_mc.py), and the
+    correctness anchor for the structured MC ring engines.
+    """
+    dtype = em.dtype
+    v0 = em[0]
+    if silent_start:
+        v0 = v0.at[0].set(jnp.asarray(0.0, dtype))
+
+    def step(carry, em_t):
+        cand = carry[in_idx] + in_w
+        best = jnp.argmax(cand, axis=1)
+        mx = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        bp = jnp.take_along_axis(in_idx, best[:, None], axis=1)[:, 0]
+        bp = jnp.where(jnp.isfinite(mx), bp, 0).astype(jnp.int32)
+        score = mx + em_t
+        return score, (bp, score)
+
+    vT, (bps, scores) = jax.lax.scan(step, v0, em[1:])
+    xT = jnp.argmax(vT).astype(jnp.int32)
+
+    def back(x_next, inp):
+        bp_t, score_t = inp
+        x_prev = bp_t[x_next]
+        return x_prev, (x_prev, score_t[x_next])
+
+    _, (xs, ll_incs) = jax.lax.scan(back, xT, (bps, scores), reverse=True)
+    x = jnp.concatenate([xs, xT[None]])
+    return x, jnp.sum(ll_incs)

@@ -33,18 +33,30 @@ def unroll_mlseq(ml_seq, states) -> np.ndarray:
     return states[:, np.asarray(ml_seq)]
 
 
+def _trough_waveform(mu: np.ndarray, i: int) -> np.ndarray:
+    """(K,) alignment waveform for neuron i: the template itself for
+    single-channel (K, N) models, and the largest-peak-to-peak channel's
+    template for multi-channel (K, N, C) models (the channel where the
+    trough alignment point is best defined)."""
+    if mu.ndim == 2:
+        return mu[:, i]
+    c = int(np.argmax(np.ptp(mu[:, i, :], axis=0)))
+    return mu[:, i, c]
+
+
 def extract_spiketimes(model: HMMSpikingModel) -> list[np.ndarray]:
     """Per-neuron spike sample indices (reference src/extraction.jl:15-24).
 
     A spike is registered at the samples where the neuron sits at the ring
-    position of its template minimum (the trough alignment point).
-    """
+    position of its template minimum (the trough alignment point). Works on
+    single-channel and multi-channel models (for the latter the trough is
+    taken on the neuron's largest-amplitude channel)."""
     tm = model.template_model
     ss = tm.state_space
     rolled = unroll_mlseq(model.ml_seq, ss.states)
     out = []
     for i in range(tm.n_neurons):
-        qidx = int(np.argmin(tm.mu[:, i]))
+        qidx = int(np.argmin(_trough_waveform(tm.mu, i)))
         out.append(np.nonzero(rolled[i] == qidx)[0])
     return out
 

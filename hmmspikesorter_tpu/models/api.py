@@ -155,7 +155,14 @@ def fit_spiking_model(
     if chunksize is None or chunksize >= len(y):
         x, ll = decode(y)
         return HMMSpikingModel(templates, np.asarray(x), float(ll), y)
+    ml_seq, ll = _chunked_decode(y, decode, chunksize, progress)
+    return HMMSpikingModel(templates, ml_seq, ll, y)
 
+
+def _chunked_decode(y, decode, chunksize, progress=None):
+    """The reference's silence-snapping chunk loop (fit.jl:11-42), shared by
+    the single- and multi-channel chunked decodes. y's leading axis is
+    time; decode maps a time slice to (labels, ll)."""
     n = len(y)
     ml_seq = np.zeros(n, dtype=np.int64)  # 0 == all-silent
     ll = 0.0
@@ -184,7 +191,7 @@ def fit_spiking_model(
         i = j
         if progress is not None:
             progress(i, n)
-    return HMMSpikingModel(templates, ml_seq, ll, y)
+    return ml_seq, ll
 
 
 def _decoder_for(templates: HMMTemplateModel):

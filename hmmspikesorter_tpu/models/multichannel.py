@@ -1,0 +1,190 @@
+"""Multi-channel model API — a capability extension beyond the reference.
+
+The reference's CLI receives multi-channel templates (`spikeForms` is
+(K, nchan, N), src/hmmsort.jl:46-56) and discards every channel except the
+first. This module keeps them all: each neuron has a per-channel template,
+the observation is the (T, C) multi-electrode trace, and decoding uses the
+joint per-channel Gaussian evidence (core/emission_mc.py) — strictly more
+information, so templates that are ambiguous on one electrode but distinct
+across the array decode correctly (tested: tests/test_multichannel.py).
+
+API mirrors the single-channel verbs (models/api.py):
+
+* `HMMTemplateModelMC` — (K, N, C) templates + (C,) noise + onset probs.
+* `fit_spiking_model_mc` — whole-signal / chunked Viterbi decode (the
+  reference chunk protocol, fit.jl:11-42, shared via _chunked_decode).
+* `fit_spiking_model_mc_fast` — parallel overlap-save decode with the
+  structured MC ring engines (ops/ring_viterbi_mc.py), same seam protocol
+  and automatic repair as the single-channel fast path.
+* `predict_mc` — per-channel reconstruction (the C-channel generalization
+  of src/reconstruction.jl).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.emission_mc import state_means_mc
+from ..core.path_score import path_cumulative_ll_mc
+from ..core.state_space import StateSpace, build_state_space
+from .api import HMMSpikingModel, _chunked_decode
+
+
+@dataclasses.dataclass
+class HMMTemplateModelMC:
+    """Multi-channel spike-template model.
+
+    mu: (K, N, C) per-channel templates (row 0 = per-channel silence
+    contribution); sigmas: (C,) per-channel noise stds; lp: (N,) onset
+    log-probs; allow_overlaps controls the decode state space (the
+    combined-state topology is channel-independent).
+    """
+
+    mu: np.ndarray
+    sigmas: np.ndarray
+    lp: np.ndarray
+    allow_overlaps: bool = False
+
+    def __post_init__(self):
+        self.mu = np.asarray(self.mu, dtype=np.float64)
+        self.sigmas = np.atleast_1d(np.asarray(self.sigmas,
+                                               dtype=np.float64))
+        self.lp = np.asarray(self.lp, dtype=np.float64)
+        if self.mu.ndim != 3:
+            raise ValueError("mu must be (K, N, C)")
+        if self.sigmas.shape != (self.mu.shape[2],):
+            raise ValueError("sigmas must be (C,) matching mu's channels")
+
+    @property
+    def K(self) -> int:
+        return self.mu.shape[0]
+
+    @property
+    def n_neurons(self) -> int:
+        return self.mu.shape[1]
+
+    @property
+    def n_channels(self) -> int:
+        return self.mu.shape[2]
+
+    @property
+    def state_space(self) -> StateSpace:
+        return build_state_space(self.n_neurons, self.K, self.allow_overlaps)
+
+    def channel(self, c: int):
+        """Single-channel projection of this model (what the reference's
+        channel-1-only pipeline would see for c = 0)."""
+        from .api import HMMTemplateModel
+
+        return HMMTemplateModel(mu=self.mu[:, :, c],
+                                sigma=float(self.sigmas[c]), lp=self.lp,
+                                allow_overlaps=self.allow_overlaps)
+
+
+def _mc_decoder_for(templates: HMMTemplateModelMC):
+    """Whole-signal decode dispatch: a structured ring MC engine exists for
+    every topology (non-overlap any N; pairwise-overlap N=2 specialized,
+    any N table-driven) — the MC mirror of the single-channel dispatch."""
+    from ..ops.ring_viterbi_mc import (ring_viterbi_nov_mc,
+                                      ring_viterbi_ov2_mc,
+                                      ring_viterbi_ovn_mc)
+
+    lp = templates.lp
+    mu = templates.mu
+    sigmas = templates.sigmas
+    if not templates.allow_overlaps:
+        engine = ring_viterbi_nov_mc
+    elif templates.n_neurons == 2:
+        engine = ring_viterbi_ov2_mc
+    else:
+        engine = ring_viterbi_ovn_mc
+    return lambda yy: engine(yy, lp, mu, sigmas)
+
+
+def fit_spiking_model_mc(templates: HMMTemplateModelMC, yc,
+                         chunksize: int | None = None,
+                         *, progress=None) -> HMMSpikingModel:
+    """Multi-channel Viterbi MAP decode; chunksize enables the reference's
+    silence-snapping chunk protocol (fit.jl:11-42). yc: (T, C)."""
+    yc = np.asarray(yc, dtype=np.float64)
+    if yc.ndim != 2 or yc.shape[1] != templates.n_channels:
+        raise ValueError(f"yc must be (T, {templates.n_channels})")
+    decode = _mc_decoder_for(templates)
+    if chunksize is None or chunksize >= len(yc):
+        x, ll = decode(yc)
+        return HMMSpikingModel(templates, np.asarray(x), float(ll), yc)
+    ml_seq, ll = _chunked_decode(yc, decode, chunksize, progress)
+    return HMMSpikingModel(templates, ml_seq, ll, yc)
+
+
+def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
+                              L: int = 8192, H: int | None = None,
+                              repair: bool = True) -> HMMSpikingModel:
+    """Production multi-channel decode: parallel overlap-save with the
+    structured MC ring engines (parallel/overlap_save.mc_overlap_save),
+    automatic seam repair, and the telescoped reference ll
+    (core/path_score.path_cumulative_ll_mc). Every topology is supported
+    (non-overlap any N; pairwise-overlap N=2 specialized, any N
+    table-driven)."""
+    from ..parallel.overlap_save import mc_overlap_save
+
+    yc = np.asarray(yc, dtype=np.float64)
+    if yc.ndim != 2 or yc.shape[1] != templates.n_channels:
+        raise ValueError(f"yc must be (T, {templates.n_channels})")
+    if H is None:
+        H = max(4 * templates.K, 64)
+    if len(yc) < L + 2 * H:
+        return fit_spiking_model_mc(templates, yc)
+    x, seam_ok = mc_overlap_save(yc, templates.lp, templates.mu,
+                                 templates.sigmas, L=L, H=H,
+                                 overlaps=templates.allow_overlaps)
+    x = np.asarray(x)
+    seam_ok = np.asarray(seam_ok)
+    n_repaired = 0
+    if repair and not seam_ok.all():
+        from ..parallel.seam_repair import repair_seams
+
+        dec = _mc_repair_decoder(templates)
+        failed = (np.nonzero(~seam_ok)[0] + 1) * L
+        x, _ = repair_seams(yc, x, failed, dec, H=H)
+        n_repaired = int((~seam_ok).sum())
+        seam_ok = np.ones_like(seam_ok)
+    ll = path_cumulative_ll_mc(yc, x, templates.state_space.states,
+                               templates.mu, templates.sigmas, templates.lp)
+    model = HMMSpikingModel(templates, x, ll, yc)
+    model.seam_ok = seam_ok
+    model.seams_repaired = n_repaired
+    return model
+
+
+def _mc_repair_decoder(templates: HMMTemplateModelMC):
+    """Seam-repair window decoder (same contract as
+    parallel/seam_repair.make_window_decoder): decode(y_win, silent_start)
+    -> int labels, with emission-only init for interior repair windows."""
+    lp, mu, sigmas = templates.lp, templates.mu, templates.sigmas
+    if not templates.allow_overlaps:
+        from ..ops.ring_viterbi_mc import ring_viterbi_nov_mc as engine
+    elif templates.n_neurons == 2:
+        from ..ops.ring_viterbi_mc import ring_viterbi_ov2_mc as engine
+    else:
+        from ..ops.ring_viterbi_mc import ring_viterbi_ovn_mc as engine
+
+    def decode(y_win, silent_start):
+        x, _ = engine(y_win, lp, mu, sigmas, silent_start=silent_start,
+                      with_ll=False)
+        return np.asarray(x)
+
+    return decode
+
+
+def predict_mc(model: HMMSpikingModel) -> np.ndarray:
+    """Per-channel reconstruction: (T, C) denoised signal — the C-channel
+    generalization of reconstruct_signal (src/reconstruction.jl:1-9)."""
+    tm = model.template_model
+    ss = tm.state_space
+    smu_c = np.asarray(state_means_mc(jnp.asarray(ss.states),
+                                      jnp.asarray(tm.mu)))
+    return smu_c[np.asarray(model.ml_seq)]

@@ -73,12 +73,7 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     dtype = mu.dtype
     y = y.astype(dtype)
     K, N = mu.shape
-    Km1 = K - 1
     pairs = _pairs(N)
-    P = len(pairs)
-    pair_idx = {p: q for q, p in enumerate(pairs)}
-    lp = jnp.asarray(lp, dtype)
-    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
     sigma = jnp.asarray(sigma, dtype)
     log_sigma = jnp.log(sigma)
     inv_2s2 = 1.0 / (2.0 * sigma * sigma)
@@ -98,6 +93,25 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
             return -HALF_LOG_2PI - log_sigma - d * d * inv_2s2
 
         return g(silent_mean), g(sgl_mean), g(pair_mean)
+
+    return _ovn_core(em, y[0], y[1:], lp, K, N, dtype,
+                     silent_start=silent_start, with_ll=with_ll)
+
+
+def _ovn_core(em, inp0, inps, lp, K, N, dtype, *, silent_start, with_ll):
+    """The table-driven any-N overlap-space recursion, generic over the
+    emission model: `em(inp_t) -> (es scalar, eb (N, K-1), ep (P, K-1, K-1))`
+    per-step emission log-probs, fed the scan inputs `inps` (any pytree
+    with leading axis T-1; inp0 is the t = 0 input). The single-channel
+    engine passes the raw samples; the multi-channel engine passes its
+    factorized (es, d) streams (ring_viterbi_ovn_mc). Dynamics, tables,
+    tie-breaking, backtrace, and ll replay are shared verbatim."""
+    Km1 = K - 1
+    pairs = _pairs(N)
+    P = len(pairs)
+    pair_idx = {p: q for q, p in enumerate(pairs)}
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
 
     # state index helpers (flat layout)
     SGL = [1 + n * Km1 for n in range(N)]
@@ -161,9 +175,9 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     lp_i = lp[jnp.asarray(pairs_i)]                        # (P,)
     lp_j = lp[jnp.asarray(pairs_j)]
 
-    def maxplus_step(carry, y_t, want_bp):
+    def maxplus_step(carry, inp_t, want_bp):
         vs, vb, vp = carry            # scalar, (N, K-1), (P, K-1, K-1)
-        es, eb, ep = em(y_t)
+        es, eb, ep = em(inp_t)
         ends = vb[:, -1]                                       # (N,)
         p_end = vp[:, -1, -1]                                  # (P,)
         colend = vp[:, :-1, -1]                                # (P, K-2)
@@ -245,14 +259,14 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
             bp = (bp_sil, bp_on, bp_ring, bp_corner, bp_prow, bp_pcol)
         return (new_vs, new_vb, new_vp), bp
 
-    es0, eb0, ep0 = em(y[0])
+    es0, eb0, ep0 = em(inp0)
     vs0 = jnp.where(silent_start, jnp.asarray(0.0, dtype), es0)
     carry0 = (vs0, eb0, ep0)
 
-    def step(c, y_t):
-        return maxplus_step(c, y_t, True)
+    def step(c, inp_t):
+        return maxplus_step(c, inp_t, True)
 
-    (vsT, vbT, vpT), bps = jax.lax.scan(step, carry0, y[1:])
+    (vsT, vbT, vpT), bps = jax.lax.scan(step, carry0, inps)
 
     flatT = jnp.concatenate([vsT[None], vbT.reshape(-1), vpT.reshape(-1)])
     xT = jnp.argmax(flatT).astype(jnp.int32)
@@ -428,12 +442,12 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
     state_iota = jnp.arange(S, dtype=jnp.int32)
 
     def replay(carry, inp):
-        y_t, x_t = inp
-        new_c, _ = maxplus_step(carry, y_t, False)
+        inp_t, x_t = inp
+        new_c, _ = maxplus_step(carry, inp_t, False)
         nvs, nvb, nvp = new_c
         flat = jnp.concatenate([nvs[None], nvb.reshape(-1), nvp.reshape(-1)])
         score = jnp.sum(jnp.where(state_iota == x_t, flat, 0.0))
         return new_c, score
 
-    _, path_scores = jax.lax.scan(replay, carry0, (y[1:], x[1:]))
+    _, path_scores = jax.lax.scan(replay, carry0, (inps, x[1:]))
     return x, jnp.sum(path_scores)

@@ -554,3 +554,89 @@ def _build_windows_arrays(y, *, T, L, H, B, W):
     """vmap-friendly wrapper: _build_windows minus the (static) edge_rows."""
     y_win, _ = _build_windows(y, T=T, L=L, H=H, B=B, W=W)
     return y_win
+
+
+def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool):
+    """Multi-channel parallel overlap-save decode (beyond-reference
+    capability: the reference keeps channel 1 only, src/hmmsort.jl:56).
+
+    yc: (T, C) observations; mu: (K, N, C) per-channel templates;
+    sigmas: (C,) per-channel noise stds.
+
+    The channel dimension collapses *before* the windows are built: the
+    factorized MC emission (core/emission_mc.py) turns yc into the
+    per-neuron projection streams (es, d) with one (T, C) x (C, N*(K-1))
+    MXU matmul, and windowing commutes with that pointwise map — so the
+    halo windows are built over the (1 + N*(K-1)) stream features, and the
+    block decodes, seam snap, and stitch are exactly the single-channel
+    machinery (same protocol as ring_overlap_save). Every topology is
+    supported: non-overlap (any N), the specialized N=2 pair engine, and
+    the table-driven any-N overlap engine.
+
+    Returns (x (T,) int labels, seam_ok (B-1,) bool).
+    """
+    from ..core.emission_mc import MCTables, mc_streams
+
+    if L < 2 * H:
+        raise ValueError("need L >= 2H so seam cuts are monotone")
+    K, N, C = np.shape(mu)
+    tables = MCTables(mu, sigmas)
+    es, d = mc_streams(yc, tables)                       # (T,), (T, N, K-1)
+    dtype = es.dtype
+    c1 = jnp.asarray(tables.c1, dtype)
+    if overlaps and N == 2:
+        cx = jnp.asarray(tables.x2[(0, 1)], dtype)       # ov2 cross form
+    elif overlaps:
+        cx = jnp.asarray(np.stack([tables.c2[p]          # ovn direct form
+                                   for p in sorted(tables.c2)]), dtype)
+    else:
+        cx = jnp.zeros((0,), dtype)
+    return _mc_overlap_save_impl(es, d, jnp.asarray(lp, dtype), c1, cx,
+                                 L=L, H=H, overlaps=overlaps)
+
+
+@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
+def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps):
+    from ..ops.ring_viterbi_mc import (_nov_mc_scan, _ov2_mc_scan,
+                                      _ovn_mc_scan)
+
+    T = es.shape[0]
+    _, N, Km1 = d.shape
+    B = -(-T // L)
+    W = L + 2 * H
+    S = (1 + N * Km1 + (N * (N - 1) // 2) * Km1 * Km1
+         if overlaps else 1 + N * Km1)
+    out_dtype = jnp.int16 if S <= 32767 else jnp.int32
+
+    if not overlaps:
+        dec = lambda e, dd, s0: _nov_mc_scan(e, dd, lp, c1,
+                                             silent_start=s0,
+                                             with_ll=False)[0]
+    elif N == 2:
+        dec = lambda e, dd, s0: _ov2_mc_scan(e, dd, lp, c1, cx,
+                                             silent_start=s0,
+                                             with_ll=False)[0]
+    else:
+        dec = lambda e, dd, s0: _ovn_mc_scan(e, dd, lp, c1, cx,
+                                             silent_start=s0,
+                                             with_ll=False)[0]
+
+    if B == 1 or T < W:
+        x = dec(es, d, True)
+        return x.astype(out_dtype), jnp.ones((0,), bool)
+
+    # window the stream features (pointwise in t, so windowing commutes
+    # with the channel-collapsing projection)
+    feats = jnp.concatenate([es[:, None], d.reshape(T, N * Km1)], axis=1)
+    build = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B, W=W))
+    f_win = build(feats.T)                               # (F, B, W)
+    _, edge_rows = _build_windows(es, T=T, L=L, H=H, B=B, W=W)
+    es_win = f_win[0]                                    # (B, W)
+    d_win = f_win[1:].transpose(1, 2, 0).reshape(B, W, N, Km1)
+    sil0 = jnp.arange(B) == 0
+
+    xb = jax.vmap(dec)(es_win, d_win, sil0)              # (B, W)
+
+    x, seam_ok = _snap_and_stitch(xb, T=T, L=L, H=H, B=B,
+                                  edge_rows=edge_rows)
+    return x.astype(out_dtype), seam_ok

@@ -118,6 +118,66 @@ def test_sort_data_all_channels(tmp_path):
         assert agree > 0.99
 
 
+def test_sort_data_multichannel_joint_decode(tmp_path):
+    """--multichannel keeps every spikeForms channel and decodes one spike
+    train from the joint evidence. Two neurons identical on channel 1 but
+    opposite on channel 2: the joint decode attributes both correctly; the
+    reference's channel-1-only path cannot (it sees identical templates)."""
+    K, T, sig = 12, 6000, 0.25
+    w = create_spike_template(K, 3.0, 0.8, 0.2)
+    mu = np.zeros((K, 2, 2))                       # (K, N, C)
+    mu[:, 0, 0] = w
+    mu[:, 1, 0] = w                                # same on channel 1
+    mu[:, 0, 1] = w
+    mu[:, 1, 1] = -w                               # opposite on channel 2
+    pp = np.array([0.008, 0.008])
+    rng = np.random.default_rng(11)
+    _, truth = create_signal(T, 0.0, pp, mu[:, :, 0], rng=rng)
+    yc = sig * rng.standard_normal((T, 2))
+    for n in range(2):
+        k = truth[n]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n]
+
+    tfile = str(tmp_path / "mc_templates.h5")
+    with h5py.File(tfile, "w") as f:
+        # Julia (K, nchan, N) layout == h5py (N, nchan, K)
+        f["spikeForms"] = mu.transpose(1, 2, 0)
+        f["cinv"] = np.array([1.0 / sig**2, 1.0 / sig**2])
+        f["p"] = pp
+    dfile = str(tmp_path / "mc_data.h5")
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = yc.T             # Julia (T, C) columns
+
+    ofile = str(tmp_path / "mc_out.mat")
+    out = cli.sort_data(tfile, dfile, ofile, multichannel=True,
+                        chunksize=1500)
+    assert set(out) == {"mlseq", "ll", "waveforms", "lp", "sigma"}
+    assert out["mlseq"].shape == (2, T)
+    assert out["waveforms"].shape == (K, 2, 2)
+    assert out["sigma"].shape == (2,)
+    assert np.isfinite(out["ll"])
+    # both neurons decoded with roughly their true onset counts (the
+    # channel-1-only model could not separate them at all)
+    for n in range(2):
+        dec = int(np.sum((out["mlseq"][n][1:] == 2)
+                         & (out["mlseq"][n][:-1] == 1)))
+        tru = int(np.sum(truth[n] == 1))
+        assert abs(dec - tru) <= max(1, tru // 5), (n, dec, tru)
+
+    out_fast = cli.sort_data(tfile, dfile, str(tmp_path / "mcf.mat"),
+                             multichannel=True, engine="fast")
+    agree = (out_fast["mlseq"] == out["mlseq"]).mean()
+    assert agree > 0.99
+    assert np.isfinite(out_fast["ll"])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cli.sort_data(tfile, dfile, ofile, multichannel=True,
+                      channels="all")
+
+
 def test_load_data_all_channels_1d(tmp_path):
     """channels='all' on a 1-D dataset returns a (1, T) matrix."""
     _, dfile, *_rest, y = _write_inputs(tmp_path)
