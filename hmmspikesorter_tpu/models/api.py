@@ -27,6 +27,12 @@ from ..core.state_space import StateSpace, build_state_space
 from ..core.viterbi import viterbi_decode
 from ..train.em import TrainResult, train_model
 
+# One-shot overlap-save programs are compiled per (T, L, H) shape and XLA
+# compile time grows superlinearly with the block count (512+-block
+# programs take minutes on remote-compile backends); past this many blocks
+# the fast path auto-switches to the fixed-shape streaming driver.
+MAX_ONESHOT_BLOCKS = 256
+
 
 @dataclasses.dataclass
 class HMMTemplateModel:
@@ -239,6 +245,14 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     flight (double-buffering): the next chunk's host window build + H2D
     transfer and the previous chunk's label fetch overlap device compute.
 
+    streaming=None (the default) auto-selects: recordings longer than
+    256 overlap-save blocks (T > 256*L) stream through the fixed-shape
+    driver — XLA compile time grows superlinearly with the one-shot
+    program's block count (512+-block programs take minutes on
+    remote-compile backends) while 256-block programs stay in the
+    tens of seconds and the compile is amortized over every later call.
+    Labels are identical either way (same windows, same seam protocol).
+
     The reference's cumulative-score ll (src/viterbi.jl:92-96) is computed
     for every topology via the O(T) telescoped path score
     (core/path_score.py) — along a backtrace path the T1 reads are prefix
@@ -265,7 +279,7 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
 
     L = arg(L, "L", 8192)
     H = arg(H, "H", None)
-    streaming = arg(streaming, "streaming", False)
+    streaming = arg(streaming, "streaming", None)
     blocks_per_call = arg(blocks_per_call, "blocks_per_call", 256)
     prefetch = arg(prefetch, "prefetch", 2)
     repair = arg(repair, "repair", True)
@@ -274,6 +288,11 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     y = np.asarray(y, dtype=np.float64)
     if H is None:
         H = max(4 * templates.K, 64)
+    if streaming is None:
+        # auto: one-shot programs cap at 256 blocks (compile time grows
+        # superlinearly with block count on remote-compile backends);
+        # longer recordings stream through the fixed-shape driver
+        streaming = len(y) > MAX_ONESHOT_BLOCKS * L
     if streaming and len(y) < L + 2 * H:
         streaming = False          # shorter than one window: decode one-shot
     if streaming:

@@ -170,6 +170,45 @@ def main() -> int:
     record["empallas_sigma_rel_diff"] = abs(float(sg_p) - sg_n2) / sg_n2
     record["empallas_ll_rel_diff"] = abs(float(ll_p) - ll_n2) / abs(ll_n2)
 
+    # --- 6. multichannel engines on hardware. The MC family is anchored to
+    # the single-channel engines two ways: (a) C=1 reduction — the MC ring
+    # engine with one channel must BIT-match the single-channel ring engine
+    # (same dynamics, emission reduces to the scalar Gaussian); (b) the MC
+    # fast (overlap-save) path must bit-match the MC one-shot decode.
+    from hmmspikesorter_tpu.models.multichannel import (
+        HMMTemplateModelMC, fit_spiking_model_mc, fit_spiking_model_mc_fast)
+    from hmmspikesorter_tpu.ops.ring_viterbi_mc import ring_viterbi_ov2_mc
+
+    Tm = 1 << 17
+    x_mc1, _ = ring_viterbi_ov2_mc(
+        jnp.asarray(y[:Tm, None], jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps[:, :, None], jnp.float32),
+        jnp.asarray([sigma], jnp.float32), with_ll=False)
+    record["agreement_mc_c1_vs_sc_ring_tpu_2e17"] = float(
+        (np.asarray(x_mc1) == np.asarray(xr)).mean())
+
+    gains = np.array([[1.0, 0.2, 0.6], [0.2, 1.0, 0.6]])
+    mu_mc = temps[:, :, None] * gains[None, :, :]
+    sig_c = np.array([0.3, 0.3, 0.35])
+    rng_mc = np.random.default_rng(7)
+    yc = sig_c[None, :] * rng_mc.standard_normal((Tm, 3))
+    # drive all channels from one true spike train (generator plays
+    # template rows k-1 at ring position k, data/synthetic.py)
+    _, truth_mc = create_signal_fast(Tm, sigma, pp, temps,
+                                     rng=np.random.default_rng(99))
+    for n in range(N):
+        k = truth_mc[n]
+        m = k > 0
+        yc[m] += mu_mc[k[m] - 1, n]
+    tmc = HMMTemplateModelMC(mu=mu_mc, sigmas=sig_c, lp=lp,
+                             allow_overlaps=True)
+    m_one = fit_spiking_model_mc(tmc, yc)
+    m_fast = fit_spiking_model_mc_fast(tmc, yc, L=8192, H=256)
+    record["agreement_mc_fast_vs_oneshot_tpu_2e17"] = float(
+        (np.asarray(m_fast.ml_seq) == np.asarray(m_one.ml_seq)).mean())
+    record["mc_ll_rel_diff"] = (abs(float(m_fast.ll) - float(m_one.ll))
+                                / abs(float(m_one.ll)))
+
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))

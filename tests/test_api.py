@@ -176,6 +176,32 @@ def test_fast_decode_streaming_matches_oneshot():
     assert stream.seam_ok.all()
 
 
+def test_fast_decode_auto_streams_past_block_cap(monkeypatch):
+    """streaming=None (default) must route recordings longer than
+    MAX_ONESHOT_BLOCKS*L through the fixed-shape streaming driver
+    (compile-time scaling: 512+-block one-shot programs compile for
+    minutes on remote-compile backends) with identical labels."""
+    import hmmspikesorter_tpu.models.api as api_mod
+
+    tm, y, _ = _model_and_signal(K=20, T=8192, overlaps=True)
+    monkeypatch.setattr(api_mod, "MAX_ONESHOT_BLOCKS", 4)
+    called = {}
+    import hmmspikesorter_tpu.parallel.overlap_save as ovs
+    orig = ovs.overlap_save_decode_long
+
+    def spy(*a, **k):
+        called["streamed"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ovs, "overlap_save_decode_long", spy)
+    auto = api.fit_spiking_model_fast(tm, y, L=1024, H=128,
+                                      blocks_per_call=4)   # B=8 > cap=4
+    assert called.get("streamed")
+    one = api.fit_spiking_model_fast(tm, y, L=1024, H=128, streaming=False)
+    np.testing.assert_array_equal(auto.ml_seq, one.ml_seq)
+    assert auto.ll == pytest.approx(one.ll, rel=1e-9)
+
+
 def test_fit_spiking_models_fast_batched_matches_per_channel():
     """The batched decode API equals per-channel fit_spiking_model_fast
     (labels, ll, seam flags) on a (C, T) batch."""
