@@ -122,13 +122,23 @@ def fit_spiking_model_mc(templates: HMMTemplateModelMC, yc,
 
 def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
                               L: int = 8192, H: int | None = None,
+                              streaming: bool | None = None,
+                              blocks_per_call: int = 256,
+                              prefetch: int = 2,
                               repair: bool = True) -> HMMSpikingModel:
     """Production multi-channel decode: parallel overlap-save with the
     structured MC ring engines (parallel/overlap_save.mc_overlap_save),
     automatic seam repair, and the telescoped reference ll
     (core/path_score.path_cumulative_ll_mc). Every topology is supported
     (non-overlap any N; pairwise-overlap N=2 specialized, any N
-    table-driven)."""
+    table-driven).
+
+    streaming mirrors the single-channel fast path: None (default)
+    auto-routes recordings past MAX_ONESHOT_BLOCKS overlap-save blocks
+    through the fixed-shape host driver (one compile serves any T —
+    raw (B, W, C) windows stream to the device and the channel-collapsing
+    projection runs per block, ops/ring_viterbi_mc.mc_block_decoder);
+    True/False force either path. Labels are identical."""
     from ..parallel.overlap_save import mc_overlap_save
 
     yc = np.asarray(yc, dtype=np.float64)
@@ -138,9 +148,24 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
         H = max(4 * templates.K, 64)
     if len(yc) < L + 2 * H:
         return fit_spiking_model_mc(templates, yc)
-    x, seam_ok = mc_overlap_save(yc, templates.lp, templates.mu,
-                                 templates.sigmas, L=L, H=H,
-                                 overlaps=templates.allow_overlaps)
+    if streaming is None:
+        from .api import MAX_ONESHOT_BLOCKS
+
+        streaming = len(yc) > MAX_ONESHOT_BLOCKS * L
+    if streaming:
+        from ..ops.ring_viterbi_mc import mc_block_decoder
+        from ..parallel.overlap_save import overlap_save_decode_long
+
+        dec = mc_block_decoder(templates.lp, templates.mu, templates.sigmas,
+                               overlaps=templates.allow_overlaps)
+        x, seam_ok = overlap_save_decode_long(
+            yc, None, None, None, None, L=L, H=H,
+            blocks_per_call=blocks_per_call, block_decoder=dec,
+            prefetch=prefetch)
+    else:
+        x, seam_ok = mc_overlap_save(yc, templates.lp, templates.mu,
+                                     templates.sigmas, L=L, H=H,
+                                     overlaps=templates.allow_overlaps)
     x = np.asarray(x)
     seam_ok = np.asarray(seam_ok)
     n_repaired = 0

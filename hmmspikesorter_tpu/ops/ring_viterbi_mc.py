@@ -313,3 +313,70 @@ def ring_viterbi_ovn_mc(yc, lp, mu, sigmas, *, silent_start=True,
     c2 = jnp.asarray(np.stack([tables.c2[p] for p in pairs]), dtype)
     return _ovn_mc_scan(es, d, lp, c1, c2, silent_start=silent_start,
                         with_ll=with_ll)
+
+
+@partial(jax.jit, static_argnames=("engine_name",))
+def _mc_block_decode_batched(y_win, sil, lp, c1, cx, zscale, silent_sum,
+                             ub, delta, *, engine_name: str):
+    """Module-level jitted batch decode over raw (B, W, C) signal windows:
+    the streams are computed on-device (windowing commutes with the
+    pointwise channel-collapsing projection, so labels match the one-shot
+    mc_overlap_save bit-wise), then every window decodes under one vmap.
+    Module-level so repeated streaming calls hit the global jit cache
+    (the same recompile-per-call hazard ring_viterbi._block_decode_batched
+    documents). ub = [u_const, b_sil]."""
+    from ..core.emission_mc import _PREC
+
+    dtype = c1.dtype
+    y_win = y_win.astype(dtype)
+    z = y_win * zscale                                  # (B, W, C)
+    base = z @ silent_sum                               # (B, W)
+    u = ub[0] - 0.5 * jnp.sum(y_win * z, axis=-1)
+    es = u + base - ub[1]
+    d = jnp.matmul(z, delta, precision=_PREC)           # (B, W, N*Km1)
+    B, W = es.shape
+    N, Km1 = c1.shape
+    d = d.reshape(B, W, N, Km1)
+    if engine_name == "nov":
+        one = lambda e, dd, s0: _nov_mc_scan(e, dd, lp, c1, silent_start=s0,
+                                             with_ll=False)[0]
+    elif engine_name == "ov2":
+        one = lambda e, dd, s0: _ov2_mc_scan(e, dd, lp, c1, cx,
+                                             silent_start=s0,
+                                             with_ll=False)[0]
+    else:
+        one = lambda e, dd, s0: _ovn_mc_scan(e, dd, lp, c1, cx,
+                                             silent_start=s0,
+                                             with_ll=False)[0]
+    x = jax.vmap(one)(es, d, sil)
+    S = (1 + N * Km1 + (N * (N - 1) // 2) * Km1 * Km1
+         if engine_name != "nov" else 1 + N * Km1)
+    return x.astype(jnp.int16) if S <= 32767 else x
+
+
+def mc_block_decoder(lp, mu, sigmas, *, overlaps: bool):
+    """Batched windowed MC decoder for overlap_save_decode_long: a callable
+    ((B, W, C) raw signal windows, (B,) bool silent-start rows) -> (B, W)
+    integer labels — the multi-channel mirror of
+    ops/ring_viterbi.ring_block_decoder."""
+    tables = MCTables(mu, sigmas)
+    N = np.shape(mu)[1]
+    lp_j = jnp.asarray(lp)
+    dtype = lp_j.dtype
+    c1 = jnp.asarray(tables.c1, dtype)
+    if overlaps and N == 2:
+        name = "ov2"
+        cx = jnp.asarray(tables.x2[(0, 1)], dtype)
+    elif overlaps:
+        name = "ovn"
+        cx = jnp.asarray(np.stack([tables.c2[p] for p in sorted(tables.c2)]),
+                         dtype)
+    else:
+        name = "nov"
+        cx = jnp.zeros((0,), dtype)
+    zscale = jnp.asarray(tables.zscale, dtype)
+    ssum = jnp.asarray(tables.silent_sum, dtype)
+    ub = jnp.asarray(np.array([tables.u_const, tables.b_sil]), dtype)
+    delta = jnp.asarray(tables.delta, dtype)
+    return lambda yw, s0: _mc_block_decode_batched(
+        yw, s0, lp_j, c1, cx, zscale, ssum, ub, delta, engine_name=name)

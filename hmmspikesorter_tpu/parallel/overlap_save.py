@@ -179,7 +179,8 @@ def _decode_blocks_from_y(y_win, sil, in_idx, in_w, state_mu, sigma):
 
 def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
                              H: int, blocks_per_call: int = 8,
-                             block_decoder=None, prefetch: int = 2):
+                             block_decoder=None, prefetch: int = 2,
+                             window_dtype=None):
     """Host-driven overlap-save decode of arbitrarily long signals.
 
     Streams batches of `blocks_per_call` halo-extended blocks through the
@@ -189,10 +190,14 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     whole-signal emission tensors don't fit (SURVEY.md §2b).
 
     `block_decoder`, if given, replaces the generic gather engine: a
-    callable ((B, W) float windows, (B,) bool silent-start rows) ->
+    callable ((B, W, ...) float windows, (B,) bool silent-start rows) ->
     (B, W) integer labels (e.g. the ring-structured fast path,
     ops/ring_viterbi.ring_block_decoder, which returns int16 when the
-    state space fits).
+    state space fits). With a block_decoder, y may be multi-channel
+    (T, C) — windows are sliced along time, keeping trailing axes
+    (ops/ring_viterbi_mc.mc_block_decoder) — and in_idx/in_w/state_mu
+    may be None; `window_dtype` then sets the window cast (default:
+    the JAX default float width, matching the one-shot MC path).
 
     `prefetch` is the double-buffering depth: up to that many chunk calls
     are dispatched before the oldest is fetched, so the host-side window
@@ -218,7 +223,13 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     starts = np.clip(np.arange(B) * L - H, 0, T - W)
     starts[-1] = T - W                     # real termination at T, not pad
     labels = np.empty((B, W), np.int32)
-    dtype = np.dtype(state_mu.dtype)
+    if window_dtype is not None:
+        dtype = np.dtype(window_dtype)
+    elif state_mu is not None:
+        dtype = np.dtype(state_mu.dtype)
+    else:
+        dtype = np.dtype(np.float64 if jax.config.jax_enable_x64
+                         else np.float32)
 
     from collections import deque
 
@@ -234,7 +245,8 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
         y_win = y[idx].astype(dtype)       # windows never touch the pad
         if c1 - c0 < blocks_per_call:      # keep one compiled shape
             padb = blocks_per_call - (c1 - c0)
-            y_win = np.concatenate([y_win, np.zeros((padb, W), dtype)])
+            y_win = np.concatenate(
+                [y_win, np.zeros((padb, W) + y.shape[1:], dtype)])
         # the block containing sample 0 gets the reference's forced
         # silent start (src/viterbi.jl:63)
         sil = np.zeros(len(y_win), bool)

@@ -313,3 +313,45 @@ def test_extract_spiketimes_mc():
     for n in range(2):
         assert abs(len(times[n]) - true_counts[n]) <= max(
             1, true_counts[n] // 10), (n, len(times[n]), true_counts[n])
+
+
+def test_mc_fast_streaming_matches_oneshot():
+    """The fixed-shape streaming MC driver (raw (B, W, C) windows, on-device
+    projection) must reproduce the one-shot mc_overlap_save labels exactly
+    (the projection is pointwise in t, so windowing commutes with it)."""
+    K, N, C = 7, 2, 3
+    mu, sigmas, lp = _mk_model(K, N, C, seed=23)
+    yc, _ = _mk_signal(4096, mu, sigmas, lp, seed=24)
+    tm = HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=lp, allow_overlaps=True)
+    one = fit_spiking_model_mc_fast(tm, yc, L=512, H=64, streaming=False)
+    stream = fit_spiking_model_mc_fast(tm, yc, L=512, H=64, streaming=True,
+                                       blocks_per_call=3)
+    np.testing.assert_array_equal(np.asarray(stream.ml_seq),
+                                  np.asarray(one.ml_seq))
+    assert abs(stream.ll - one.ll) < 1e-6 * max(1.0, abs(one.ll))
+
+
+def test_mc_fast_auto_streams_past_block_cap(monkeypatch):
+    """streaming=None auto-routes long MC recordings through the
+    fixed-shape driver, same contract as the single-channel path."""
+    import hmmspikesorter_tpu.models.api as api_mod
+    import hmmspikesorter_tpu.parallel.overlap_save as ovs
+
+    K, N, C = 7, 2, 2
+    mu, sigmas, lp = _mk_model(K, N, C, seed=25)
+    yc, _ = _mk_signal(4096, mu, sigmas, lp, seed=26)
+    tm = HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=lp)
+    monkeypatch.setattr(api_mod, "MAX_ONESHOT_BLOCKS", 4)
+    called = {}
+    orig = ovs.overlap_save_decode_long
+
+    def spy(*a, **k):
+        called["streamed"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ovs, "overlap_save_decode_long", spy)
+    auto = fit_spiking_model_mc_fast(tm, yc, L=512, H=64)   # B=8 > cap=4
+    assert called.get("streamed")
+    one = fit_spiking_model_mc_fast(tm, yc, L=512, H=64, streaming=False)
+    np.testing.assert_array_equal(np.asarray(auto.ml_seq),
+                                  np.asarray(one.ml_seq))
