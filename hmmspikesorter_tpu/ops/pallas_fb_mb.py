@@ -14,11 +14,17 @@ train/em.py fb_mode="overlap"):
     (src/baumwelch.jl:25-98 semantics: stay-silent, onset, ring shift,
     ring exit, exit+onset handoff) is a static slice or a sublane roll.
 
-Kernel 1 (forward) streams log-alpha slabs to HBM in the native
-(Bg, CH·NKP, G) chunk layout plus the per-step logsumexp of alpha (for
-the telescoped ll). Kernel 2 walks the chunk grid REVERSED, maintains
-beta in VMEM scratch, re-reads the alpha slabs, and accumulates — per
-lane, fully fused, nothing (T, S)-shaped ever materialized:
+Kernel 1 (forward) writes only CHUNK-BOUNDARY log-alpha checkpoints
+(one (NKP, G) slab per `ch` steps — a ~`ch`x reduction of the alpha HBM
+round trip vs streaming every step) plus the per-step logsumexp of
+alpha (for the telescoped ll). Kernel 2 walks the chunk grid REVERSED:
+it REMATERIALIZES the chunk's `ch` alpha steps in VMEM from the
+previous chunk's checkpoint (bit-identical to the forward pass — same
+op sequence), maintains beta in VMEM scratch, and accumulates — per
+lane, fully fused, nothing (T, S)-shaped ever materialized. The remat
+trades one extra alpha sweep (VPU elementwise, cheap) for ~2·(W·NKP·G)
+floats of HBM traffic per group (the dominant cost at production
+sizes — the classic jax.checkpoint trade, done inside the kernel):
 
   * gamma occupancies and first/second signal moments per state
     (G1, Gy, Gy2 — the inputs of the mu/sigma M-step,
@@ -86,11 +92,41 @@ def _lse_rows(rows):
     return m + jnp.log(s)
 
 
+def _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w, subk, maskk):
+    """One forward log-alpha update (vs, vb, es, eb) -> (vs', vb') — the
+    per-neuron ring recursion with static-slice/sublane-roll reads only.
+    Shared verbatim by the forward kernel and the backward kernel's
+    rematerialization, so the recomputed alpha is bit-identical."""
+
+    def fstep(vs, vb, es, eb):
+        # per-neuron ring-end rows, static slices (1, G)
+        ends = [vb[n * KP + Km1 - 1 : n * KP + Km1, :] for n in range(N)]
+        new_vs = _lae(vs + self_w, _lse_rows(ends) + stay_w) + es
+        first = []
+        for n in range(N):
+            on = vs + lpn[n] + stay_w
+            others = [ends[m] for m in range(N) if m != n]
+            if others:
+                sw = _lse_rows(others) + swap_w
+                first.append(_lae(on, sw + lpn[n]))
+            else:
+                first.append(on)
+        rolled = pltpu.roll(vb, 1, axis=0) + stay_w
+        firstx = jnp.concatenate(
+            [jnp.broadcast_to(first[n], (KP, G)) for n in range(N)],
+            axis=0)
+        new_vb = jnp.where(subk == 0, firstx, rolled)
+        new_vb = jnp.where(maskk, new_vb + eb, NEG)
+        return new_vs, new_vb
+
+    return fstep
+
+
 def _make_fwd_kernel(N: int, Km1: int, ch: int):
     NKP = N * KP
 
     def kernel(y_ref, consts_ref, lpv_ref, bm_ref,
-               asl_ref, ab_ref, la_ref, as_s, ab_s):
+               cps_ref, cpb_ref, la_ref, as_s, ab_s):
         c = pl.program_id(1)
         lpz = consts_ref[0, 0]
         log_sigma = consts_ref[0, 1]
@@ -104,6 +140,8 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
 
         subk = jax.lax.broadcasted_iota(jnp.int32, (NKP, G), 0) % KP
         maskk = subk < Km1
+        fstep = _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w,
+                                 subk, maskk)
 
         bm = bm_ref[...]
 
@@ -111,11 +149,6 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
             es = econst - (y_t - silent_mean) ** 2 * inv_2s2   # (1, G)
             eb = econst - (y_t - bm) ** 2 * inv_2s2            # (NKP, G)
             return es, eb
-
-        def write(s, a_s, a_b, la):
-            asl_ref[0, s : s + 1, :] = a_s
-            ab_ref[0, s * NKP : (s + 1) * NKP, :] = a_b
-            la_ref[0, s : s + 1, :] = la
 
         def lse_all(a_s, a_b):
             m = jnp.maximum(jnp.max(a_b, axis=0, keepdims=True), a_s)
@@ -125,32 +158,12 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
 
         for s in range(ch):
             def step(s=s):
-                vs = as_s[0:1, :]
-                vb = ab_s[...]
                 y_t = y_ref[0, s : s + 1, :]
                 es, eb = em(y_t)
-                # per-neuron ring-end rows, static slices (1, G)
-                ends = [vb[n * KP + Km1 - 1 : n * KP + Km1, :]
-                        for n in range(N)]
-                new_vs = _lae(vs + self_w, _lse_rows(ends) + stay_w) + es
-                first = []
-                for n in range(N):
-                    on = vs + lpn[n] + stay_w
-                    others = [ends[m] for m in range(N) if m != n]
-                    if others:
-                        sw = _lse_rows(others) + swap_w
-                        first.append(_lae(on, sw + lpn[n]))
-                    else:
-                        first.append(on)
-                rolled = pltpu.roll(vb, 1, axis=0) + stay_w
-                firstx = jnp.concatenate(
-                    [jnp.broadcast_to(first[n], (KP, G)) for n in range(N)],
-                    axis=0)
-                new_vb = jnp.where(subk == 0, firstx, rolled)
-                new_vb = jnp.where(maskk, new_vb + eb, NEG)
+                new_vs, new_vb = fstep(as_s[0:1, :], ab_s[...], es, eb)
                 as_s[0:1, :] = new_vs
                 ab_s[...] = new_vb
-                write(s, new_vs, new_vb, lse_all(new_vs, new_vb))
+                la_ref[0, s : s + 1, :] = lse_all(new_vs, new_vb)
 
             if s == 0:
                 @pl.when(c == 0)
@@ -160,7 +173,7 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
                     a_b = jnp.where(maskk, eb, NEG)
                     as_s[0:1, :] = es
                     ab_s[...] = a_b
-                    write(0, es, a_b, lse_all(es, a_b))
+                    la_ref[0, 0:1, :] = lse_all(es, a_b)
 
                 @pl.when(c > 0)
                 def _():
@@ -168,17 +181,24 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
             else:
                 step()
 
+        # chunk-boundary checkpoint: alpha after this chunk's last step —
+        # the only alpha state that leaves VMEM (backward rematerializes
+        # the per-step slabs from it). The silent row is broadcast to an
+        # 8-row slab: Mosaic requires sublane-dim blocks divisible by 8.
+        cps_ref[0, :, :] = jnp.broadcast_to(as_s[0:1, :], (8, G))
+        cpb_ref[0, :, :] = ab_s[...]
+
     return kernel
 
 
 def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
     NKP = N * KP
 
-    def kernel(y_ref, asl_ref, ab_ref, consts_ref, lpv_ref, bm_ref,
+    def kernel(y_ref, cps_ref, cpb_ref, consts_ref, lpv_ref, bm_ref,
                bounds_ref, s0_ref, s1_ref, s2_ref, sil_ref, xx_ref,
                b0s_ref, b0b_ref,
                bs_s, bb_s, ems_s, emb_s, g_s,
-               a0_s, a1_s, a2_s, asil_s, ax_s):
+               a0_s, a1_s, a2_s, asil_s, ax_s, ral_s, ral_b):
         c = pl.program_id(1)
         cc = Wc - 1 - c                       # actual chunk index
         lpz = consts_ref[0, 0]
@@ -194,6 +214,8 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
         subk = jax.lax.broadcasted_iota(jnp.int32, (NKP, G), 0) % KP
         maskk = subk < Km1
         endrow = subk == Km1 - 1
+        fstep = _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w,
+                                 subk, maskk)
 
         bm = bm_ref[...]
         core_lo = bounds_ref[0, 0:1, :]                       # (1, G)
@@ -215,6 +237,33 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
             es = econst - (y_t - silent_mean) ** 2 * inv_2s2
             eb = econst - (y_t - bm) ** 2 * inv_2s2
             return es, eb
+
+        # --- rematerialize this chunk's ch alpha steps into VMEM from the
+        # previous chunk's checkpoint (chunk 0 re-derives the t=0
+        # emission-only init) — bit-identical to the forward pass: the
+        # update is the same _make_alpha_step closure
+        for s in range(ch):
+            if s == 0:
+                @pl.when(c == Wc - 1)         # actual chunk 0
+                def _remat_init():
+                    es0, eb0 = em(y_ref[0, 0:1, :])
+                    ral_s[0:1, :] = es0
+                    ral_b[0:NKP, :] = jnp.where(maskk, eb0, NEG)
+
+                @pl.when(c < Wc - 1)
+                def _remat_carry():
+                    es0, eb0 = em(y_ref[0, 0:1, :])
+                    nvs, nvb = fstep(cps_ref[0, 0:1, :], cpb_ref[0, :, :],
+                                     es0, eb0)
+                    ral_s[0:1, :] = nvs
+                    ral_b[0:NKP, :] = nvb
+            else:
+                es_r, eb_r = em(y_ref[0, s : s + 1, :])
+                nvs, nvb = fstep(ral_s[s - 1 : s, :],
+                                 ral_b[(s - 1) * NKP : s * NKP, :],
+                                 es_r, eb_r)
+                ral_s[s : s + 1, :] = nvs
+                ral_b[s * NKP : (s + 1) * NKP, :] = nvb
 
         for s in range(ch - 1, -1, -1):
             def tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim):
@@ -248,8 +297,8 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
                 t = cc * ch + s
                 y_t = y_ref[0, s : s + 1, :]
                 es, eb = em(y_t)
-                a_s = asl_ref[0, s : s + 1, :]
-                a_b = ab_ref[0, s * NKP : (s + 1) * NKP, :]
+                a_s = ral_s[s : s + 1, :]
+                a_b = ral_b[s * NKP : (s + 1) * NKP, :]
                 xim = (t >= core_lo) & (t < xi_hi)
 
                 bs = bs_s[0:1, :]
@@ -298,8 +347,8 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
                     t = cc * ch + s
                     y_t = y_ref[0, s : s + 1, :]
                     es, eb = em(y_t)
-                    a_s = asl_ref[0, s : s + 1, :]
-                    a_b = ab_ref[0, s * NKP : (s + 1) * NKP, :]
+                    a_s = ral_s[s : s + 1, :]
+                    a_b = ral_b[s * NKP : (s + 1) * NKP, :]
                     xim = (t >= core_lo) & (t < xi_hi)
                     new_bs = zero1
                     new_bb = jnp.where(maskk, zerob, NEG)
@@ -394,21 +443,21 @@ def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
                      memory_space=pltpu.VMEM),
     ]
     fout_specs = [
-        pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+        pl.BlockSpec((1, 8, G), lambda b, c: (b, c, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ch * NKP, G), lambda b, c: (b, c, 0),
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, c, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
                      memory_space=pltpu.VMEM),
     ]
     fout_shape = [
-        jax.ShapeDtypeStruct((Bg, W, G), jnp.float32),
-        jax.ShapeDtypeStruct((Bg, W * NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, Wc * 8, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, Wc * NKP, G), jnp.float32),
         jax.ShapeDtypeStruct((Bg, W, G), jnp.float32),
     ]
     fscratch = [pltpu.VMEM((8, G), jnp.float32),
                 pltpu.VMEM((NKP, G), jnp.float32)]
-    asl, ab, la = pl.pallas_call(
+    cps, cpb, la = pl.pallas_call(
         fkernel, out_shape=fout_shape, grid=(Bg, Wc), in_specs=fin_specs,
         out_specs=fout_specs, scratch_shapes=fscratch, interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -417,10 +466,14 @@ def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
 
     bkernel = _make_bwd_kernel(N, Km1, Wc, ch)
     rev = lambda b, c: (b, Wc - 1 - c, 0)
+    # chunk cc = Wc-1-c rematerializes from checkpoint cc-1; the clamp at
+    # cc == 0 keeps the index in range (that block is DMA'd but unread —
+    # chunk 0 re-derives the t=0 init instead)
+    rev_prev = lambda b, c: (b, jnp.maximum(Wc - 2 - c, 0), 0)
     bin_specs = [
         pl.BlockSpec((1, ch, G), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ch, G), rev, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ch * NKP, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, G), rev_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), rev_prev, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 8), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((8, G), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((NKP, G), lambda b, c: (0, 0),
@@ -464,13 +517,15 @@ def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
         pltpu.VMEM((NKP, G), jnp.float32),     # acc S2 body
         pltpu.VMEM((8, G), jnp.float32),       # acc silent S0/S1/S2/Xd
         pltpu.VMEM((8, G), jnp.float32),       # acc X (onset edges)
+        pltpu.VMEM((ch, G), jnp.float32),      # remat alpha silent
+        pltpu.VMEM((ch * NKP, G), jnp.float32),  # remat alpha body
     ]
     s0, s1, s2, sil, xx, b0s, b0b = pl.pallas_call(
         bkernel, out_shape=bout_shape, grid=(Bg, Wc), in_specs=bin_specs,
         out_specs=bout_specs, scratch_shapes=bscratch, interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(y_in, asl, ab, consts, lpv, bm, bounds)
+    )(y_in, cps, cpb, consts, lpv, bm, bounds)
 
     # --- combine: per-state sufficient statistics in the flat layout
     # [silent | body ravel (N, K-1) n-major] of core/state_space.py
