@@ -213,3 +213,15 @@ def predict_mc(model: HMMSpikingModel) -> np.ndarray:
     smu_c = np.asarray(state_means_mc(jnp.asarray(ss.states),
                                       jnp.asarray(tm.mu)))
     return smu_c[np.asarray(model.ml_seq)]
+
+
+def fit_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 10,
+           **kwargs) -> HMMSpikingModel:
+    """Train (multi-channel Baum-Welch, train/em_mc.train_model_mc) then
+    decode — the MC mirror of the reference composite fit (fit.jl:1-4)."""
+    from ..train.em_mc import train_model_mc
+
+    yc = np.asarray(yc, dtype=np.float64)
+    model, _, _ = train_model_mc(yc, n_neurons=n_neurons, K=K,
+                                 nsteps=nsteps, **kwargs)
+    return fit_spiking_model_mc(model, yc)

@@ -1,0 +1,303 @@
+"""Multi-channel Baum-Welch training — a capability extension beyond the
+reference (whose training pipeline is channel-1-only, src/hmmsort.jl:56):
+learn per-channel templates mu (K, N, C) and per-channel noise sigmas (C,)
+from a (T, C) multi-electrode recording.
+
+The combined-state topology is channel-independent, so every structural
+piece is shared with the single-channel EM (train/em.py, reference
+src/baumwelch.jl:205-309 semantics): the same EMTables, the same
+transition M-step, the same dead-pi forward init. Only the emission and
+the moment/M-step shapes change:
+
+  * emission: the factorized MC streams (core/emission_mc.py) — state 0
+    reads es(t), state (n, k) reads es(t) + d[t, n, k] - c1[n, k]; on the
+    non-overlap training space that is a (T, S) stack of the streams, one
+    (T, C) x (C, N*(K-1)) MXU matmul plus static tables, never a
+    (T, S, C) tensor;
+  * moments: one (1 + 2C, T) x (T, S) matmul [1; y_c...; y_c^2...] @ gamma
+    gives the occupancies and per-channel first/second moments;
+  * M-step: mu[k, n, c] = Gy[c, col] / G1[col] (the reference's
+    occupancy-weighted mean, per channel), sigma_c^2 = per-channel
+    quadratic residual over the same moments. Row 0 of mu stays 0 per
+    channel (the reference's silent-mean convention,
+    src/baumwelch.jl:266-287).
+
+With C = 1 the update equals train/em.py's em_step exactly up to float
+reassociation of the expanded emission square (tested at f64 ~1e-9).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state_space import build_state_space
+from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
+from .em import (EMTables, _backward_beta, _forward_alpha,
+                 edge_weights_from_structure, init_templates)
+
+
+def _mc_emission_dense(yc, mu, sigmas):
+    """(T, S) non-overlap-space MC emission from the factorized streams.
+
+    S = 1 + N*(K-1), column layout [silent | body (n, k) n-major] — the
+    same layout as core/state_space.py's non-overlap enumeration, so the
+    shared EMTables index tables apply unchanged. The table constants
+    (core/emission_mc.MCTables semantics) are computed IN-GRAPH here —
+    mu/sigmas are EM-loop carries (tracers under em_chain_mc's scan), not
+    trace-time constants.
+    """
+    dtype = yc.dtype
+    mu = mu.astype(dtype)
+    sigmas = sigmas.astype(dtype)
+    inv2 = 1.0 / (2.0 * sigmas * sigmas)                # (C,)
+    zscale = 1.0 / (sigmas * sigmas)
+    silent_sum = jnp.sum(mu[0], axis=0)                 # (C,)
+    u_const = jnp.sum(-HALF_LOG_2PI - jnp.log(sigmas))
+    b_sil = jnp.sum(silent_sum * silent_sum * inv2)
+    other = silent_sum[None, :] - mu[0]                 # (N, C)
+    sm = mu[1:].transpose(1, 0, 2) + other[:, None, :]  # (N, Km1, C)
+    c1 = jnp.sum(sm * sm * inv2, axis=-1)               # (N, Km1)
+    dmu = mu[1:] - mu[0][None]                          # (Km1, N, C)
+    delta = dmu.transpose(2, 1, 0).reshape(mu.shape[2], -1)   # (C, N*Km1)
+
+    z = yc * zscale                                     # (T, C)
+    base = z @ silent_sum                               # (T,)
+    u = u_const - 0.5 * jnp.sum(yc * z, axis=-1)
+    es = u + base - b_sil
+    d = jnp.matmul(z, delta, precision=jax.lax.Precision.HIGHEST)
+    body = es[:, None] + d - c1.reshape(-1)[None, :]    # (T, N*Km1)
+    return jnp.concatenate([es[:, None], body], axis=1)
+
+
+@partial(jax.jit, static_argnames=("K",))
+def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int):
+    """One multi-channel EM iteration:
+    (lp, mu (K, N, C), sigmas (C,)) -> (lp, pi, mu, sigmas, ll).
+
+    yc: (T, C) recording. Same contracts as train/em.py's em_step; the
+    engine is the generic gather alpha/beta over the dense (T, S) MC
+    emission (S = 1 + N*(K-1) on the training space stays small)."""
+    yc = jnp.asarray(yc)
+    dtype = jnp.asarray(lp).dtype
+    T, C = yc.shape
+    N = tables.states.shape[0]
+
+    em = _mc_emission_dense(yc.astype(dtype), jnp.asarray(mu),
+                            jnp.asarray(sigmas))      # (T, S)
+    in_w = edge_weights_from_structure(
+        lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
+    out_w = edge_weights_from_structure(
+        lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
+    alpha = _forward_alpha(em, tables.in_idx, in_w)
+    beta = _backward_beta(em, tables.out_idx, out_w)
+
+    ab = alpha + beta
+    g = logsumexp_rows(ab, axis=1)                      # (T,)
+    log_gamma = ab - g[:, None]
+    ll = logsumexp_rows(alpha[-1], axis=-1)
+
+    # --- transition update (shared topology; baumwelch.jl:226-264)
+    onset_w = edge_weights_from_structure(
+        lp, tables.onset_n_silent, tables.onset_onsets,
+        jnp.ones_like(tables.onset_n_silent, dtype=bool))
+    tgt = tables.onset_targets                          # (N+1,)
+    xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
+          + beta[1:, tgt] + em[1:, tgt] - g[1:, None])  # (T-1, N+1)
+    xx = logsumexp_rows(xi, axis=0)
+    bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
+    new_lp = (xx - bb)[1:]
+    new_pi = log_gamma[0]
+
+    # --- per-channel gamma moments: [1; y_c; y_c^2] rows in ONE matmul
+    gamma = jnp.exp(log_gamma)                          # (T, S)
+    P = jnp.concatenate([jnp.ones((1, T), dtype), yc.T.astype(dtype),
+                         (yc * yc).T.astype(dtype)], axis=0)   # (1+2C, T)
+    M = P @ gamma                                       # (1+2C, S)
+    G1, Gy, Gy2 = M[0], M[1 : 1 + C], M[1 + C :]        # (S,), (C, S) x2
+
+    # --- per-channel template update over single-active states
+    nbody = N * (K - 1)
+    body = (Gy[:, 1 : 1 + nbody] / G1[None, 1 : 1 + nbody])   # (C, N*(K-1))
+    body = body.reshape(C, N, K - 1).transpose(2, 1, 0)        # (K-1, N, C)
+    new_mu = jnp.concatenate(
+        [jnp.zeros((1, N, C), dtype), body], axis=0)           # (K, N, C)
+
+    # --- per-channel sigma from the same moments: the state mean on
+    # channel c is new_mu[k, n, c] (row 0 = 0 => silent contributions
+    # vanish), laid out exactly like the moment columns
+    smu_c = jnp.concatenate(
+        [jnp.zeros((1, C), dtype),
+         new_mu[1:].transpose(1, 0, 2).reshape(nbody, C)], axis=0)  # (S, C)
+    x2 = (jnp.sum(Gy2, axis=1) - 2.0 * jnp.sum(smu_c.T * Gy, axis=1)
+          + (smu_c * smu_c).T @ G1)                     # (C,)
+    new_sigmas = jnp.sqrt(x2 / jnp.sum(G1))
+
+    return new_lp, new_pi, new_mu, new_sigmas, ll
+
+
+@partial(jax.jit, static_argnames=("K", "n_iters"))
+def em_chain_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
+                n_iters: int):
+    """n_iters multi-channel EM iterations as ONE compiled program (the MC
+    mirror of train/em.em_chain). Returns (lp, pi, mu, sigmas, lls)."""
+
+    def body(carry, _):
+        lp_c, mu_c, sg_c = carry
+        nlp, pi, nmu, nsg, ll = em_step_mc(yc, lp_c, mu_c, sg_c, tables,
+                                           K=K)
+        return (nlp, nmu, nsg), (ll, pi)
+
+    (lp, mu, sigmas), (lls, pis) = jax.lax.scan(
+        body, (jnp.asarray(lp), jnp.asarray(mu), jnp.asarray(sigmas)),
+        None, length=n_iters)
+    return lp, pis[-1], mu, sigmas, lls
+
+
+# --- multi-channel template surgery: the reference's merge/prune protocol
+# (src/baumwelch.jl:423-514) generalized by whitening each channel by its
+# noise std — alignment shifts stay time-only, statistics sum over channels.
+
+
+def _best_overlap_mc(w1, w2):
+    """Best time alignment of two (K, C) whitened waveforms by summed
+    cross-correlation (the C-channel generalization of
+    template_ops.find_best_overlap)."""
+    from .template_ops import _alignment_shifts
+
+    K = w1.shape[0]
+    best = (np.arange(K), np.arange(K))
+    xm = -np.inf
+    for idx1, idx2 in _alignment_shifts(K):
+        x = float(np.sum(w1[idx1] * w2[idx2]))
+        if x > xm:
+            xm = x
+            best = (idx1, idx2)
+    return best, xm
+
+
+def condense_templates_mc(mu, lp, sigmas, alpha: float = 0.05, *,
+                          verbose: int = 0):
+    """Greedy duplicate merge for (K, N, C) templates: a pair merges when
+    the per-channel-whitened aligned difference is chi^2-compatible with
+    noise (dof = overlap_len * C - 1); the merged waveform follows the
+    reference fill rule per channel (src/baumwelch.jl:446-478)."""
+    from ..utils.stats import chi2_cdf
+
+    mu = np.asarray(mu, np.float64)
+    lp = np.asarray(lp, np.float64)
+    sigmas = np.asarray(sigmas, np.float64)
+    K, _, C = mu.shape
+    while mu.shape[1] > 1:
+        N = mu.shape[1]
+        wh = mu / sigmas[None, None, :]
+        best = None
+        for i1 in range(N - 1):
+            for i2 in range(i1 + 1, N):
+                (idx1, idx2), _ = _best_overlap_mc(wh[:, i1], wh[:, i2])
+                d = wh[idx1, i1] - wh[idx2, i2]
+                x = float(np.sum(d * d))
+                n = len(idx1) * C
+                pval = 0.0 if len(idx1) < 5 else 1.0 - chi2_cdf(x, n - 1)
+                if pval > alpha and (best is None or x > best[2]):
+                    best = (i1, i2, x, (idx1, idx2))
+        if best is None:
+            break
+        i1, i2, stat, (idx1, idx2) = best
+        if verbose > 1:
+            print(f"Merging MC templates {i1} and {i2} (chi^2 {stat:.2f})")
+        merged = np.zeros((K, C))
+        merged[idx1] = 0.5 * mu[idx1, i1]
+        merged[idx2] = 0.5 * mu[idx2, i2]
+        keep = [j for j in range(N) if j not in (i1, i2)]
+        mu = np.stack([merged] + [mu[:, j] for j in keep], axis=1)
+        lp_m = np.logaddexp(np.log(0.5) + lp[i1], np.log(0.5) + lp[i2])
+        lp = np.concatenate([[lp_m], lp[keep]])
+    return mu, lp
+
+
+def remove_small_mc(mu, sigmas, alpha: float = 0.05):
+    """Indices of MC templates whose whitened energy is significant vs
+    chi^2(C*(K-1)) noise (reference src/baumwelch.jl:423-432, summed over
+    channels; dof excludes the zero row per channel)."""
+    from ..utils.stats import chi2_cdf
+
+    mu = np.asarray(mu, np.float64)
+    sigmas = np.asarray(sigmas, np.float64)
+    K, _, C = mu.shape
+    z = np.sum(mu * mu / (sigmas * sigmas)[None, None, :], axis=(0, 2))
+    pvals = 1.0 - chi2_cdf(z, C * (K - 1))
+    return np.nonzero(pvals < alpha)[0]
+
+
+def init_templates_mc(K: int, N: int, C: int, sigmas,
+                      rng: np.random.Generator):
+    """Random per-channel template init: one reference-style random
+    waveform per (neuron, channel) (train/em.init_templates per channel),
+    row 0 = 0 everywhere."""
+    sigmas = np.asarray(sigmas, np.float64)
+    mu = np.stack([init_templates(K, N, float(sigmas[c]), rng)
+                   for c in range(C)], axis=2)
+    return mu
+
+
+def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
+                   p0: float | None = None,
+                   rng: np.random.Generator | None = None,
+                   dtype=jnp.float64, verbose: int = 0,
+                   condense_alpha: float = 0.05, sparse_lp0: float = -70.0,
+                   small_alpha: float = 0.05):
+    """Multi-channel training driver — the reference protocol
+    (src/baumwelch.jl:311-354: EM -> condense -> remove_sparse ->
+    remove_small -> EM/2) on a (T, C) recording, learning per-channel
+    templates and noise.
+
+    Returns an HMMTemplateModelMC plus the ll history, mirroring
+    train/em.train_model's TrainResult fields (template model, pi, lls).
+    """
+    from ..models.multichannel import HMMTemplateModelMC
+    from .template_ops import remove_sparse
+
+    if rng is None:
+        rng = np.random.default_rng()
+    yc = np.asarray(yc, np.float64)
+    T, C = yc.shape
+    if p0 is None:
+        p0 = 2.0 ** (-3.0 * K / 2.0)          # reference baumwelch.jl:311
+    sigmas = yc.std(axis=0)
+    lp = np.log(np.full(n_neurons, p0))
+    mu = init_templates_mc(K, n_neurons, C, sigmas, rng)
+    ll_hist = []
+
+    def phase(lp, mu, sigmas, steps):
+        if steps <= 0 or mu.shape[1] == 0:
+            return lp, None, mu, sigmas, []
+        ss = build_state_space(mu.shape[1], K, False)
+        tables = EMTables.build(ss)
+        lp_d, pi, mu_d, sg_d, lls = em_chain_mc(
+            jnp.asarray(yc, dtype), jnp.asarray(lp, dtype),
+            jnp.asarray(mu, dtype), jnp.asarray(sigmas, dtype), tables,
+            K=K, n_iters=steps)
+        return (np.asarray(lp_d), np.asarray(pi), np.asarray(mu_d),
+                np.asarray(sg_d), [float(v) for v in np.asarray(lls)])
+
+    lp, pi, mu, sigmas, lls = phase(lp, mu, sigmas, nsteps)
+    ll_hist += lls
+
+    mu, lp = condense_templates_mc(mu, lp, sigmas, condense_alpha,
+                                   verbose=verbose)
+    keep = remove_sparse(lp, sparse_lp0)
+    mu, lp = mu[:, keep], lp[keep]
+    keep = remove_small_mc(mu, sigmas, small_alpha)
+    mu, lp = mu[:, keep], lp[keep]
+    if verbose > 0:
+        print(f"{mu.shape[1]} templates remain after surgery")
+
+    lp, pi, mu, sigmas, lls = phase(lp, mu, sigmas, nsteps // 2)
+    ll_hist += lls
+
+    model = HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=lp)
+    return model, pi, ll_hist
