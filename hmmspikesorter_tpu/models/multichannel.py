@@ -157,7 +157,8 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
         from ..parallel.overlap_save import overlap_save_decode_long
 
         dec = mc_block_decoder(templates.lp, templates.mu, templates.sigmas,
-                               overlaps=templates.allow_overlaps)
+                               overlaps=templates.allow_overlaps,
+                               W=L + 2 * H)
         x, seam_ok = overlap_save_decode_long(
             yc, None, None, None, None, L=L, H=H,
             blocks_per_call=blocks_per_call, block_decoder=dec,

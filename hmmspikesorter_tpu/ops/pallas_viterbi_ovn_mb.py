@@ -48,8 +48,23 @@ src/viterbi.jl:56-96) in the same dtype. Tested in interpret mode for
 N = 2, 3, 4; validated on hardware by scripts/tpu_parity.py.
 
 VMEM: the dominant term is the P pair grids (P * KP^2 * G * 4 bytes —
-6.3 MB for N=3, K=60). N=4 (12.6 MB + temporaries) exceeds a 16 MB core;
-`ovn_mb_vmem_ok` gates the auto-selection accordingly.
+6.3 MB for N=3, K=60; 12.6 MB for N=4). The forward kernels request a
+raised scoped-VMEM ceiling (`vmem_limit_bytes=VMEM_LIMIT` — the Mosaic
+default is 16 MB but v5e cores have more physical VMEM), which admits
+both the N=4 single-channel config and the MC front-end's larger live
+set; `ovn_mb_vmem_ok`/`ovn_mc_mb_vmem_ok` gate auto-selection with a
+measured actual/estimate slop factor.
+
+The dynamics are emission-agnostic (`_make_fwd_kernel` takes an emission
+factory); two front-ends share them verbatim:
+
+  * `ovn_decode_pallas_mb` — single-channel, fused (y - mean)^2 emission
+    computed from the raw signal window in-kernel;
+  * `ovn_mc_decode_pallas_mb` — multi-channel, consuming the factorized
+    stream windows of core/emission_mc.mc_streams (es + per-neuron d
+    slabs; eb = (es + d) - c1, ep = ((es + d_i) + d_j) - c2), so labels
+    bit-match ops/ring_viterbi_mc._ovn_mc_scan. The backtrace kernel is
+    shared unchanged (it reads only decision flags).
 """
 
 from __future__ import annotations
@@ -69,6 +84,17 @@ G = 128          # blocks per program == VPU lanes
 CH = 16          # window steps per grid chunk
 
 VMEM_BUDGET = 14 * 2**20
+# Scoped-VMEM ceiling requested from Mosaic for the forward kernels. The
+# default scoped limit is 16 MB; v5e cores have more physical VMEM, and the
+# MC front-end's live temporaries measured 18 MB at the production config
+# (N=3, K=60) — raising the cap is how Mosaic sanctions that. The request
+# does not reserve memory; it only widens the compile-time stack check.
+VMEM_LIMIT = 64 * 2**20
+# Measured actual/estimated scoped-usage ratio (18.0 MB actual vs 12.9 MB
+# estimated for MC N=3 K=60): Mosaic keeps more grid temporaries live than
+# the two the estimators count. Gates scale estimates by this before
+# comparing against the ceiling.
+VMEM_SLOP = 1.5
 
 
 def _round_up(x, m):
@@ -108,7 +134,7 @@ def ovn_mb_vmem_bytes(N: int, K: int) -> int:
 
 
 def ovn_mb_vmem_ok(N: int, K: int) -> bool:
-    return ovn_mb_vmem_bytes(N, K) <= VMEM_BUDGET
+    return ovn_mb_vmem_bytes(N, K) * VMEM_SLOP <= VMEM_LIMIT
 
 
 def _first_max(cands):
@@ -124,23 +150,28 @@ def _first_max(cands):
     return best, flag
 
 
-def _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab):
+def _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab,
+                     em_factory, n_em, ch):
+    """General-N forward kernel with a pluggable emission provider.
+
+    em_factory(em_refs) -> (lpz, lp list, em_all) where
+    em_all(s) -> (es (1, G), eb (N*KP, G), ep_fn(q) -> (KP, KP, G)) reads
+    the per-step emission values from the first `n_em` kernel refs. The
+    max-plus dynamics below are emission-agnostic — the single-channel and
+    multi-channel front-ends share them verbatim (the same pattern as
+    ring_viterbi_ovn._ovn_core's em callback).
+    """
     P = len(pairs)
     F = 1 + N + P
     NR = N * KP
     RC = 2 * P * KP
 
-    def kernel(y_ref, consts_ref, bm_ref, am_ref, sil_ref,
-               flags_ref, rings_ref, rowcol_ref, xT_ref,
-               vs_s, vb_s, vp_s):
+    def kernel(*args):
+        em_refs = args[:n_em]
+        (sil_ref, flags_ref, rings_ref, rowcol_ref, xT_ref,
+         vs_s, vb_s, vp_s) = args[n_em:]
         c = pl.program_id(1)
-        lpz = consts_ref[0, 0]
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        lp = [consts_ref[0, 4 + n] for n in range(N)]
-        cq = [consts_ref[0, 4 + N + q] for q in range(P)]
-        econst = -HALF_LOG_2PI - log_sigma
+        lpz, lp, em_all = em_factory(em_refs)
 
         sub2 = jax.lax.broadcasted_iota(jnp.int32, (KP, G), 0)
         seg3 = jax.lax.broadcasted_iota(jnp.int32, (KP, KP, G), 0)
@@ -148,39 +179,21 @@ def _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab):
         mask1 = sub2 < Km1
         maskp = (seg3 < Km1) & (sub3 < Km1)
 
-        def em_sil(y_t):
-            d = y_t - silent_mean
-            return econst - d * d * inv_2s2
-
-        def em_sgl(y_t):
-            d = y_t - bm_ref[...]
-            return econst - d * d * inv_2s2                   # (NR, G)
-
-        def em_pair(q, y_t):
-            # mean association mirrors ring_viterbi_ovn: (a_i + a_j) + c_q
-            i, j = pairs[q]
-            ai = am_ref[i * KP:(i + 1) * KP, :]
-            aj = am_ref[j * KP:(j + 1) * KP, :]
-            m = (ai[:, None, :] + aj[None, :, :]) + cq[q]
-            d = y_t[None, :, :] - m
-            return econst - d * d * inv_2s2                   # (KP, KP, G)
-
         @pl.when(c == 0)
         def _init():
-            y0 = y_ref[0, 0:1, :]
+            es0, eb, ep0 = em_all(0)
             sil = sil_ref[0, 0:1, :]
-            vs_s[0:1, :] = jnp.where(sil > 0, jnp.float32(0.0), em_sil(y0))
-            eb = em_sgl(y0)
+            vs_s[0:1, :] = jnp.where(sil > 0, jnp.float32(0.0), es0)
             for n in range(N):
                 vb_s[n * KP:(n + 1) * KP, :] = jnp.where(
                     mask1, eb[n * KP:(n + 1) * KP, :], NEG)
             for q in range(P):
                 vp_s[q * KP:(q + 1) * KP] = jnp.where(
-                    maskp, em_pair(q, y0), NEG)
+                    maskp, ep0(q), NEG)
 
-        for s in range(CH):
+        for s in range(ch):
             def step(s=s):
-                y_t = y_ref[0, s:s + 1, :]
+                es, eb_all, ep_fn = em_all(s)
                 vs = vs_s[0:1, :]
                 ends = [vb_s[n * KP + Km1 - 1: n * KP + Km1, :]
                         for n in range(N)]                     # (1, G)
@@ -191,9 +204,6 @@ def _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab):
                         jnp.where(sub3 == Km1 - 1, gq, NEG), axis=1))
                     lastrow.append(gq[Km1 - 1])                # (KP, G) by k2
                 p_end = [lastrow[q][Km1 - 1:Km1, :] for q in range(P)]
-
-                es = em_sil(y_t)
-                eb_all = em_sgl(y_t)
 
                 # ---- silent: [self | singles asc | pairs asc]
                 cands = [(0, vs + N * lpz)]
@@ -291,8 +301,14 @@ def _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab):
                         seg3 == 0, tops[q][None, :, :],
                         jnp.where(sub3 == 0, lefts[q][:, None, :],
                                   rolled + (N - 2) * lpz))
-                    nv = jnp.where(maskp, nv + em_pair(q, y_t), NEG)
+                    # two-stage commit: write the structural update, then
+                    # add the emission read-modify-write — the per-element
+                    # arithmetic is identical to `nv + ep`, but the nv and
+                    # ep temporary chains are never live together (the
+                    # (KP, KP, G) grids dominate scoped VMEM)
                     vp_s[q * KP:(q + 1) * KP] = nv
+                    vp_s[q * KP:(q + 1) * KP] = jnp.where(
+                        maskp, vp_s[q * KP:(q + 1) * KP] + ep_fn(q), NEG)
 
                 # ---- flag streams (static offsets; i8 narrowed at store —
                 # Mosaic has no i8 arithmetic)
@@ -409,7 +425,42 @@ def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
         sil = sil.at[0].set(1)
     sil_in = sil.reshape(Bg, G)[:, None, :]                   # (Bg, 1, G)
 
-    kernel = _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab)
+    def em_factory(em_refs):
+        """Single-channel fused emission: (y - mean)^2 from the raw signal
+        window, means pre-broadcast over lanes."""
+        y_ref, consts_ref, bm_ref, am_ref = em_refs
+        lpz = consts_ref[0, 0]
+        log_sigma = consts_ref[0, 1]
+        inv_2s2 = consts_ref[0, 2]
+        silent_mean = consts_ref[0, 3]
+        lp = [consts_ref[0, 4 + n] for n in range(N)]
+        cq = [consts_ref[0, 4 + N + q] for q in range(P)]
+        econst = -HALF_LOG_2PI - log_sigma
+
+        def em_all(s):
+            y_t = y_ref[0, s:s + 1, :]
+            ds = y_t - silent_mean
+            es = econst - ds * ds * inv_2s2                   # (1, G)
+            db = y_t - bm_ref[...]
+            eb = econst - db * db * inv_2s2                   # (NR, G)
+
+            def ep_fn(q):
+                # mean association mirrors ring_viterbi_ovn:
+                # (a_i + a_j) + c_q
+                i, j = pairs[q]
+                ai = am_ref[i * KP:(i + 1) * KP, :]
+                aj = am_ref[j * KP:(j + 1) * KP, :]
+                m = (ai[:, None, :] + aj[None, :, :]) + cq[q]
+                dp = y_t[None, :, :] - m
+                return econst - dp * dp * inv_2s2             # (KP, KP, G)
+
+            return es, eb, ep_fn
+
+        return lpz, lp, em_all
+
+    NR = N * KP
+    kernel = _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab,
+                              em_factory, 4, CH)
     grid = (Bg, Wc)
     in_specs = [
         pl.BlockSpec((1, CH, G), lambda b, c: (b, c, 0),
@@ -448,7 +499,8 @@ def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
         kernel, out_shape=out_shape, grid=grid, in_specs=in_specs,
         out_specs=out_specs, scratch_shapes=scratch, interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
     )(y_in, consts, bm, am, sil_in)
 
 
@@ -632,5 +684,175 @@ def ovn_decode_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
         silent_mask=silent_mask, interpret=interpret)
     labels_g = _backtrace_native(flags_g, rings_g, rowcol_g, xT_g,
                                  N=N, Km1=K - 1, interpret=interpret)
+    Bg = labels_g.shape[0]
+    return labels_g.transpose(0, 2, 1).reshape(Bg * G, W)[:B]
+
+
+# --- multi-channel front-end: same dynamics, factorized-stream emission ---
+#
+# The MC emission (core/emission_mc.py) collapses the channel axis OUTSIDE
+# the kernel — es/d streams from one (T, C) x (C, N*(K-1)) MXU matmul — so
+# the kernel consumes the same numbers as the XLA MC scan engines
+# (ops/ring_viterbi_mc.py) and labels bit-match them: eb = (es + d) - c1,
+# ep[q] = ((es + d_i) + d_j) - c2[q], identical float association.
+# The static c2 table is stored lane-minor (P*KP, KP, 1) and splat across
+# lanes in-kernel (a (P*KP, KP, G) copy would be 12.6 MB of VMEM at N=3).
+
+CHM = 8          # MC window steps per grid chunk (d slabs are NR rows/step)
+
+
+def ovn_mc_mb_vmem_bytes(N: int, K: int) -> int:
+    """Per-program VMEM estimate for the MC kernel: state + two live grid
+    temporaries + the streamed d-slab input + flag outputs (CHM steps)."""
+    P = N * (N - 1) // 2
+    KP = _kp(K)
+    grid = KP * KP * G * 4
+    NR = N * KP
+    d_in = CHM * NR * G * 4 * 2            # double-buffered DMA
+    out = (CHM * (1 + N + P) * G * 4 + CHM * NR * G + CHM * 2 * P * KP * G)
+    return (P + 2) * grid + NR * G * 4 + d_in + out + 2 * NR * G * 4
+
+
+def ovn_mc_mb_vmem_ok(N: int, K: int) -> bool:
+    return ovn_mc_mb_vmem_bytes(N, K) * VMEM_SLOP <= VMEM_LIMIT
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _forward_native_mc(es_win, d_win, lp, c1, c2, silent_mask, *,
+                       interpret=False):
+    """Fused general-N multi-block MC forward from precomputed emission
+    streams. es_win (B, W); d_win (B, W, N, K-1); c1 (N, K-1) single
+    energies; c2 (P, K-1, K-1) pair energies (pairs i-major); silent_mask
+    (B,) bool. Outputs in the kernel's native (Bg, ..., G) layout."""
+    B, W = es_win.shape
+    _, _, N, Km1 = d_win.shape
+    K = Km1 + 1
+    KP = _kp(K)
+    NR = N * KP
+    if N < 2:
+        raise ValueError("general-N overlap kernel needs N >= 2")
+    if W % CHM != 0:
+        raise ValueError(f"W={W} must be a multiple of CHM={CHM}")
+    Wc = W // CHM
+    Bg = _round_up(B, G) // G
+    Bp = Bg * G
+    dtype = jnp.float32
+    pairs, qn, row_tab, col_tab = _tables(N)
+    P = len(pairs)
+    F = 1 + N + P
+
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    consts = jnp.concatenate([lpz[None], lp])[None, :]        # (1, 1+N)
+
+    # streams onto lanes: block b_global = bg * G + g
+    es_p = jnp.zeros((Bp, W), dtype).at[:B].set(es_win.astype(dtype))
+    es_in = es_p.reshape(Bg, G, W).transpose(0, 2, 1)         # (Bg, W, G)
+    d_p = jnp.zeros((Bp, W, N, KP), dtype).at[:B, :, :, :Km1].set(
+        d_win.astype(dtype))
+    d_in = d_p.reshape(Bg, G, W, NR).transpose(0, 2, 3, 1).reshape(
+        Bg, W * NR, G)
+
+    c1b = jnp.full((NR, 1), 0.0, dtype).at[
+        (jnp.arange(N)[:, None] * KP + jnp.arange(Km1)[None, :]).reshape(-1)
+    ].set(jnp.asarray(c1, dtype).reshape(-1, 1))
+    c1b = jnp.broadcast_to(c1b, (NR, G))
+    c2t = jnp.zeros((P * KP, KP, 1), dtype)
+    for q in range(P):
+        c2t = c2t.at[q * KP:q * KP + Km1, :Km1, 0].set(
+            jnp.asarray(c2[q], dtype))
+
+    sil = jnp.zeros((Bp,), jnp.int32).at[:B].set(
+        jnp.asarray(silent_mask).astype(jnp.int32))
+    sil_in = sil.reshape(Bg, G)[:, None, :]                   # (Bg, 1, G)
+
+    def em_factory(em_refs):
+        es_ref, d_ref, consts_ref, c1_ref, c2_ref = em_refs
+        lpz_k = consts_ref[0, 0]
+        lp_k = [consts_ref[0, 1 + n] for n in range(N)]
+
+        def em_all(s):
+            es = es_ref[0, s:s + 1, :]                        # (1, G)
+            d = d_ref[0, s * NR:(s + 1) * NR, :]              # (NR, G)
+            eb = (es + d) - c1_ref[...]
+
+            def ep_fn(q):
+                i, j = pairs[q]
+                esdi = es + d[i * KP:(i + 1) * KP, :]     # (KP, G)
+                dj = d[j * KP:(j + 1) * KP, :]
+                # c2 stays lane-minor (KP, KP, 1): the subtract broadcasts
+                # across lanes implicitly — no (KP, KP, G) copy of the
+                # static table is ever materialized
+                return ((esdi[:, None, :]) + dj[None, :, :]
+                        - c2_ref[q * KP:(q + 1) * KP, :, :])
+
+            return es, eb, ep_fn
+
+        return lpz_k, lp_k, em_all
+
+    kernel = _make_fwd_kernel(N, Km1, KP, Wc, pairs, qn, row_tab, col_tab,
+                              em_factory, 5, CHM)
+    in_specs = [
+        pl.BlockSpec((1, CHM, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CHM * NR, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1 + N), lambda b, c: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((NR, G), lambda b, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P * KP, KP, 1), lambda b, c: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, CHM * F, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CHM * NR, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CHM * 2 * P * KP, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bg, W * F, G), jnp.int32),
+        jax.ShapeDtypeStruct((Bg, W * NR, G), jnp.int8),
+        jax.ShapeDtypeStruct((Bg, W * 2 * P * KP, G), jnp.int8),
+        jax.ShapeDtypeStruct((Bg, 1, G), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((8, G), jnp.float32),
+        pltpu.VMEM((NR, G), jnp.float32),
+        pltpu.VMEM((P * KP, KP, G), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid=(Bg, Wc), in_specs=in_specs,
+        out_specs=out_specs, scratch_shapes=scratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(es_in, d_in, consts, c1b, c2t, sil_in)
+
+
+def ovn_mc_decode_pallas_mb(es_win, d_win, lp, c1, c2, *, silent_mask,
+                            interpret=False):
+    """(B, W) MC stream windows -> (B, W) int32 labels for the general-N
+    pairwise-overlap space. Inputs are the factorized emission streams of
+    core/emission_mc.mc_streams, windowed (es_win (B, W), d_win
+    (B, W, N, K-1)) plus the static c1/c2 energy tables; labels bit-match
+    ops/ring_viterbi_mc._ovn_mc_scan (both consume the identical projected
+    streams, and the dynamics/backtrace are shared with the single-channel
+    kernel)."""
+    B, W = es_win.shape
+    N, Km1 = d_win.shape[2], d_win.shape[3]
+    # the MC kernel uses CHM-step chunks; the shared backtrace uses CH-step
+    # chunks — W must satisfy both (the overlap-save drivers already size
+    # W = L + 2H in multiples of max(CH, CHM))
+    flags_g, rings_g, rowcol_g, xT_g = _forward_native_mc(
+        es_win, d_win, lp, c1, c2, silent_mask, interpret=interpret)
+    labels_g = _backtrace_native(flags_g, rings_g, rowcol_g, xT_g,
+                                 N=N, Km1=Km1, interpret=interpret)
     Bg = labels_g.shape[0]
     return labels_g.transpose(0, 2, 1).reshape(Bg * G, W)[:B]

@@ -337,40 +337,54 @@ def _mc_block_decode_batched(y_win, sil, lp, c1, cx, zscale, silent_sum,
     B, W = es.shape
     N, Km1 = c1.shape
     d = d.reshape(B, W, N, Km1)
-    if engine_name == "nov":
+    if engine_name == "pallas_ovn":
+        from .pallas_viterbi_ovn_mb import ovn_mc_decode_pallas_mb
+
+        x = ovn_mc_decode_pallas_mb(es, d, lp, c1, cx, silent_mask=sil)
+    elif engine_name == "nov":
         one = lambda e, dd, s0: _nov_mc_scan(e, dd, lp, c1, silent_start=s0,
                                              with_ll=False)[0]
+        x = jax.vmap(one)(es, d, sil)
     elif engine_name == "ov2":
         one = lambda e, dd, s0: _ov2_mc_scan(e, dd, lp, c1, cx,
                                              silent_start=s0,
                                              with_ll=False)[0]
+        x = jax.vmap(one)(es, d, sil)
     else:
         one = lambda e, dd, s0: _ovn_mc_scan(e, dd, lp, c1, cx,
                                              silent_start=s0,
                                              with_ll=False)[0]
-    x = jax.vmap(one)(es, d, sil)
+        x = jax.vmap(one)(es, d, sil)
     S = (1 + N * Km1 + (N * (N - 1) // 2) * Km1 * Km1
          if engine_name != "nov" else 1 + N * Km1)
     return x.astype(jnp.int16) if S <= 32767 else x
 
 
-def mc_block_decoder(lp, mu, sigmas, *, overlaps: bool):
+def mc_block_decoder(lp, mu, sigmas, *, overlaps: bool, W: int | None = None,
+                     block_engine: str = "auto"):
     """Batched windowed MC decoder for overlap_save_decode_long: a callable
     ((B, W, C) raw signal windows, (B,) bool silent-start rows) -> (B, W)
     integer labels — the multi-channel mirror of
-    ops/ring_viterbi.ring_block_decoder."""
+    ops/ring_viterbi.ring_block_decoder. With a TPU backend, an overlap
+    topology, and a feasible window size W, the blocks decode through the
+    fused general-N MC Pallas kernel (pass W to enable the auto check)."""
+    from ..parallel.overlap_save import resolve_block_engine_mc
+
     tables = MCTables(mu, sigmas)
-    N = np.shape(mu)[1]
+    K, N = np.shape(mu)[0], np.shape(mu)[1]
     lp_j = jnp.asarray(lp)
     dtype = lp_j.dtype
     c1 = jnp.asarray(tables.c1, dtype)
-    if overlaps and N == 2:
-        name = "ov2"
-        cx = jnp.asarray(tables.x2[(0, 1)], dtype)
-    elif overlaps:
-        name = "ovn"
+    engine = (resolve_block_engine_mc(block_engine, overlaps, K, N, W)
+              if W is not None else
+              ("ring" if block_engine in ("auto", "pallas") else block_engine))
+    if overlaps and (N >= 3 or engine == "pallas_ovn"):
+        name = "ovn" if engine != "pallas_ovn" else "pallas_ovn"
         cx = jnp.asarray(np.stack([tables.c2[p] for p in sorted(tables.c2)]),
                          dtype)
+    elif overlaps:
+        name = "ov2"
+        cx = jnp.asarray(tables.x2[(0, 1)], dtype)
     else:
         name = "nov"
         cx = jnp.zeros((0,), dtype)

@@ -568,7 +568,30 @@ def _build_windows_arrays(y, *, T, L, H, B, W):
     return y_win
 
 
-def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool):
+def resolve_block_engine_mc(block_engine, overlaps, K, N, W):
+    """MC mirror of resolve_block_engine: the general-N MC kernel
+    (ops/pallas_viterbi_ovn_mb._forward_native_mc) covers every overlap
+    N >= 2; W must divide both its CHM chunks and the shared backtrace's
+    CH chunks."""
+    if block_engine not in ("auto", "pallas"):
+        return block_engine
+    from ..ops import pallas_viterbi_ovn_mb as povn
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    step = max(povn.CH, povn.CHM)
+    if (overlaps and N >= 2 and K - 1 <= 64 and W % step == 0
+            and on_tpu and povn.ovn_mc_mb_vmem_ok(N, K)):
+        return "pallas_ovn"
+    if block_engine == "pallas":
+        raise ValueError(
+            "block_engine='pallas' (MC) requires an overlap topology with "
+            f"K <= 65, window (L+2H) divisible by {step}, a TPU backend, "
+            "and a VMEM-feasible N")
+    return "ring"
+
+
+def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool,
+                    block_engine: str = "auto"):
     """Multi-channel parallel overlap-save decode (beyond-reference
     capability: the reference keeps channel 1 only, src/hmmsort.jl:56).
 
@@ -592,23 +615,27 @@ def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool):
     if L < 2 * H:
         raise ValueError("need L >= 2H so seam cuts are monotone")
     K, N, C = np.shape(mu)
+    block_engine = resolve_block_engine_mc(block_engine, overlaps, K, N,
+                                           L + 2 * H)
     tables = MCTables(mu, sigmas)
     es, d = mc_streams(yc, tables)                       # (T,), (T, N, K-1)
     dtype = es.dtype
     c1 = jnp.asarray(tables.c1, dtype)
-    if overlaps and N == 2:
-        cx = jnp.asarray(tables.x2[(0, 1)], dtype)       # ov2 cross form
-    elif overlaps:
+    if overlaps and (N >= 3 or block_engine == "pallas_ovn"):
         cx = jnp.asarray(np.stack([tables.c2[p]          # ovn direct form
                                    for p in sorted(tables.c2)]), dtype)
+    elif overlaps:
+        cx = jnp.asarray(tables.x2[(0, 1)], dtype)       # ov2 cross form
     else:
         cx = jnp.zeros((0,), dtype)
     return _mc_overlap_save_impl(es, d, jnp.asarray(lp, dtype), c1, cx,
-                                 L=L, H=H, overlaps=overlaps)
+                                 L=L, H=H, overlaps=overlaps,
+                                 block_engine=block_engine)
 
 
-@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
-def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps):
+@partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))
+def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps,
+                          block_engine="ring"):
     from ..ops.ring_viterbi_mc import (_nov_mc_scan, _ov2_mc_scan,
                                       _ovn_mc_scan)
 
@@ -624,12 +651,14 @@ def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps):
         dec = lambda e, dd, s0: _nov_mc_scan(e, dd, lp, c1,
                                              silent_start=s0,
                                              with_ll=False)[0]
-    elif N == 2:
-        dec = lambda e, dd, s0: _ov2_mc_scan(e, dd, lp, c1, cx,
+    elif block_engine == "pallas_ovn" or N >= 3:
+        # the pallas front-end and the any-N scan consume the same
+        # direct-form pair tables (labels bit-match between them)
+        dec = lambda e, dd, s0: _ovn_mc_scan(e, dd, lp, c1, cx,
                                              silent_start=s0,
                                              with_ll=False)[0]
     else:
-        dec = lambda e, dd, s0: _ovn_mc_scan(e, dd, lp, c1, cx,
+        dec = lambda e, dd, s0: _ov2_mc_scan(e, dd, lp, c1, cx,
                                              silent_start=s0,
                                              with_ll=False)[0]
 
@@ -647,7 +676,13 @@ def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps):
     d_win = f_win[1:].transpose(1, 2, 0).reshape(B, W, N, Km1)
     sil0 = jnp.arange(B) == 0
 
-    xb = jax.vmap(dec)(es_win, d_win, sil0)              # (B, W)
+    if block_engine == "pallas_ovn":
+        from ..ops.pallas_viterbi_ovn_mb import ovn_mc_decode_pallas_mb
+
+        xb = ovn_mc_decode_pallas_mb(es_win, d_win, lp, c1, cx,
+                                     silent_mask=sil0)
+    else:
+        xb = jax.vmap(dec)(es_win, d_win, sil0)          # (B, W)
 
     x, seam_ok = _snap_and_stitch(xb, T=T, L=L, H=H, B=B,
                                   edge_rows=edge_rows)

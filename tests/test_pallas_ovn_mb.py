@@ -75,6 +75,9 @@ def test_ovn_mb_multi_chunk_n4():
 
 
 def test_ovn_mb_vmem_gate():
-    # production K=60: N=3 fits a 16 MB core, N=4 does not
+    # production K=60: N=3 and N=4 fit under the raised scoped-VMEM
+    # ceiling (vmem_limit_bytes — both validated bit-exact on v5e);
+    # pathological pair counts are still refused
     assert ovn_mb_vmem_ok(3, 60)
-    assert not ovn_mb_vmem_ok(4, 60)
+    assert ovn_mb_vmem_ok(4, 60)
+    assert not ovn_mb_vmem_ok(8, 60)
