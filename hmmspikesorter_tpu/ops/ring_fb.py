@@ -350,6 +350,30 @@ def ring_viterbi_path_ll(y, lp, mu, sigma, x, *, L: int = 1024,
     return jnp.sum(per_block)
 
 
+def _overlap_edge_rows(T, L, H, B, W):
+    """Rows whose uniform window [b*L - H, b*L - H + W) crosses a real
+    signal edge, mapped to the roll that realigns the edge-clamped window
+    back to uniform coordinates. Rows that can overrun the right edge:
+    B-1 always (when T < B*L), and B-2 iff 0 < T mod L < H."""
+    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
+    return edge_rows
+
+
+def _overlap_window_1d(x, *, T, L, H, B, W, edge_rows):
+    """(T,) -> (B, W) halo windows via the pad/reshape trick, with edge
+    rows clamped to the real signal edges."""
+    Tp = B * L
+    x_ext = jnp.pad(x, (H, Tp - T + (L - H)))
+    A = x_ext.reshape(B + 1, L)
+    xw = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)      # (B, W)
+    for b in edge_rows:
+        start = 0 if b == 0 else T - W
+        xw = xw.at[b].set(jax.lax.dynamic_slice_in_dim(x, start, W))
+    return xw
+
+
 @partial(jax.jit, static_argnames=("L", "H"))
 def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
     """Overlap-save (halo-window) forward/backward: the block-parallel EM
@@ -391,7 +415,6 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
     em = _emission_fns(mu, sigma)
 
     B = -(-T // L)
-    Tp = B * L
     W = L + 2 * H
     if B < 2 or T < W:
         raise ValueError("signal shorter than two blocks; use the "
@@ -402,18 +425,10 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
     # whose uniform window would cross a real signal edge decode the real
     # edge instead (zero padding is FAKE silence — a beta computed through
     # it biases the EM statistics near the boundary) and are rolled back
-    # to uniform coordinates below. Rows that can overrun the right edge:
-    # B-1 always (by construction when T < Tp), and B-2 iff
-    # (B-1)*L + H > T, i.e. 0 < T mod L < H.
-    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))
-    A = y_ext.reshape(B + 1, L)
-    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
-    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
-    if B >= 3 and (B - 1) * L + H > T:
-        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
-    for b, shift in edge_rows.items():
-        start = 0 if b == 0 else T - W
-        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, start, W))
+    # to uniform coordinates below.
+    edge_rows = _overlap_edge_rows(T, L, H, B, W)
+    y_win = _overlap_window_1d(y, T=T, L=L, H=H, B=B, W=W,
+                               edge_rows=edge_rows)            # (B, W)
 
     y_steps = y_win.T                                          # (W, B)
 
@@ -463,3 +478,79 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
     mid = jnp.sum(endc[1 : B - 1] - pre[1 : B - 1])
     ll = endc[0] + mid + (last_end - pre[B - 1])
     return alpha_w, beta_w, y_win, ll
+
+
+def ring_overlap_forward_backward_mc(es, eb, lp, *, L: int, H: int):
+    """Multi-channel overlap-save forward/backward from precomputed
+    emission streams (a beyond-reference capability: the reference trains
+    on channel 1 only, src/hmmsort.jl:56).
+
+    The MC emission factorizes through core/emission_mc's stream form, so
+    the channel axis is already collapsed before this engine runs: per
+    step, state 0 reads es(t) and body state (n, k) reads eb(t, n, k) —
+    exactly the numbers train/em_mc._mc_emission_dense stacks into its
+    dense (T, S) table. Everything else (window protocol, edge-row
+    clamping, window-local dead-pi init, telescoped ll) is identical to
+    ring_overlap_forward_backward above; with C = 1 streams the two
+    engines agree to float reassociation.
+
+    es: (T,) silent-state log-emission; eb: (T, N, K-1) body
+    log-emissions; lp: (N,) onset log-probs.
+    Returns (alpha_w, beta_w, ll): (W, B, S) window tensors in uniform
+    window coordinates plus the telescoped sequence ll.
+    """
+    dtype = es.dtype
+    T = es.shape[0]
+    _, N, Km1 = eb.shape
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+
+    B = -(-T // L)
+    W = L + 2 * H
+    if B < 2 or T < W:
+        raise ValueError("signal shorter than two blocks; use the "
+                         "sequential or blocked engine")
+
+    edge_rows = _overlap_edge_rows(T, L, H, B, W)
+    win = partial(_overlap_window_1d, T=T, L=L, H=H, B=B, W=W,
+                  edge_rows=edge_rows)
+    es_steps = win(es).T                                       # (W, B)
+    eb_w = jax.vmap(win)(eb.reshape(T, N * Km1).T)             # (NKm1, B, W)
+    eb_steps = eb_w.transpose(2, 1, 0).reshape(W, B, N, Km1)
+
+    es0, eb0 = es_steps[0], eb_steps[0]
+
+    def fstep(c, inp):
+        es_t, eb_t = inp
+        vs, vb = _fwd_step(*c, es_t, eb_t, w)
+        return (vs, vb), _flat(vs, vb)
+
+    _, frest = jax.lax.scan(fstep, (es0, eb0),
+                            (es_steps[1:], eb_steps[1:]))
+    alpha_w = jnp.concatenate([_flat(es0, eb0)[None], frest], axis=0)
+
+    bs0 = jnp.zeros((B,), dtype)
+    bb0 = jnp.zeros((B, N, Km1), dtype)
+
+    def bstep(c, inp):
+        es_t, eb_t = inp
+        bs, bb = _bwd_step(*c, es_t, eb_t, w)
+        return (bs, bb), _flat(bs, bb)
+
+    _, brest = jax.lax.scan(bstep, (bs0, bb0),
+                            (es_steps[1:], eb_steps[1:]), reverse=True)
+    beta_w = jnp.concatenate([brest, _flat(bs0, bb0)[None]], axis=0)
+
+    for b, shift in edge_rows.items():
+        alpha_w = alpha_w.at[:, b].set(jnp.roll(alpha_w[:, b], shift,
+                                                axis=0))
+        beta_w = beta_w.at[:, b].set(jnp.roll(beta_w[:, b], shift, axis=0))
+
+    lse = logsumexp_rows(alpha_w, axis=-1)                     # (W, B)
+    pre = lse[H - 1]
+    endc = lse[H + L - 1]
+    iT = (T - 1) - ((B - 1) * L - H)
+    last_end = lse[iT, B - 1]
+    mid = jnp.sum(endc[1 : B - 1] - pre[1 : B - 1])
+    ll = endc[0] + mid + (last_end - pre[B - 1])
+    return alpha_w, beta_w, ll

@@ -40,12 +40,12 @@ from .em import (EMTables, _backward_beta, _forward_alpha,
                  edge_weights_from_structure, init_templates)
 
 
-def _mc_emission_dense(yc, mu, sigmas):
-    """(T, S) non-overlap-space MC emission from the factorized streams.
+def _mc_streams_dense(yc, mu, sigmas):
+    """Factorized MC emission streams: (es (T,), body (T, N*(K-1))).
 
-    S = 1 + N*(K-1), column layout [silent | body (n, k) n-major] — the
-    same layout as core/state_space.py's non-overlap enumeration, so the
-    shared EMTables index tables apply unchanged. The table constants
+    body column layout [(n, k) n-major] — the same layout as
+    core/state_space.py's non-overlap enumeration, so the shared EMTables
+    index tables apply unchanged. The table constants
     (core/emission_mc.MCTables semantics) are computed IN-GRAPH here —
     mu/sigmas are EM-loop carries (tracers under em_chain_mc's scan), not
     trace-time constants.
@@ -70,43 +70,92 @@ def _mc_emission_dense(yc, mu, sigmas):
     es = u + base - b_sil
     d = jnp.matmul(z, delta, precision=jax.lax.Precision.HIGHEST)
     body = es[:, None] + d - c1.reshape(-1)[None, :]    # (T, N*Km1)
+    return es, body
+
+
+def _mc_emission_dense(yc, mu, sigmas):
+    """(T, S) non-overlap-space MC emission (S = 1 + N*(K-1)), stacked
+    from the factorized streams."""
+    es, body = _mc_streams_dense(yc, mu, sigmas)
     return jnp.concatenate([es[:, None], body], axis=1)
 
 
-@partial(jax.jit, static_argnames=("K",))
-def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int):
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block"))
+def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
+               fb_mode: str = "gather", block: int = 2048):
     """One multi-channel EM iteration:
     (lp, mu (K, N, C), sigmas (C,)) -> (lp, pi, mu, sigmas, ll).
 
-    yc: (T, C) recording. Same contracts as train/em.py's em_step; the
-    engine is the generic gather alpha/beta over the dense (T, S) MC
-    emission (S = 1 + N*(K-1) on the training space stays small)."""
+    yc: (T, C) recording. Same contracts as train/em.py's em_step.
+    fb_mode selects the alpha/beta engine:
+      "gather"  the generic in-edge scans over the dense (T, S) MC
+                emission (S = 1 + N*(K-1) stays small) — the f64/CPU
+                parity engine;
+      "overlap" halo-window block-parallel scans over the factorized
+                streams (ops/ring_fb.ring_overlap_forward_backward_mc)
+                — B-way parallel, the TPU path at production T; same
+                halo/constant-cancellation argument as the
+                single-channel fb_mode="overlap" (train/em.em_step).
+    """
     yc = jnp.asarray(yc)
     dtype = jnp.asarray(lp).dtype
     T, C = yc.shape
     N = tables.states.shape[0]
 
-    em = _mc_emission_dense(yc.astype(dtype), jnp.asarray(mu),
-                            jnp.asarray(sigmas))      # (T, S)
-    in_w = edge_weights_from_structure(
-        lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
-    out_w = edge_weights_from_structure(
-        lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
-    alpha = _forward_alpha(em, tables.in_idx, in_w)
-    beta = _backward_beta(em, tables.out_idx, out_w)
+    es_s, body_s = _mc_streams_dense(yc.astype(dtype), jnp.asarray(mu),
+                                     jnp.asarray(sigmas))
+    em = jnp.concatenate([es_s[:, None], body_s], axis=1)     # (T, S)
+    beta_next = g_next = ll_override = None
+    if fb_mode == "overlap":
+        from ..ops.ring_fb import ring_overlap_forward_backward_mc
+
+        H = max(4 * K, 64)
+        Lov = max(block, 4 * H)
+        alpha_w, beta_w, ll_override = ring_overlap_forward_backward_mc(
+            es_s, body_s.reshape(T, N, K - 1), lp, L=Lov, H=H)
+        S = alpha_w.shape[-1]
+
+        def core(win, j0):
+            # (W, B, S) uniform window coords -> assembled (T, S); the
+            # t and t+1 xi terms must come from the SAME window
+            return (win[j0 : j0 + Lov].transpose(1, 0, 2)
+                    .reshape(-1, S)[:T])
+
+        alpha = core(alpha_w, H)
+        beta = core(beta_w, H)
+        beta_next = core(beta_w, H + 1)[: T - 1]
+        alpha_next = core(alpha_w, H + 1)[: T - 1]
+        g_next = logsumexp_rows(alpha_next + beta_next, axis=1)
+    elif fb_mode == "gather":
+        in_w = edge_weights_from_structure(
+            lp, tables.in_n_silent, tables.in_onsets, tables.in_valid)
+        out_w = edge_weights_from_structure(
+            lp, tables.out_n_silent, tables.out_onsets, tables.out_valid)
+        alpha = _forward_alpha(em, tables.in_idx, in_w)
+        beta = _backward_beta(em, tables.out_idx, out_w)
+    else:
+        raise ValueError(f"unknown fb_mode {fb_mode!r}")
 
     ab = alpha + beta
     g = logsumexp_rows(ab, axis=1)                      # (T,)
     log_gamma = ab - g[:, None]
-    ll = logsumexp_rows(alpha[-1], axis=-1)
+    # overlap mode: lse(alpha[-1]) carries the last window's constant;
+    # the exact telescoped ll comes from the engine instead
+    ll = (ll_override if ll_override is not None
+          else logsumexp_rows(alpha[-1], axis=-1))
 
     # --- transition update (shared topology; baumwelch.jl:226-264)
     onset_w = edge_weights_from_structure(
         lp, tables.onset_n_silent, tables.onset_onsets,
         jnp.ones_like(tables.onset_n_silent, dtype=bool))
     tgt = tables.onset_targets                          # (N+1,)
-    xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
-          + beta[1:, tgt] + em[1:, tgt] - g[1:, None])  # (T-1, N+1)
+    if beta_next is not None:                           # overlap mode: the
+        xi = (alpha[:-1, 0][:, None] + onset_w[None, :]  # t+1 terms come
+              + beta_next[:, tgt] + em[1:, tgt]          # from the owner
+              - g_next[:, None])                         # window
+    else:
+        xi = (alpha[:-1, 0][:, None] + onset_w[None, :]
+              + beta[1:, tgt] + em[1:, tgt] - g[1:, None])  # (T-1, N+1)
     xx = logsumexp_rows(xi, axis=0)
     bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
     new_lp = (xx - bb)[1:]
@@ -139,16 +188,17 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int):
     return new_lp, new_pi, new_mu, new_sigmas, ll
 
 
-@partial(jax.jit, static_argnames=("K", "n_iters"))
+@partial(jax.jit, static_argnames=("K", "n_iters", "fb_mode", "block"))
 def em_chain_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
-                n_iters: int):
+                n_iters: int, fb_mode: str = "gather", block: int = 2048):
     """n_iters multi-channel EM iterations as ONE compiled program (the MC
     mirror of train/em.em_chain). Returns (lp, pi, mu, sigmas, lls)."""
 
     def body(carry, _):
         lp_c, mu_c, sg_c = carry
         nlp, pi, nmu, nsg, ll = em_step_mc(yc, lp_c, mu_c, sg_c, tables,
-                                           K=K)
+                                           K=K, fb_mode=fb_mode,
+                                           block=block)
         return (nlp, nmu, nsg), (ll, pi)
 
     (lp, mu, sigmas), (lls, pis) = jax.lax.scan(
@@ -249,7 +299,8 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
                    rng: np.random.Generator | None = None,
                    dtype=jnp.float64, verbose: int = 0,
                    condense_alpha: float = 0.05, sparse_lp0: float = -70.0,
-                   small_alpha: float = 0.05):
+                   small_alpha: float = 0.05, fb_mode: str | None = None,
+                   block: int = 2048):
     """Multi-channel training driver — the reference protocol
     (src/baumwelch.jl:311-354: EM -> condense -> remove_sparse ->
     remove_small -> EM/2) on a (T, C) recording, learning per-channel
@@ -257,6 +308,11 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
 
     Returns an HMMTemplateModelMC plus the ll history, mirroring
     train/em.train_model's TrainResult fields (template model, pi, lls).
+
+    fb_mode=None auto-selects the alpha/beta engine: "overlap" (the
+    halo-window block-parallel engine over the factorized streams) on
+    non-CPU backends when the recording spans enough windows, else
+    "gather" (the f64 parity engine, right for CPU and short signals).
     """
     from ..models.multichannel import HMMTemplateModelMC
     from .template_ops import remove_sparse
@@ -265,6 +321,12 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
         rng = np.random.default_rng()
     yc = np.asarray(yc, np.float64)
     T, C = yc.shape
+    if fb_mode is None:
+        H = max(4 * K, 64)
+        Lov = max(block, 4 * H)
+        long_enough = T >= 2 * (Lov + 2 * H)
+        fb_mode = ("overlap" if long_enough
+                   and jax.default_backend() != "cpu" else "gather")
     if p0 is None:
         p0 = 2.0 ** (-3.0 * K / 2.0)          # reference baumwelch.jl:311
     sigmas = yc.std(axis=0)
@@ -280,7 +342,7 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
         lp_d, pi, mu_d, sg_d, lls = em_chain_mc(
             jnp.asarray(yc, dtype), jnp.asarray(lp, dtype),
             jnp.asarray(mu, dtype), jnp.asarray(sigmas, dtype), tables,
-            K=K, n_iters=steps)
+            K=K, n_iters=steps, fb_mode=fb_mode, block=block)
         return (np.asarray(lp_d), np.asarray(pi), np.asarray(mu_d),
                 np.asarray(sg_d), [float(v) for v in np.asarray(lls)])
 

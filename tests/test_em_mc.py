@@ -142,3 +142,59 @@ def test_train_model_mc_end_to_end():
     assert model.n_channels == C
     assert np.isfinite(lls).all()
     np.testing.assert_allclose(model.sigmas, sigmas, rtol=0.1)
+
+
+def test_em_step_mc_overlap_matches_gather():
+    """The halo-window MC engine (fb_mode="overlap", streams through
+    ops/ring_fb.ring_overlap_forward_backward_mc) must reproduce the
+    gather-engine MC EM step at f64: the per-window constants cancel in
+    every statistic and the halo error is below float precision."""
+    K, N, C, T = 12, 2, 3, 4000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.0, 0.5, 0.3)], axis=1)
+    rng = np.random.default_rng(5)
+    gains = 0.3 + rng.random((N, C))
+    mu = temps[:, :, None] * gains[None, :, :]
+    pp = np.array([0.01, 0.005])
+    sigmas = 0.2 + 0.1 * rng.random(C)
+    yc, _ = _mc_signal(T, mu, sigmas, np.log(pp), seed=3)
+    lp = jnp.asarray(np.log(pp))
+    tables = EMTables.build(build_state_space(N, K, False))
+
+    args = (jnp.asarray(yc), lp, jnp.asarray(mu), jnp.asarray(sigmas),
+            tables)
+    r = em_step_mc(*args, K=K, fb_mode="gather")
+    o = em_step_mc(*args, K=K, fb_mode="overlap", block=256)
+
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(r[0]),
+                               rtol=1e-9, atol=1e-9)          # lp
+    np.testing.assert_allclose(np.asarray(o[2]), np.asarray(r[2]),
+                               rtol=1e-8, atol=1e-10)         # mu
+    np.testing.assert_allclose(np.asarray(o[3]), np.asarray(r[3]),
+                               rtol=1e-9)                     # sigmas
+    assert float(o[4]) == pytest.approx(float(r[4]), rel=1e-9)  # ll
+    m = np.asarray(r[1]) > -50
+    np.testing.assert_allclose(np.asarray(o[1])[m], np.asarray(r[1])[m],
+                               rtol=1e-7, atol=1e-7)          # pi
+
+
+def test_em_chain_mc_overlap_mode_runs():
+    """em_chain_mc(fb_mode="overlap") chains and improves ll like the
+    gather mode (values equal at f64 tolerance per-iteration)."""
+    K, N, C, T = 10, 2, 2, 3000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.5, 0.4, 0.3)], axis=1)
+    rng = np.random.default_rng(9)
+    mu = temps[:, :, None] * (0.4 + rng.random((N, C)))[None]
+    pp = np.array([0.012, 0.008])
+    sigmas = np.array([0.25, 0.3])
+    yc, _ = _mc_signal(T, mu, sigmas, np.log(pp), seed=11)
+    tables = EMTables.build(build_state_space(N, K, False))
+    args = (jnp.asarray(yc), jnp.asarray(np.log(pp)), jnp.asarray(mu),
+            jnp.asarray(sigmas), tables)
+    _, _, _, _, lls_g = em_chain_mc(*args, K=K, n_iters=3)
+    _, _, _, _, lls_o = em_chain_mc(*args, K=K, n_iters=3,
+                                    fb_mode="overlap", block=256)
+    np.testing.assert_allclose(np.asarray(lls_o), np.asarray(lls_g),
+                               rtol=1e-9)
+    assert np.all(np.diff(np.asarray(lls_o)) > -1e-6)
