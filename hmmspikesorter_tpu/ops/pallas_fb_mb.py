@@ -122,17 +122,24 @@ def _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w, subk, maskk):
     return fstep
 
 
-def _make_fwd_kernel(N: int, Km1: int, ch: int):
+def _make_fwd_kernel(N: int, Km1: int, ch: int, stream_em: bool = False):
+    """Forward kernel factory. stream_em=False: fused single-channel
+    Gaussian emission computed from the raw y window. stream_em=True:
+    the multi-channel front-end — per-step emissions are READ from
+    precomputed stream windows (es + KP-padded eb slabs, the factorized
+    channel collapse of core/emission_mc) instead of computed; every
+    other op is identical, so the dynamics stay single-source."""
     NKP = N * KP
 
-    def kernel(y_ref, consts_ref, lpv_ref, bm_ref,
-               cps_ref, cpb_ref, la_ref, as_s, ab_s):
+    def kernel(*args):
+        if stream_em:
+            (es_ref, eb_ref, consts_ref, lpv_ref,
+             cps_ref, cpb_ref, la_ref, as_s, ab_s) = args
+        else:
+            (y_ref, consts_ref, lpv_ref, bm_ref,
+             cps_ref, cpb_ref, la_ref, as_s, ab_s) = args
         c = pl.program_id(1)
         lpz = consts_ref[0, 0]
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        econst = -HALF_LOG_2PI - log_sigma
         self_w = N * lpz
         stay_w = (N - 1) * lpz
         swap_w = (N - 2) * lpz
@@ -143,12 +150,22 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
         fstep = _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w,
                                  subk, maskk)
 
-        bm = bm_ref[...]
+        if stream_em:
+            def em_at(s):
+                return (es_ref[0, s : s + 1, :],
+                        eb_ref[0, s * NKP : (s + 1) * NKP, :])
+        else:
+            log_sigma = consts_ref[0, 1]
+            inv_2s2 = consts_ref[0, 2]
+            silent_mean = consts_ref[0, 3]
+            econst = -HALF_LOG_2PI - log_sigma
+            bm = bm_ref[...]
 
-        def em(y_t):
-            es = econst - (y_t - silent_mean) ** 2 * inv_2s2   # (1, G)
-            eb = econst - (y_t - bm) ** 2 * inv_2s2            # (NKP, G)
-            return es, eb
+            def em_at(s):
+                y_t = y_ref[0, s : s + 1, :]
+                es = econst - (y_t - silent_mean) ** 2 * inv_2s2  # (1, G)
+                eb = econst - (y_t - bm) ** 2 * inv_2s2           # (NKP, G)
+                return es, eb
 
         def lse_all(a_s, a_b):
             m = jnp.maximum(jnp.max(a_b, axis=0, keepdims=True), a_s)
@@ -158,8 +175,7 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
 
         for s in range(ch):
             def step(s=s):
-                y_t = y_ref[0, s : s + 1, :]
-                es, eb = em(y_t)
+                es, eb = em_at(s)
                 new_vs, new_vb = fstep(as_s[0:1, :], ab_s[...], es, eb)
                 as_s[0:1, :] = new_vs
                 ab_s[...] = new_vb
@@ -168,8 +184,7 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
             if s == 0:
                 @pl.when(c == 0)
                 def _init():
-                    y0 = y_ref[0, 0:1, :]
-                    es, eb = em(y0)
+                    es, eb = em_at(0)
                     a_b = jnp.where(maskk, eb, NEG)
                     as_s[0:1, :] = es
                     ab_s[...] = a_b
@@ -191,21 +206,34 @@ def _make_fwd_kernel(N: int, Km1: int, ch: int):
     return kernel
 
 
-def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
+def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int,
+                     stream_em: bool = False, C: int = 1):
+    """Backward kernel factory. stream_em selects the emission source
+    (fused single-channel compute vs precomputed MC stream reads, exactly
+    as in _make_fwd_kernel); C is the number of moment channels — the
+    gamma first/second signal moments are accumulated per channel from
+    the yc_ref rows (for the single-channel build yc_ref IS y_ref and
+    C=1, reproducing the original op sequence and accumulator layout
+    verbatim). Silent accumulator rows: [occ | y_c... | y_c^2... | Xd]."""
     NKP = N * KP
 
-    def kernel(y_ref, cps_ref, cpb_ref, consts_ref, lpv_ref, bm_ref,
-               bounds_ref, s0_ref, s1_ref, s2_ref, sil_ref, xx_ref,
-               b0s_ref, b0b_ref,
-               bs_s, bb_s, ems_s, emb_s, g_s,
-               a0_s, a1_s, a2_s, asil_s, ax_s, ral_s, ral_b):
+    def kernel(*args):
+        if stream_em:
+            (es_ref, eb_ref, yc_ref, cps_ref, cpb_ref, consts_ref,
+             lpv_ref, bounds_ref, s0_ref, s1_ref, s2_ref, sil_ref, xx_ref,
+             b0s_ref, b0b_ref,
+             bs_s, bb_s, ems_s, emb_s, g_s,
+             a0_s, a1_s, a2_s, asil_s, ax_s, ral_s, ral_b) = args
+        else:
+            (y_ref, cps_ref, cpb_ref, consts_ref, lpv_ref, bm_ref,
+             bounds_ref, s0_ref, s1_ref, s2_ref, sil_ref, xx_ref,
+             b0s_ref, b0b_ref,
+             bs_s, bb_s, ems_s, emb_s, g_s,
+             a0_s, a1_s, a2_s, asil_s, ax_s, ral_s, ral_b) = args
+            yc_ref = y_ref
         c = pl.program_id(1)
         cc = Wc - 1 - c                       # actual chunk index
         lpz = consts_ref[0, 0]
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        econst = -HALF_LOG_2PI - log_sigma
         self_w = N * lpz
         stay_w = (N - 1) * lpz
         swap_w = (N - 2) * lpz
@@ -217,26 +245,38 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
         fstep = _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w,
                                  subk, maskk)
 
-        bm = bm_ref[...]
+        if stream_em:
+            def em_at(s):
+                return (es_ref[0, s : s + 1, :],
+                        eb_ref[0, s * NKP : (s + 1) * NKP, :])
+        else:
+            log_sigma = consts_ref[0, 1]
+            inv_2s2 = consts_ref[0, 2]
+            silent_mean = consts_ref[0, 3]
+            econst = -HALF_LOG_2PI - log_sigma
+            bm = bm_ref[...]
+
+            def em_at(s):
+                y_t = y_ref[0, s : s + 1, :]
+                es = econst - (y_t - silent_mean) ** 2 * inv_2s2
+                eb = econst - (y_t - bm) ** 2 * inv_2s2
+                return es, eb
+
         core_lo = bounds_ref[0, 0:1, :]                       # (1, G)
         core_hi = bounds_ref[0, 1:2, :]
         xi_hi = bounds_ref[0, 2:3, :]
 
+        silr = asil_s.shape[0]
         zero1 = jnp.zeros((1, G), jnp.float32)
         zerob = jnp.zeros((NKP, G), jnp.float32)
 
         @pl.when(c == 0)
         def _zero_accs():
             a0_s[...] = zerob
-            a1_s[...] = zerob
-            a2_s[...] = zerob
-            asil_s[...] = jnp.zeros((8, G), jnp.float32)
+            a1_s[...] = jnp.zeros((C * NKP, G), jnp.float32)
+            a2_s[...] = jnp.zeros((C * NKP, G), jnp.float32)
+            asil_s[...] = jnp.zeros((silr, G), jnp.float32)
             ax_s[...] = jnp.zeros((8, G), jnp.float32)
-
-        def em(y_t):
-            es = econst - (y_t - silent_mean) ** 2 * inv_2s2
-            eb = econst - (y_t - bm) ** 2 * inv_2s2
-            return es, eb
 
         # --- rematerialize this chunk's ch alpha steps into VMEM from the
         # previous chunk's checkpoint (chunk 0 re-derives the t=0
@@ -246,19 +286,19 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
             if s == 0:
                 @pl.when(c == Wc - 1)         # actual chunk 0
                 def _remat_init():
-                    es0, eb0 = em(y_ref[0, 0:1, :])
+                    es0, eb0 = em_at(0)
                     ral_s[0:1, :] = es0
                     ral_b[0:NKP, :] = jnp.where(maskk, eb0, NEG)
 
                 @pl.when(c < Wc - 1)
                 def _remat_carry():
-                    es0, eb0 = em(y_ref[0, 0:1, :])
+                    es0, eb0 = em_at(0)
                     nvs, nvb = fstep(cps_ref[0, 0:1, :], cpb_ref[0, :, :],
                                      es0, eb0)
                     ral_s[0:1, :] = nvs
                     ral_b[0:NKP, :] = nvb
             else:
-                es_r, eb_r = em(y_ref[0, s : s + 1, :])
+                es_r, eb_r = em_at(s)
                 nvs, nvb = fstep(ral_s[s - 1 : s, :],
                                  ral_b[(s - 1) * NKP : s * NKP, :],
                                  es_r, eb_r)
@@ -266,7 +306,7 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
                 ral_b[s * NKP : (s + 1) * NKP, :] = nvb
 
         for s in range(ch - 1, -1, -1):
-            def tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim):
+            def tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, xim):
                 # g_t and the gamma statistics (owner-core masked)
                 tot = a_b + new_bb
                 sil = a_s + new_bs
@@ -280,12 +320,22 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
                 gbm = jnp.where(cm, gb, 0.0)
                 gsm = jnp.where(cm, gs, 0.0)
                 a0_s[...] = a0_s[...] + gbm
-                a1_s[...] = a1_s[...] + gbm * y_t
-                a2_s[...] = a2_s[...] + gbm * (y_t * y_t)
+                for q in range(C):
+                    y_q = yc_ref[0, s * C + q : s * C + q + 1, :]
+                    a1_s[q * NKP : (q + 1) * NKP, :] = (
+                        a1_s[q * NKP : (q + 1) * NKP, :] + gbm * y_q)
+                    a2_s[q * NKP : (q + 1) * NKP, :] = (
+                        a2_s[q * NKP : (q + 1) * NKP, :]
+                        + gbm * (y_q * y_q))
+                    asil_s[1 + q : 2 + q, :] = (
+                        asil_s[1 + q : 2 + q, :] + gsm * y_q)
+                    asil_s[1 + C + q : 2 + C + q, :] = (
+                        asil_s[1 + C + q : 2 + C + q, :]
+                        + gsm * (y_q * y_q))
                 asil_s[0:1, :] = asil_s[0:1, :] + gsm
-                asil_s[1:2, :] = asil_s[1:2, :] + gsm * y_t
-                asil_s[2:3, :] = asil_s[2:3, :] + gsm * (y_t * y_t)
-                asil_s[3:4, :] = asil_s[3:4, :] + jnp.where(xim, gs, 0.0)
+                asil_s[1 + 2 * C : 2 + 2 * C, :] = (
+                    asil_s[1 + 2 * C : 2 + 2 * C, :]
+                    + jnp.where(xim, gs, 0.0))
                 # caches for the next (earlier-t) step
                 bs_s[0:1, :] = new_bs
                 bb_s[...] = new_bb
@@ -295,8 +345,7 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
 
             def step(s=s):
                 t = cc * ch + s
-                y_t = y_ref[0, s : s + 1, :]
-                es, eb = em(y_t)
+                es, eb = em_at(s)
                 a_s = ral_s[s : s + 1, :]
                 a_b = ral_b[s * NKP : (s + 1) * NKP, :]
                 xim = (t >= core_lo) & (t < xi_hi)
@@ -337,7 +386,7 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
                      for n in range(N)], axis=0)
                 new_bb = jnp.where(endrow, exitx, rolledb)
                 new_bb = jnp.where(maskk, new_bb, NEG)
-                tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim)
+                tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, xim)
 
             if s == ch - 1:
                 @pl.when(c == 0)
@@ -345,14 +394,13 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
                     # t = W-1: terminal beta = 0 (exact for the last
                     # window, which ends at the real T)
                     t = cc * ch + s
-                    y_t = y_ref[0, s : s + 1, :]
-                    es, eb = em(y_t)
+                    es, eb = em_at(s)
                     a_s = ral_s[s : s + 1, :]
                     a_b = ral_b[s * NKP : (s + 1) * NKP, :]
                     xim = (t >= core_lo) & (t < xi_hi)
                     new_bs = zero1
                     new_bb = jnp.where(maskk, zerob, NEG)
-                    tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, y_t, xim)
+                    tail(s, t, new_bs, new_bb, a_s, a_b, es, eb, xim)
 
                 @pl.when(c > 0)
                 def _():
@@ -371,6 +419,35 @@ def _make_bwd_kernel(N: int, Km1: int, Wc: int, ch: int):
             b0b_ref[0] = bb_s[...]
 
     return kernel
+
+
+def _em_window_geom(T, L, H, B, W):
+    """Host-side window geometry: per-window start sample, the edge rows
+    clamped to the real signal edges, and the per-window core/xi bounds in
+    window coordinates (every sample owned by exactly one window)."""
+    starts = np.maximum(np.arange(B) * L - H, 0)
+    starts[-1] = T - W
+    edge = {0: 0, B - 1: T - W}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge[B - 2] = T - W
+        starts[B - 2] = T - W
+    core_lo = np.arange(B) * L - starts
+    core_hi = np.minimum((np.arange(B) + 1) * L, T) - starts
+    xi_hi = core_hi.copy()
+    xi_hi[B - 1] -= 1                        # xi is defined for t <= T-2
+    return starts, edge, core_lo, core_hi, xi_hi
+
+
+def _em_window_1d(x, *, T, L, H, B, W, edge):
+    """(T,) -> (B, W) halo windows (pad/reshape trick), edge rows clamped
+    to the real signal edges."""
+    Tp = B * L
+    x_ext = jnp.pad(x, (H, Tp - T + (L - H)))
+    A = x_ext.reshape(B + 1, L)
+    xw = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)      # (B, W)
+    for b, st in edge.items():
+        xw = xw.at[b].set(jax.lax.dynamic_slice_in_dim(x, st, W))
+    return xw
 
 
 @partial(jax.jit, static_argnames=("L", "H", "interpret"))
@@ -403,22 +480,8 @@ def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
     # windows with clamped edge rows (no rolling: per-lane core bounds
     # keep every sample owned by exactly one window, in that window's own
     # coordinates) — same construction as ring_overlap_forward_backward
-    Tp = B * L
-    y_ext = jnp.pad(y, (H, Tp - T + (L - H)))
-    A = y_ext.reshape(B + 1, L)
-    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
-    starts = np.maximum(np.arange(B) * L - H, 0)
-    starts[-1] = T - W
-    edge = {0: 0, B - 1: T - W}
-    if B >= 3 and (B - 1) * L + H > T:
-        edge[B - 2] = T - W
-        starts[B - 2] = T - W
-    for b, st in edge.items():
-        y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, st, W))
-    core_lo = np.arange(B) * L - starts
-    core_hi = np.minimum((np.arange(B) + 1) * L, T) - starts
-    xi_hi = core_hi.copy()
-    xi_hi[B - 1] -= 1                        # xi is defined for t <= T-2
+    starts, edge, core_lo, core_hi, xi_hi = _em_window_geom(T, L, H, B, W)
+    y_win = _em_window_1d(y, T=T, L=L, H=H, B=B, W=W, edge=edge)
 
     Bg = _round_up(B, G) // G
     Bp = Bg * G
@@ -584,3 +647,220 @@ def overlap_em_stats_pallas(y, lp, mu, sigma, *, L: int, H: int,
         raise ValueError("signal shorter than two windows")
     return _overlap_em_stats_impl(y, lp, mu, sigma, L=L, H=H,
                                   interpret=interpret)
+
+
+# --- multi-channel front-end: same kernels, stream emissions + per-channel
+# moments. The (T, C) channel axis is collapsed OUTSIDE the kernels by the
+# factorized-stream projection (train/em_mc._mc_streams_dense semantics);
+# the kernels consume es/eb stream windows and accumulate the gamma
+# moments against each channel's raw samples (yc rows), producing exactly
+# the per-channel sufficient statistics the MC M-step consumes.
+
+VMEM_LIMIT = 64 * 2**20      # raised scoped ceiling (see pallas_viterbi_ovn_mb)
+
+
+@partial(jax.jit, static_argnames=("L", "H", "interpret"))
+def _overlap_em_stats_mc_impl(es, eb, yc, lp, *, L, H, interpret=False):
+    """es (T,) silent log-emissions; eb (T, N, K-1) body log-emissions;
+    yc (T, C) raw recording; lp (N,). Returns the MC sufficient statistics
+    (see overlap_em_stats_pallas_mc)."""
+    T, C = yc.shape
+    _, N, Km1 = eb.shape
+    NKP = N * KP
+    B = -(-T // L)
+    W = L + 2 * H
+    dtype = jnp.float32
+    silr = _round_up(2 * C + 2, 8)
+
+    es = jnp.asarray(es, dtype)
+    eb = jnp.asarray(eb, dtype)
+    yc = jnp.asarray(yc, dtype)
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    consts = jnp.stack([lpz] + [jnp.zeros(())] * 7)[None, :].astype(dtype)
+    lpv = jnp.zeros((8, 1), dtype).at[:N, 0].set(lp)
+    lpv = jnp.broadcast_to(lpv, (8, G))
+
+    starts, edge, core_lo, core_hi, xi_hi = _em_window_geom(T, L, H, B, W)
+    win = partial(_em_window_1d, T=T, L=L, H=H, B=B, W=W, edge=edge)
+    es_w = win(es)                                             # (B, W)
+    eb_kp = jnp.zeros((T, N, KP), dtype).at[:, :, :Km1].set(eb)
+    eb_w = jax.vmap(win)(eb_kp.reshape(T, NKP).T)              # (NKP, B, W)
+    yc_w = jax.vmap(win)(yc.T)                                 # (C, B, W)
+
+    Bg = _round_up(B, G) // G
+    Bp = Bg * G
+    ch = _chunk(N)
+    Wc = W // ch
+
+    es_in = (jnp.zeros((Bp, W), dtype).at[:B].set(es_w)
+             .reshape(Bg, G, W).transpose(0, 2, 1))            # (Bg, W, G)
+    eb_in = (jnp.zeros((Bp, W, NKP), dtype)
+             .at[:B].set(eb_w.transpose(1, 2, 0))
+             .reshape(Bg, G, W, NKP).transpose(0, 2, 3, 1)
+             .reshape(Bg, W * NKP, G))
+    yc_in = (jnp.zeros((Bp, W, C), dtype)
+             .at[:B].set(yc_w.transpose(1, 2, 0))
+             .reshape(Bg, G, W, C).transpose(0, 2, 3, 1)
+             .reshape(Bg, W * C, G))
+    bnp = np.zeros((Bp, 3), np.int32)
+    bnp[:B, 0] = core_lo
+    bnp[:B, 1] = core_hi
+    bnp[:B, 2] = xi_hi
+    bounds = jnp.asarray(bnp).reshape(Bg, G, 3).transpose(0, 2, 1)
+
+    fkernel = _make_fwd_kernel(N, Km1, ch, stream_em=True)
+    fin_specs = [
+        pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch * NKP, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, G), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    fout_specs = [
+        pl.BlockSpec((1, 8, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    fout_shape = [
+        jax.ShapeDtypeStruct((Bg, Wc * 8, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, Wc * NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, W, G), jnp.float32),
+    ]
+    fscratch = [pltpu.VMEM((8, G), jnp.float32),
+                pltpu.VMEM((NKP, G), jnp.float32)]
+    cps, cpb, la = pl.pallas_call(
+        fkernel, out_shape=fout_shape, grid=(Bg, Wc), in_specs=fin_specs,
+        out_specs=fout_specs, scratch_shapes=fscratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(es_in, eb_in, consts, lpv)
+
+    bkernel = _make_bwd_kernel(N, Km1, Wc, ch, stream_em=True, C=C)
+    rev = lambda b, c: (b, Wc - 1 - c, 0)
+    rev_prev = lambda b, c: (b, jnp.maximum(Wc - 2 - c, 0), 0)
+    bin_specs = [
+        pl.BlockSpec((1, ch, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch * NKP, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ch * C, G), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, G), rev_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), rev_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, G), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bout_specs = [
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C * NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C * NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, silr, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bout_shape = [
+        jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, C * NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, C * NKP, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, silr, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, 8, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, 1, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+    ]
+    bscratch = [
+        pltpu.VMEM((8, G), jnp.float32),         # beta silent
+        pltpu.VMEM((NKP, G), jnp.float32),       # beta body
+        pltpu.VMEM((8, G), jnp.float32),         # em silent cache (t+1)
+        pltpu.VMEM((NKP, G), jnp.float32),       # em body cache (t+1)
+        pltpu.VMEM((8, G), jnp.float32),         # g cache (t+1)
+        pltpu.VMEM((NKP, G), jnp.float32),       # acc S0 body
+        pltpu.VMEM((C * NKP, G), jnp.float32),   # acc S1 body per channel
+        pltpu.VMEM((C * NKP, G), jnp.float32),   # acc S2 body per channel
+        pltpu.VMEM((silr, G), jnp.float32),      # acc silent per channel
+        pltpu.VMEM((8, G), jnp.float32),         # acc X (onset edges)
+        pltpu.VMEM((ch, G), jnp.float32),        # remat alpha silent
+        pltpu.VMEM((ch * NKP, G), jnp.float32),  # remat alpha body
+    ]
+    s0, s1, s2, sil, xx, b0s, b0b = pl.pallas_call(
+        bkernel, out_shape=bout_shape, grid=(Bg, Wc), in_specs=bin_specs,
+        out_specs=bout_specs, scratch_shapes=bscratch, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+    )(es_in, eb_in, yc_in, cps, cpb, consts, lpv, bounds)
+
+    # --- combine into the flat layout [silent | body ravel n-major]
+    def body_sum(x):
+        return jnp.sum(x, axis=(0, 2)).reshape(N, KP)[:, :Km1].reshape(-1)
+
+    sil_sum = jnp.sum(sil, axis=(0, 2))                        # (silr,)
+    G1 = jnp.concatenate([sil_sum[0:1], body_sum(s0)])
+    Gy = jnp.stack([
+        jnp.concatenate([sil_sum[1 + q : 2 + q],
+                         body_sum(s1[:, q * NKP : (q + 1) * NKP, :])])
+        for q in range(C)])                                    # (C, S)
+    Gy2 = jnp.stack([
+        jnp.concatenate([sil_sum[1 + C + q : 2 + C + q],
+                         body_sum(s2[:, q * NKP : (q + 1) * NKP, :])])
+        for q in range(C)])
+    Xd = sil_sum[1 + 2 * C]
+    X = jnp.sum(xx, axis=(0, 2))[:N]                           # (N,)
+
+    beta0 = jnp.concatenate(
+        [b0s[0, :, 0], b0b[0, :, 0].reshape(N, KP)[:, :Km1].reshape(-1)])
+
+    la_bm = la.transpose(0, 2, 1).reshape(Bp, W)[:B]           # (B, W)
+    pos = jnp.arange(W)[None, :]
+    endc = jnp.sum(jnp.where(pos == (core_hi - 1)[:, None], la_bm, 0.0),
+                   axis=1)
+    pre = jnp.sum(jnp.where(pos == (core_lo - 1)[:, None], la_bm, 0.0),
+                  axis=1)
+    ll = endc[0] + jnp.sum(endc[1:] - pre[1:])
+
+    return G1, Gy, Gy2, X, Xd, beta0, ll
+
+
+def overlap_em_stats_pallas_mc(es, eb, yc, lp, *, L: int, H: int,
+                               interpret: bool = False):
+    """Fused-kernel MC EM sufficient statistics over halo windows.
+
+    Inputs are the factorized MC emission streams (es (T,) silent, eb
+    (T, N, K-1) body — train/em_mc._mc_streams_dense semantics, computed
+    in-graph by the caller so mu/sigmas may be EM-loop tracers) plus the
+    raw (T, C) recording for the per-channel moments.
+
+    Returns (G1 (S,), Gy (C, S), Gy2 (C, S), X (N,), Xd, beta0 (S,), ll):
+    per-state occupancies, per-channel first/second signal moments
+    (linear space, flat [silent | body] layout), onset-edge xi sums with
+    the silent-occupancy denominator, window-0 terminal beta (log space,
+    for pi), and the telescoped sequence ll. Same constraints as
+    overlap_em_stats_pallas (K <= KP+1, N <= 8, W = L + 2H divisible by
+    the chunk, >= 2 windows)."""
+    T, C = np.shape(yc)
+    N, Km1 = np.shape(eb)[1], np.shape(eb)[2]
+    W = L + 2 * H
+    if Km1 > KP:
+        raise ValueError(f"pallas EM kernel supports K <= {KP + 1}")
+    if N > 8:
+        raise ValueError("pallas EM kernel supports N <= 8")
+    if W % CH != 0:
+        raise ValueError(f"W = L + 2H = {W} must be a multiple of {CH}")
+    if L < 2 * H:
+        raise ValueError("need L >= 2H")
+    if T < W or T <= L:
+        raise ValueError("signal shorter than two windows")
+    return _overlap_em_stats_mc_impl(es, eb, yc, lp, L=L, H=H,
+                                     interpret=interpret)

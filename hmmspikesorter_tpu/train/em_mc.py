@@ -80,11 +80,59 @@ def _mc_emission_dense(yc, mu, sigmas):
     return jnp.concatenate([es[:, None], body], axis=1)
 
 
-@partial(jax.jit, static_argnames=("K", "fb_mode", "block"))
+def _em_step_overlap_pallas_mc(yc, lp, mu, sigmas, tables: EMTables, *,
+                               K: int, block: int, interpret: bool):
+    """MC EM iteration from the fused-kernel sufficient statistics
+    (ops/pallas_fb_mb.overlap_em_stats_pallas_mc) — the same M-step
+    formulas as em_step_mc's materialized path, fed by linear-space
+    per-state/per-channel statistics. The emission streams are computed
+    in-graph (mu/sigmas are loop carries)."""
+    from ..ops.pallas_fb_mb import overlap_em_stats_pallas_mc
+    from .em import pallas_em_geometry
+
+    N = tables.states.shape[0]
+    dtype = jnp.asarray(lp).dtype
+    T, C = yc.shape
+    L, H = pallas_em_geometry(K, block)
+    yc32 = jnp.asarray(yc, jnp.float32)
+    es_s, body_s = _mc_streams_dense(yc32, jnp.asarray(mu, jnp.float32),
+                                     jnp.asarray(sigmas, jnp.float32))
+    eb = body_s.reshape(T, N, K - 1)
+    G1, Gy, Gy2, X, Xd, beta0, ll = overlap_em_stats_pallas_mc(
+        es_s, eb, yc32, jnp.asarray(lp, jnp.float32), L=L, H=H,
+        interpret=interpret)
+
+    new_lp = (jnp.log(X) - jnp.log(Xd)).astype(dtype)
+
+    # pi = gamma[:, 0]: forward init is emission-only (dead-pi quirk)
+    alpha0 = jnp.concatenate([es_s[0:1], body_s[0]])
+    g0 = jax.nn.logsumexp(alpha0 + beta0)
+    new_pi = (alpha0 + beta0 - g0).astype(dtype)
+
+    # per-channel template update over single-active states
+    nbody = N * (K - 1)
+    body = (Gy[:, 1:] / G1[None, 1:]).reshape(C, N, K - 1).transpose(2, 1, 0)
+    new_mu = jnp.concatenate(
+        [jnp.zeros((1, N, C), jnp.float32), body], axis=0)    # (K, N, C)
+
+    # per-channel sigma from the same moments (silent mean = 0 per channel)
+    smu_c = jnp.concatenate(
+        [jnp.zeros((1, C), jnp.float32),
+         new_mu[1:].transpose(1, 0, 2).reshape(nbody, C)], axis=0)  # (S, C)
+    x2 = (jnp.sum(Gy2, axis=1) - 2.0 * jnp.sum(smu_c.T * Gy, axis=1)
+          + (smu_c * smu_c).T @ G1)                            # (C,)
+    new_sigmas = jnp.sqrt(x2 / jnp.sum(G1)).astype(dtype)
+
+    return (new_lp, new_pi, new_mu.astype(dtype), new_sigmas,
+            ll.astype(dtype))
+
+
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block", "fb_interpret"))
 def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
-               fb_mode: str = "gather", block: int = 2048):
+               fb_mode: str = "gather", block: int = 2048,
+               fb_interpret: bool = False):
     """One multi-channel EM iteration:
-    (lp, mu (K, N, C), sigmas (C,)) -> (lp, pi, mu, sigmas, ll).
+    (lp, pi, mu (K, N, C), sigmas (C,)) <- (lp, mu, sigmas) plus ll.
 
     yc: (T, C) recording. Same contracts as train/em.py's em_step.
     fb_mode selects the alpha/beta engine:
@@ -95,12 +143,22 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
                 streams (ops/ring_fb.ring_overlap_forward_backward_mc)
                 — B-way parallel, the TPU path at production T; same
                 halo/constant-cancellation argument as the
-                single-channel fb_mode="overlap" (train/em.em_step).
+                single-channel fb_mode="overlap" (train/em.em_step);
+      "overlap_pallas"  the halo-window engine as the two fused Pallas
+                kernels with stream emissions and per-channel moment
+                accumulation (ops/pallas_fb_mb, stream_em=True) — the
+                production TPU mode; requires K <= 65, N <= 8 (or
+                fb_interpret=True off-TPU).
     """
     yc = jnp.asarray(yc)
     dtype = jnp.asarray(lp).dtype
     T, C = yc.shape
     N = tables.states.shape[0]
+
+    if fb_mode == "overlap_pallas":
+        return _em_step_overlap_pallas_mc(yc, lp, mu, sigmas, tables, K=K,
+                                          block=block,
+                                          interpret=fb_interpret)
 
     es_s, body_s = _mc_streams_dense(yc.astype(dtype), jnp.asarray(mu),
                                      jnp.asarray(sigmas))
@@ -188,9 +246,11 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
     return new_lp, new_pi, new_mu, new_sigmas, ll
 
 
-@partial(jax.jit, static_argnames=("K", "n_iters", "fb_mode", "block"))
+@partial(jax.jit, static_argnames=("K", "n_iters", "fb_mode", "block",
+                                   "fb_interpret"))
 def em_chain_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
-                n_iters: int, fb_mode: str = "gather", block: int = 2048):
+                n_iters: int, fb_mode: str = "gather", block: int = 2048,
+                fb_interpret: bool = False):
     """n_iters multi-channel EM iterations as ONE compiled program (the MC
     mirror of train/em.em_chain). Returns (lp, pi, mu, sigmas, lls)."""
 
@@ -198,7 +258,8 @@ def em_chain_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
         lp_c, mu_c, sg_c = carry
         nlp, pi, nmu, nsg, ll = em_step_mc(yc, lp_c, mu_c, sg_c, tables,
                                            K=K, fb_mode=fb_mode,
-                                           block=block)
+                                           block=block,
+                                           fb_interpret=fb_interpret)
         return (nlp, nmu, nsg), (ll, pi)
 
     (lp, mu, sigmas), (lls, pis) = jax.lax.scan(
@@ -325,8 +386,12 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
         H = max(4 * K, 64)
         Lov = max(block, 4 * H)
         long_enough = T >= 2 * (Lov + 2 * H)
-        fb_mode = ("overlap" if long_enough
-                   and jax.default_backend() != "cpu" else "gather")
+        if long_enough and jax.default_backend() != "cpu":
+            # fused kernels when the topology fits them, else XLA windows
+            fb_mode = ("overlap_pallas" if K <= 65 and n_neurons <= 8
+                       else "overlap")
+        else:
+            fb_mode = "gather"
     if p0 is None:
         p0 = 2.0 ** (-3.0 * K / 2.0)          # reference baumwelch.jl:311
     sigmas = yc.std(axis=0)
