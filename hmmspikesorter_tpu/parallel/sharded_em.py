@@ -449,3 +449,202 @@ def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
     new_sigma = jnp.sqrt(x2 / jnp.sum(G1))
 
     return new_lp, new_pi, new_mu, new_sigma, ll
+
+
+# --- multi-channel distributed EM: the joint (T, C) model time-sharded ---
+
+
+def sharded_em_step_mc(yc, lp, mu, sigmas, tables: EMTables, mesh: Mesh, *,
+                       K: int, L: int = 256, time_axis: str = "time",
+                       H: int | None = None):
+    """One multi-channel EM step, time-sharded (beyond-reference: the
+    reference is single-threaded AND channel-1-only).
+
+    Unlike sharded_em_step's channel axis (independent per-channel
+    models), this trains ONE joint model over all C electrodes: yc (T, C)
+    is sharded along time, lp (N,) / mu (K, N, C) / sigmas (C,) are
+    replicated. Cross-device state is one 2H-sample halo ppermute of the
+    raw channel rows per boundary plus the statistic psums — the emission
+    projection (train/em_mc._mc_streams_dense) is pointwise in t, so each
+    device projects its halo-extended span locally and the halo-window
+    argument of _em_one_channel_overlap applies unchanged. Statistics
+    match em_step_mc(fb_mode="overlap") (fake-mesh tested at f64).
+
+    T must be a multiple of Dv * L with >= 2 windows per device. Returns
+    (new_lp, new_pi, new_mu, new_sigmas, ll), all replicated.
+    """
+    yc = jnp.asarray(yc)
+    T, C = yc.shape
+    Dv = mesh.shape[time_axis]
+    if H is None:
+        H = max(4 * K, 64)
+    Ts = T // Dv
+    if T % (Dv * L) != 0:
+        raise ValueError(f"T={T} must be a multiple of Dv*L={Dv * L}")
+    if H < 1 or Ts // L < 2 or L < 2 * H:
+        raise ValueError(
+            f"need 1 <= H <= L/2 and >= 2 windows per device "
+            f"(Ts={Ts}, L={L}, H={H})")
+
+    body = partial(_em_mc_overlap_body, tables=tables, K=K, L=L, H=H,
+                   time_axis=time_axis)
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(time_axis, None), P(None), P(None, None, None),
+                  P(None)),
+        out_specs=(P(None), P(None), P(None, None, None), P(None), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(yc, jnp.asarray(lp), jnp.asarray(mu),
+                           jnp.asarray(sigmas))
+
+
+def _em_mc_overlap_body(yc_loc, lp, mu, sigmas, *, tables: EMTables,
+                        K: int, L: int, H: int, time_axis: str):
+    """Per-device MC overlap-save EM body. yc_loc: (Ts, C) local span.
+    Mirrors _em_one_channel_overlap with stream emissions (the twin note
+    there applies: window/realignment fixes must be mirrored in
+    ops/ring_fb.ring_overlap_forward_backward_mc)."""
+    from ..ops.ring_fb import _bwd_step, _flat, _fwd_step, _weights
+    from ..train.em_mc import _mc_streams_dense
+
+    N = tables.states.shape[0]
+    S = tables.states.shape[1]
+    Km1 = K - 1
+    dtype = yc_loc.dtype
+    didx = jax.lax.axis_index(time_axis)
+    Dv = jax.lax.axis_size(time_axis)
+    Ts, C = yc_loc.shape
+    B = Ts // L
+    W = L + 2 * H
+    F = 1 + N * Km1
+
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+
+    # halo exchange: my tail -> right neighbor's left halo, my head ->
+    # left neighbor's right halo (zeros at the mesh edges)
+    halo_l = jax.lax.ppermute(
+        yc_loc[-H:, :], time_axis, [(i, i + 1) for i in range(Dv - 1)])
+    halo_r = jax.lax.ppermute(
+        yc_loc[:H, :], time_axis, [(i + 1, i) for i in range(Dv - 1)])
+    yc_halo = jnp.concatenate([halo_l, yc_loc, halo_r], axis=0)
+
+    # emission streams on the halo-extended span (pointwise in t, so
+    # windowing commutes with the projection)
+    es_h, body_h = _mc_streams_dense(yc_halo, jnp.asarray(mu),
+                                     jnp.asarray(sigmas))
+    feats = jnp.concatenate([es_h[:, None], body_h], axis=1)  # (Ts+2H, F)
+
+    def win1(x):
+        x_ext = jnp.pad(x, (0, (B + 1) * L - (Ts + 2 * H)))
+        A = x_ext.reshape(B + 1, L)
+        xw = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
+        first_real = jax.lax.dynamic_slice_in_dim(x[H : H + Ts], 0, W)
+        last_real = jax.lax.dynamic_slice_in_dim(x[H : H + Ts], Ts - W, W)
+        xw = xw.at[0].set(jnp.where(didx == 0, first_real, xw[0]))
+        xw = xw.at[B - 1].set(
+            jnp.where(didx == Dv - 1, last_real, xw[B - 1]))
+        return xw
+
+    f_win = jax.vmap(win1)(feats.T)                        # (F, B, W)
+    es_steps = f_win[0].T                                  # (W, B)
+    eb_steps = f_win[1:].transpose(2, 1, 0).reshape(W, B, N, Km1)
+
+    es0, eb0 = es_steps[0], eb_steps[0]
+
+    def fstep(c, inp):
+        es_t, eb_t = inp
+        vs, vb = _fwd_step(*c, es_t, eb_t, w)
+        return (vs, vb), _flat(vs, vb)
+
+    _, frest = jax.lax.scan(fstep, (es0, eb0),
+                            (es_steps[1:], eb_steps[1:]))
+    alpha_w = jnp.concatenate([_flat(es0, eb0)[None], frest], axis=0)
+
+    bs0 = jnp.zeros((B,), dtype)
+    bb0 = jnp.zeros((B, N, Km1), dtype)
+
+    def bstep(c, inp):
+        es_t, eb_t = inp
+        bs, bb = _bwd_step(*c, es_t, eb_t, w)
+        return (bs, bb), _flat(bs, bb)
+
+    _, brest = jax.lax.scan(bstep, (bs0, bb0),
+                            (es_steps[1:], eb_steps[1:]), reverse=True)
+    beta_w = jnp.concatenate([brest, _flat(bs0, bb0)[None]], axis=0)
+
+    # realign mesh-edge rows to uniform coordinates (roll by +-H)
+    def roll_row(win, b, shift, pred):
+        return win.at[:, b].set(
+            jnp.where(pred, jnp.roll(win[:, b], shift, axis=0), win[:, b]))
+
+    alpha_w = roll_row(alpha_w, 0, H, didx == 0)
+    beta_w = roll_row(beta_w, 0, H, didx == 0)
+    alpha_w = roll_row(alpha_w, B - 1, -H, didx == Dv - 1)
+    beta_w = roll_row(beta_w, B - 1, -H, didx == Dv - 1)
+    fw_steps = jnp.concatenate(
+        [es_steps[:, :, None],
+         eb_steps.reshape(W, B, N * Km1)], axis=2)          # (W, B, F)
+    fw_steps = roll_row(fw_steps, 0, H, didx == 0)
+    fw_steps = roll_row(fw_steps, B - 1, -H, didx == Dv - 1)
+
+    def core(win, j0):
+        return win[j0 : j0 + L].transpose(1, 0, 2).reshape(Ts, -1)
+
+    alpha_loc = core(alpha_w, H)
+    beta_loc = core(beta_w, H)
+    beta_next = core(beta_w, H + 1)
+    alpha_next = core(alpha_w, H + 1)
+    # feats columns are already the full (T, S) emission [silent | body]
+    # (body rows of _mc_streams_dense include the es term)
+    em_next = core(fw_steps, H + 1)                        # (Ts, S) at t+1
+
+    ab = alpha_loc + beta_loc
+    g = logsumexp_rows(ab, axis=1)
+    log_gamma = ab - g[:, None]
+    g_next = logsumexp_rows(alpha_next + beta_next, axis=1)
+
+    # telescoped ll (device 0's first window is init-exact)
+    lse_w = logsumexp_rows(alpha_w, axis=-1)               # (W, B)
+    pre = lse_w[H - 1]
+    endc = lse_w[H + L - 1]
+    terms = jnp.where((jnp.arange(B) == 0) & (didx == 0), endc, endc - pre)
+    ll = jax.lax.psum(jnp.sum(terms), time_axis)
+
+    # ---- transition statistics (same-window t+1 terms)
+    onset_w = edge_weights_from_structure(
+        lp, tables.onset_n_silent, tables.onset_onsets,
+        jnp.ones_like(tables.onset_n_silent, dtype=bool))
+    tgt = tables.onset_targets
+    xi = (alpha_loc[:, 0][:, None] + onset_w[None, :]
+          + beta_next[:, tgt] + em_next[:, tgt] - g_next[:, None])
+    is_last = (didx == Dv - 1) & (jnp.arange(Ts) == Ts - 1)
+    xi = jnp.where(is_last[:, None], -jnp.inf, xi)
+    xx = _dist_lse(logsumexp_rows(xi, axis=0), time_axis)
+
+    g0 = jnp.where(is_last, -jnp.inf, log_gamma[:, 0])
+    bb_ = _dist_lse(logsumexp_rows(g0, axis=0), time_axis)
+    new_lp = (xx - bb_)[1:]
+
+    new_pi = jax.lax.psum(
+        jnp.where(didx == 0, log_gamma[0], jnp.zeros(S, dtype)), time_axis)
+
+    # ---- per-channel moments in one MXU matmul, then the MC M-step
+    gamma = jnp.exp(log_gamma)
+    Pm = jnp.concatenate([jnp.ones((1, Ts), dtype), yc_loc.T,
+                          (yc_loc * yc_loc).T], axis=0)     # (1+2C, Ts)
+    M = jax.lax.psum(Pm @ gamma, time_axis)                 # (1+2C, S)
+    G1, Gy, Gy2 = M[0], M[1 : 1 + C], M[1 + C :]
+    nbody = N * Km1
+    bodym = (Gy[:, 1 : 1 + nbody] / G1[None, 1 : 1 + nbody])
+    bodym = bodym.reshape(C, N, Km1).transpose(2, 1, 0)     # (Km1, N, C)
+    new_mu = jnp.concatenate([jnp.zeros((1, N, C), dtype), bodym], axis=0)
+    smu_c = jnp.concatenate(
+        [jnp.zeros((1, C), dtype),
+         new_mu[1:].transpose(1, 0, 2).reshape(nbody, C)], axis=0)  # (S, C)
+    x2 = (jnp.sum(Gy2, axis=1) - 2.0 * jnp.sum(smu_c.T * Gy, axis=1)
+          + (smu_c * smu_c).T @ G1)
+    new_sigmas = jnp.sqrt(x2 / jnp.sum(G1))
+
+    return new_lp, new_pi, new_mu, new_sigmas, ll

@@ -142,3 +142,50 @@ def test_sharded_em_overlap_mode_matches_single_device(tdev, cdev):
         assert sig_sh[c] == pytest.approx(float(sig_1), rel=1e-10)
         assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-10)
         np.testing.assert_allclose(pi_sh[c], np.asarray(pi_1), atol=1e-7)
+
+
+def _mk_mc(N=2, K=12, C=3, T=4096, seed=13):
+    rng = np.random.default_rng(seed)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array([0.004, 0.002][:N])
+    gains = 0.3 + rng.random((N, C))
+    mu = temps[:, :, None] * gains[None]
+    sigmas = 0.2 + 0.1 * rng.random(C)
+    _, truth = create_signal(T, 0.0, pp, temps, rng=rng)
+    yc = sigmas[None, :] * rng.standard_normal((T, C))
+    for n in range(N):
+        k = truth[n]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n]
+    ss = build_state_space(N, K, False)
+    return yc, mu, sigmas, np.log(pp), ss
+
+
+@pytest.mark.parametrize("tdev", [2, 4, 8])
+def test_sharded_em_mc_matches_single_device(tdev):
+    """Time-sharded joint MC EM == em_step_mc(fb_mode='overlap') at f64
+    (identical window protocol; only the statistic reductions differ by
+    psum reassociation)."""
+    from hmmspikesorter_tpu.parallel.sharded_em import sharded_em_step_mc
+    from hmmspikesorter_tpu.train.em_mc import em_step_mc
+
+    yc, mu, sigmas, lp, ss = _mk_mc()
+    tables = EMTables.build(ss)
+    devs = np.array(jax.devices()[:tdev])
+    mesh = Mesh(devs, ("time",))
+    out = sharded_em_step_mc(jnp.asarray(yc), jnp.asarray(lp),
+                             jnp.asarray(mu), jnp.asarray(sigmas), tables,
+                             mesh, K=ss.K, L=256)
+    lp_sh, pi_sh, mu_sh, sig_sh, ll_sh = map(np.asarray, out)
+
+    ref = em_step_mc(jnp.asarray(yc), jnp.asarray(lp), jnp.asarray(mu),
+                     jnp.asarray(sigmas), tables, K=ss.K,
+                     fb_mode="overlap", block=256)
+    lp_1, pi_1, mu_1, sig_1, ll_1 = map(np.asarray, ref)
+    np.testing.assert_allclose(lp_sh, lp_1, rtol=1e-8, atol=1e-9)
+    m = pi_1 > -50
+    np.testing.assert_allclose(pi_sh[m], pi_1[m], atol=1e-8)
+    np.testing.assert_allclose(mu_sh, mu_1, atol=1e-9)
+    np.testing.assert_allclose(sig_sh, sig_1, rtol=1e-10)
+    assert float(ll_sh) == pytest.approx(float(ll_1), rel=1e-10)
