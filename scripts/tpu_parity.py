@@ -209,6 +209,66 @@ def main() -> int:
     record["mc_ll_rel_diff"] = (abs(float(m_fast.ll) - float(m_one.ll))
                                 / abs(float(m_one.ll)))
 
+    # --- 7. round-2 session-4 engines on hardware: the MC Pallas decode
+    # front-end, the N=4 single-channel kernel under the raised VMEM
+    # ceiling, the MC overlap/fused EM, and the MC pallas EM C-channel
+    # M-step — each anchored to its XLA twin on the same inputs.
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        mc_overlap_save, ring_overlap_save)
+    from hmmspikesorter_tpu.train.em_mc import em_step_mc
+
+    n3temps = np.stack([temps[:, 0], temps[:, 1],
+                        create_spike_template(K, 2.5, 0.6, 0.25)], axis=1)
+    g3 = np.array([[1.0, 0.2, 0.6, 0.4], [0.2, 1.0, 0.6, 0.3],
+                   [0.5, 0.4, 1.0, 0.8]])
+    mu3 = n3temps[:, :, None] * g3[None, :, :]            # (K, 3, 4)
+    pp3 = np.array([0.01, 0.005, 0.008])
+    sg3 = np.array([0.3, 0.32, 0.28, 0.35])
+    yc3 = sg3[None, :] * np.random.default_rng(3).standard_normal((Tm, 4))
+    _, tr3 = create_signal_fast(Tm, sigma, pp3, n3temps,
+                                rng=np.random.default_rng(31))
+    for n in range(3):
+        k = tr3[n]
+        m = k > 0
+        yc3[m] += mu3[k[m] - 1, n]
+    args_mc = (jnp.asarray(yc3, jnp.float32),
+               jnp.asarray(np.log(pp3), jnp.float32),
+               jnp.asarray(mu3, jnp.float32), jnp.asarray(sg3, jnp.float32))
+    xp, _ = mc_overlap_save(*args_mc, L=8192, H=256, overlaps=True,
+                            block_engine="pallas_ovn")
+    xr3, _ = mc_overlap_save(*args_mc, L=8192, H=256, overlaps=True,
+                             block_engine="ring")
+    record["agreement_mc_pallas_vs_ring_n3c4_2e17"] = float(
+        (np.asarray(xp) == np.asarray(xr3)).mean())
+
+    x4p, _ = ring_overlap_save(
+        jnp.asarray(y[:Tm], jnp.float32), jnp.asarray(
+            np.log(np.array([0.01, 0.005, 0.008, 0.004])), jnp.float32),
+        jnp.asarray(np.concatenate([n3temps, temps[:, :1] * 0.7], axis=1),
+                    jnp.float32), jnp.float32(sigma),
+        L=8192, H=256, overlaps=True, block_engine="pallas_ovn")
+    x4r, _ = ring_overlap_save(
+        jnp.asarray(y[:Tm], jnp.float32), jnp.asarray(
+            np.log(np.array([0.01, 0.005, 0.008, 0.004])), jnp.float32),
+        jnp.asarray(np.concatenate([n3temps, temps[:, :1] * 0.7], axis=1),
+                    jnp.float32), jnp.float32(sigma),
+        L=8192, H=256, overlaps=True, block_engine="ring")
+    record["agreement_n4_pallas_vs_ring_2e17"] = float(
+        (np.asarray(x4p) == np.asarray(x4r)).mean())
+
+    ss3 = build_state_space(3, K, False)
+    tables3 = EMTables.build(ss3)
+    em_args = (args_mc[0], args_mc[1], args_mc[2], args_mc[3], tables3)
+    r_ov = em_step_mc(*em_args, K=K, fb_mode="overlap", block=2048)
+    r_pl = em_step_mc(*em_args, K=K, fb_mode="overlap_pallas", block=2048)
+    record["mcem_pallas_mu_max_abs_diff"] = float(
+        np.abs(np.asarray(r_pl[2]) - np.asarray(r_ov[2])).max())
+    record["mcem_pallas_sigma_rel_diff"] = float(
+        np.abs((np.asarray(r_pl[3]) - np.asarray(r_ov[3]))
+               / np.asarray(r_ov[3])).max())
+    record["mcem_pallas_ll_rel_diff"] = (
+        abs(float(r_pl[4]) - float(r_ov[4])) / abs(float(r_ov[4])))
+
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
