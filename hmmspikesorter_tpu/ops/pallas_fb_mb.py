@@ -656,7 +656,30 @@ def overlap_em_stats_pallas(y, lp, mu, sigma, *, L: int, H: int,
 # moments against each channel's raw samples (yc rows), producing exactly
 # the per-channel sufficient statistics the MC M-step consumes.
 
-VMEM_LIMIT = 64 * 2**20      # raised scoped ceiling (see pallas_viterbi_ovn_mb)
+# raised scoped ceiling + measured live-temporary slop: single-sourced
+# with the decode kernels so the two cannot drift
+from .pallas_viterbi_ovn_mb import VMEM_LIMIT, VMEM_SLOP
+
+
+def overlap_em_mc_vmem_bytes(N: int, K: int, C: int) -> int:
+    """Per-program VMEM estimate for the MC backward kernel (the larger of
+    the two): stream/checkpoint/yc input blocks (double-buffered), the
+    per-channel moment accumulators + output blocks, caches, and the remat
+    alpha slab."""
+    NKP = N * KP
+    ch = _chunk(N)
+    rows = (2 * (ch * NKP + ch + ch * C)       # es/eb/yc in, double-buffered
+            + 2 * (8 + NKP)                    # checkpoint blocks
+            + NKP + 2 * C * NKP                # s0/s1/s2 output blocks
+            + _round_up(2 * C + 2, 8) + 8 + 1 + NKP   # sil/xx/b0 outputs
+            + 2 * NKP + 24                     # beta/em/g caches
+            + NKP + 2 * C * NKP + _round_up(2 * C + 2, 8) + 8   # accumulators
+            + ch + ch * NKP)                   # remat alpha
+    return rows * G * 4
+
+
+def overlap_em_mc_vmem_ok(N: int, K: int, C: int) -> bool:
+    return overlap_em_mc_vmem_bytes(N, K, C) * VMEM_SLOP <= VMEM_LIMIT
 
 
 @partial(jax.jit, static_argnames=("L", "H", "interpret"))

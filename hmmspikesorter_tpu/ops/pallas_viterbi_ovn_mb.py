@@ -83,7 +83,6 @@ NEG = -3.0e38
 G = 128          # blocks per program == VPU lanes
 CH = 16          # window steps per grid chunk
 
-VMEM_BUDGET = 14 * 2**20
 # Scoped-VMEM ceiling requested from Mosaic for the forward kernels. The
 # default scoped limit is 16 MB; v5e cores have more physical VMEM, and the
 # MC front-end's live temporaries measured 18 MB at the production config
@@ -847,9 +846,14 @@ def ovn_mc_decode_pallas_mb(es_win, d_win, lp, c1, c2, *, silent_mask,
     kernel)."""
     B, W = es_win.shape
     N, Km1 = d_win.shape[2], d_win.shape[3]
-    # the MC kernel uses CHM-step chunks; the shared backtrace uses CH-step
-    # chunks — W must satisfy both (the overlap-save drivers already size
-    # W = L + 2H in multiples of max(CH, CHM))
+    # the MC forward uses CHM-step chunks; the shared backtrace uses
+    # CH-step chunks — W must divide both (max(CH, CHM) covers both since
+    # CH % CHM == 0), else the backtrace grid would silently cover only
+    # floor(W / CH) * CH of the W steps
+    step = max(CH, CHM)
+    if W % step != 0:
+        raise ValueError(f"W={W} must be a multiple of {step} "
+                         "(forward CHM chunks AND backtrace CH chunks)")
     flags_g, rings_g, rowcol_g, xT_g = _forward_native_mc(
         es_win, d_win, lp, c1, c2, silent_mask, interpret=interpret)
     labels_g = _backtrace_native(flags_g, rings_g, rowcol_g, xT_g,

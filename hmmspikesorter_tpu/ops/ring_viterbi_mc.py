@@ -375,9 +375,15 @@ def mc_block_decoder(lp, mu, sigmas, *, overlaps: bool, W: int | None = None,
     lp_j = jnp.asarray(lp)
     dtype = lp_j.dtype
     c1 = jnp.asarray(tables.c1, dtype)
-    engine = (resolve_block_engine_mc(block_engine, overlaps, K, N, W)
-              if W is not None else
-              ("ring" if block_engine in ("auto", "pallas") else block_engine))
+    if W is not None:
+        engine = resolve_block_engine_mc(block_engine, overlaps, K, N, W)
+    elif block_engine == "pallas":
+        raise ValueError("block_engine='pallas' needs the window size W "
+                         "to check kernel feasibility — pass W")
+    elif block_engine == "auto":
+        engine = "ring"
+    else:
+        engine = block_engine
     if overlaps and (N >= 3 or engine == "pallas_ovn"):
         name = "ovn" if engine != "pallas_ovn" else "pallas_ovn"
         cx = jnp.asarray(np.stack([tables.c2[p] for p in sorted(tables.c2)]),

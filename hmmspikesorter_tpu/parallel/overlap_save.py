@@ -337,7 +337,9 @@ def resolve_block_engine(block_engine, overlaps, K, N, W):
     from ..ops import pallas_viterbi_ovn_mb as povn
     from ..ops.pallas_viterbi_mb import CH, KP
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from ..utils.platform import is_tpu_backend
+
+    on_tpu = is_tpu_backend()
     if overlaps and N == 2 and K - 1 <= KP and W % CH == 0 and on_tpu:
         return "pallas"
     if (overlaps and N >= 3 and K - 1 <= 64 and W % povn.CH == 0
@@ -577,7 +579,9 @@ def resolve_block_engine_mc(block_engine, overlaps, K, N, W):
         return block_engine
     from ..ops import pallas_viterbi_ovn_mb as povn
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from ..utils.platform import is_tpu_backend
+
+    on_tpu = is_tpu_backend()
     step = max(povn.CH, povn.CHM)
     if (overlaps and N >= 2 and K - 1 <= 64 and W % step == 0
             and on_tpu and povn.ovn_mc_mb_vmem_ok(N, K)):
@@ -617,6 +621,9 @@ def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool,
     K, N, C = np.shape(mu)
     block_engine = resolve_block_engine_mc(block_engine, overlaps, K, N,
                                            L + 2 * H)
+    if block_engine == "pallas_ovn" and not overlaps:
+        raise ValueError("block_engine='pallas_ovn' requires an overlap "
+                         "topology (overlaps=True)")
     tables = MCTables(mu, sigmas)
     es, d = mc_streams(yc, tables)                       # (T,), (T, N, K-1)
     dtype = es.dtype

@@ -401,11 +401,13 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
 
     block = 256
     if fb_mode is None:
-        # serial scans are latency-bound on TPU; block-parallel engines
-        # are wasted FLOPs on CPU (the TPU backend may register under a
-        # plugin name, so test for cpu rather than "tpu"). On TPU the
-        # fused-kernel halo-window engine is ~8x the XLA one at
-        # production T (BENCHMARKS.md); both need at least two windows.
+        # serial scans are latency-bound on accelerators; block-parallel
+        # engines are wasted FLOPs on CPU. The fused Mosaic kernels
+        # lower only on TPU (utils/platform.is_tpu_backend handles
+        # plugin registrations like "axon"); other accelerators get the
+        # XLA overlap engine.
+        from ..utils.platform import is_tpu_backend
+
         if jax.default_backend() == "cpu":
             fb_mode = "ring"
         else:
@@ -415,7 +417,8 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
             Lpk, _ = pallas_em_geometry(K, 2048)
             Hov = max(4 * K, 64)
             Lov = max(2048, 4 * Hov)
-            if K - 1 <= _KP and 0 < N_ <= 8 and len(y) >= 2 * Lpk:
+            if (K - 1 <= _KP and 0 < N_ <= 8 and len(y) >= 2 * Lpk
+                    and is_tpu_backend()):
                 fb_mode = "overlap_pallas"
             elif len(y) >= 2 * Lov:
                 fb_mode = "overlap"

@@ -383,12 +383,18 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
     yc = np.asarray(yc, np.float64)
     T, C = yc.shape
     if fb_mode is None:
+        from ..ops.pallas_fb_mb import overlap_em_mc_vmem_ok
+        from ..utils.platform import is_tpu_backend
+
         H = max(4 * K, 64)
         Lov = max(block, 4 * H)
         long_enough = T >= 2 * (Lov + 2 * H)
         if long_enough and jax.default_backend() != "cpu":
-            # fused kernels when the topology fits them, else XLA windows
-            fb_mode = ("overlap_pallas" if K <= 65 and n_neurons <= 8
+            # fused Mosaic kernels only on a TPU backend AND when the
+            # per-channel accumulators fit VMEM; else XLA halo windows
+            fb_mode = ("overlap_pallas"
+                       if K <= 65 and n_neurons <= 8 and is_tpu_backend()
+                       and overlap_em_mc_vmem_ok(n_neurons, K, C)
                        else "overlap")
         else:
             fb_mode = "gather"
