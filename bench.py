@@ -17,6 +17,7 @@ Prints one JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -106,8 +107,8 @@ def main():
     # to the XLA overlap engine off-TPU), iterations chained into ONE
     # compiled program (em_chain — what train_model runs when no per-iter
     # host output is requested), so the tunnel dispatch is paid once
-    bw_mode = ("overlap_pallas" if jax.default_backend() != "cpu"
-               else "overlap")
+    from hmmspikesorter_tpu.utils.platform import is_tpu_backend
+    bw_mode = "overlap_pallas" if is_tpu_backend() else "overlap"
     bw_block = 2048
     iters = 10
     out = em_chain(y_tr, lp_t, mu_t, sg_t, tables, K=K, n_iters=iters,
@@ -136,8 +137,52 @@ def main():
         bw_baseline_iter_per_s = float("nan")
         bw_vs_baseline = None
 
+    # --- optional multi-channel extras (BENCH_MC=1): two more compiled
+    # programs (~minutes of tunnel compile), so off by default to keep the
+    # round-end bench fast; BENCHMARKS.md carries the measured MC numbers
+    mc_extras = {}
+    if os.environ.get("BENCH_MC") == "1":
+        from hmmspikesorter_tpu.parallel.overlap_save import mc_overlap_save
+        from hmmspikesorter_tpu.train.em_mc import em_chain_mc
+        from hmmspikesorter_tpu.data.synthetic import create_spike_template
+
+        Nm, Cm, Tm = 3, 4, 1 << 19
+        t3 = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                       create_spike_template(K, 2.0, 0.5, 0.3),
+                       create_spike_template(K, 2.5, 0.6, 0.25)], axis=1)
+        rngm = np.random.default_rng(5)
+        mu_mc = (t3[:, :, None] * (0.3 + rngm.random((Nm, Cm)))).astype(
+            np.float32)
+        pp_m = np.array([0.01, 0.005, 0.008])
+        sg_m = (0.25 + 0.1 * rngm.random(Cm)).astype(np.float32)
+        yc = (sg_m * rngm.standard_normal((Tm, Cm))).astype(np.float32)
+        lp_m = np.log(pp_m).astype(np.float32)
+        am = (jnp.asarray(yc), jnp.asarray(lp_m), jnp.asarray(mu_mc),
+              jnp.asarray(sg_m))
+        xm, _ = mc_overlap_save(*am, L=8192, H=256, overlaps=True)
+        np.asarray(xm)
+        t0 = time.perf_counter()
+        xm, _ = mc_overlap_save(*am, L=8192, H=256, overlaps=True)
+        np.asarray(xm)
+        mc_extras["mc_decode_samples_per_s"] = round(
+            Tm / (time.perf_counter() - t0), 1)
+        tbl = EMTables.build(build_state_space(Nm, K, False))
+        o = em_chain_mc(*am, tbl, K=K, n_iters=5,
+                        fb_mode=("overlap_pallas" if is_tpu_backend()
+                                 else "overlap"), block=2048)
+        np.asarray(o[0])
+        t0 = time.perf_counter()
+        o = em_chain_mc(*am, tbl, K=K, n_iters=5,
+                        fb_mode=("overlap_pallas" if is_tpu_backend()
+                                 else "overlap"), block=2048)
+        np.asarray(o[0])
+        mc_extras["mc_bw_iter_per_s"] = round(
+            5 / (time.perf_counter() - t0), 2)
+        mc_extras["mc_config"] = f"N={Nm} C={Cm} K={K} T=2^19"
+
     print(json.dumps({
         "metric": "viterbi_decode_samples_per_s_per_chip",
+        **mc_extras,
         "value": round(tpu_sps, 1),
         "unit": "samples/s",
         "vs_baseline": (round(tpu_sps / cpu_sps, 2)
