@@ -181,12 +181,64 @@ def config5():
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def config6():
+    """Multi-channel family (beyond-reference): joint (T, C) decode via
+    the stream-projected engines (auto Pallas on TPU) + MC Baum-Welch
+    through the fused-kernel engine ladder."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        mc_overlap_save, resolve_block_engine_mc)
+    from hmmspikesorter_tpu.train.em import EMTables
+    from hmmspikesorter_tpu.train.em_mc import em_chain_mc
+    from hmmspikesorter_tpu.utils.platform import is_tpu_backend
+
+    K, sigma, N, C, T = 60, 0.3, 3, 4, 1 << 19
+    pp = [0.01, 0.005, 0.008]
+    y, truth, temps = _mk_signal(T, 0.0, pp, K, n=N)
+    rng = np.random.default_rng(7)
+    mu = (temps[:, :, None] * (0.3 + rng.random((N, C)))).astype(np.float32)
+    sg = (0.25 + 0.1 * rng.random(C)).astype(np.float32)
+    yc = (sg * rng.standard_normal((T, C))).astype(np.float32)
+    for n_ in range(N):
+        k = truth[n_]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n_]
+    am = (jnp.asarray(yc), jnp.asarray(np.log(pp), jnp.float32),
+          jnp.asarray(mu), jnp.asarray(sg))
+
+    eng = resolve_block_engine_mc("auto", True, K, N, 8192 + 512)
+    x, _ = mc_overlap_save(*am, L=8192, H=256, overlaps=True)
+    np.asarray(x)
+    t0 = time.perf_counter()
+    x, _ = mc_overlap_save(*am, L=8192, H=256, overlaps=True)
+    np.asarray(x)
+    dec_s = time.perf_counter() - t0
+
+    tbl = EMTables.build(build_state_space(N, K, False))
+    mode = "overlap_pallas" if is_tpu_backend() else "overlap"
+    iters = 5
+    o = em_chain_mc(*am, tbl, K=K, n_iters=iters, fb_mode=mode, block=2048)
+    np.asarray(o[0])
+    t0 = time.perf_counter()
+    o = em_chain_mc(*am, tbl, K=K, n_iters=iters, fb_mode=mode, block=2048)
+    np.asarray(o[0])
+    return {"config": 6, "channels": C, "n_neurons": N,
+            "decode_engine": eng,
+            "mc_decode_samples_per_s": round(T / dec_s, 1),
+            "mc_bw_engine": mode,
+            "mc_bw_iter_per_s": round(iters / (time.perf_counter() - t0), 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None)
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
     todo = sorted(fns) if args.all else [args.config or 1]
     for c in todo:
         print(json.dumps(fns[c]()), flush=True)
