@@ -1,0 +1,64 @@
+"""Engine auto-selection logic, decoupled from the actual backend by
+monkeypatching utils.platform.is_tpu_backend — the CPU suite otherwise
+never exercises the TPU branches of the resolvers."""
+
+import numpy as np
+import pytest
+
+import hmmspikesorter_tpu.utils.platform as plat
+from hmmspikesorter_tpu.parallel.overlap_save import (
+    resolve_block_engine, resolve_block_engine_mc)
+
+
+@pytest.fixture
+def fake_tpu(monkeypatch):
+    monkeypatch.setattr(plat, "is_tpu_backend", lambda: True)
+
+
+def test_resolver_picks_pallas_family_on_tpu(fake_tpu):
+    W = 8192 + 512
+    assert resolve_block_engine("auto", True, 60, 2, W) == "pallas"
+    assert resolve_block_engine("auto", True, 60, 3, W) == "pallas_ovn"
+    # raised scoped-VMEM ceiling admits N=4 K=60 (validated on v5e)
+    assert resolve_block_engine("auto", True, 60, 4, W) == "pallas_ovn"
+    # pathological pair counts stay on the XLA engine
+    assert resolve_block_engine("auto", True, 60, 8, W) == "ring"
+    # non-overlap topologies have no pallas kernel
+    assert resolve_block_engine("auto", False, 60, 2, W) == "ring"
+
+
+def test_resolver_mc_covers_all_overlap_n(fake_tpu):
+    W = 8192 + 512
+    for n in (2, 3, 4):
+        assert resolve_block_engine_mc("auto", True, 60, n, W) == "pallas_ovn"
+    assert resolve_block_engine_mc("auto", False, 60, 3, W) == "ring"
+    # W must divide both chunk sizes
+    assert resolve_block_engine_mc("auto", True, 60, 3, W + 8) == "ring"
+
+
+def test_resolver_cpu_never_picks_pallas(monkeypatch):
+    monkeypatch.setattr(plat, "is_tpu_backend", lambda: False)
+    W = 8192 + 512
+    assert resolve_block_engine("auto", True, 60, 2, W) == "ring"
+    assert resolve_block_engine_mc("auto", True, 60, 3, W) == "ring"
+    with pytest.raises(ValueError):
+        resolve_block_engine_mc("pallas", True, 60, 3, W)
+
+
+def test_forced_pallas_requires_feasibility(fake_tpu):
+    with pytest.raises(ValueError):
+        # infeasible: W not divisible by the chunk size
+        resolve_block_engine_mc("pallas", True, 60, 3, 100)
+    # explicit concrete engines pass through untouched
+    assert resolve_block_engine("gather", True, 60, 2, 100) == "gather"
+
+
+def test_mc_em_auto_vmem_gate(monkeypatch):
+    """train_model_mc auto-selection: overlap_pallas only when the
+    per-channel accumulators fit VMEM; high channel counts fall back to
+    the XLA overlap engine (review finding)."""
+    from hmmspikesorter_tpu.ops.pallas_fb_mb import overlap_em_mc_vmem_ok
+
+    assert overlap_em_mc_vmem_ok(3, 60, 4)
+    assert overlap_em_mc_vmem_ok(3, 60, 32)
+    assert not overlap_em_mc_vmem_ok(3, 60, 384)
