@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import UNSET, _section, pick
 from ..core.emission import state_means
+from ..utils.logmath import HALF_LOG_2PI
 from ..core.reconstruction import reconstruct_signal
 from ..core.state_space import StateSpace, build_state_space
 from ..core.viterbi import viterbi_decode
@@ -134,6 +135,20 @@ def refit_template_model(model: HMMTemplateModel, y, nsteps: int,
                             allow_overlaps=model.allow_overlaps)
 
 
+def _all_silent_model(templates, y, sigmas) -> HMMSpikingModel:
+    """Degenerate pure-noise decode for n_neurons == 0 (training can prune
+    every template; the reference CLI returns a null model on no
+    spikeForms, hmmsort.jl:40-45). With no onsets the silent self-loop has
+    probability 1, so the reference's cumulative-score ll reduces to the
+    sum of silent emissions (silent mean = 0 with no templates)."""
+    y2 = np.atleast_2d(np.asarray(y, np.float64).T).T        # (T, C) view
+    sg = np.atleast_1d(np.asarray(sigmas, np.float64))
+    ll = float(np.sum(-HALF_LOG_2PI - np.log(sg))
+               * len(y2) - np.sum((y2 * y2) / (2.0 * sg * sg)))
+    return HMMSpikingModel(templates, np.zeros(len(y2), np.int32), ll,
+                           np.asarray(y))
+
+
 def fit_spiking_model(
     templates: HMMTemplateModel,
     y,
@@ -157,6 +172,8 @@ def fit_spiking_model(
     dc = _section(config, "decode")
     chunksize = pick(chunksize, dc("chunksize"), None)
     y = np.asarray(y, dtype=np.float64)
+    if templates.n_neurons == 0:
+        return _all_silent_model(templates, y, templates.sigma)
     decode = _decoder_for(templates)
     if chunksize is None or chunksize >= len(y):
         x, ll = decode(y)
@@ -286,6 +303,8 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     block_engine = arg(block_engine, "block_engine", "auto")
 
     y = np.asarray(y, dtype=np.float64)
+    if templates.n_neurons == 0:
+        return _all_silent_model(templates, y, templates.sigma)
     if H is None:
         H = max(4 * templates.K, 64)
     if streaming is None:

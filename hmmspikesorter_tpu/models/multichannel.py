@@ -112,6 +112,10 @@ def fit_spiking_model_mc(templates: HMMTemplateModelMC, yc,
     yc = np.asarray(yc, dtype=np.float64)
     if yc.ndim != 2 or yc.shape[1] != templates.n_channels:
         raise ValueError(f"yc must be (T, {templates.n_channels})")
+    if templates.n_neurons == 0:
+        from .api import _all_silent_model
+
+        return _all_silent_model(templates, yc, templates.sigmas)
     decode = _mc_decoder_for(templates)
     if chunksize is None or chunksize >= len(yc):
         x, ll = decode(yc)
@@ -144,6 +148,10 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
     yc = np.asarray(yc, dtype=np.float64)
     if yc.ndim != 2 or yc.shape[1] != templates.n_channels:
         raise ValueError(f"yc must be (T, {templates.n_channels})")
+    if templates.n_neurons == 0:
+        from .api import _all_silent_model
+
+        return _all_silent_model(templates, yc, templates.sigmas)
     if H is None:
         H = max(4 * templates.K, 64)
     if len(yc) < L + 2 * H:

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.emission import emission_logprob, state_means
-from ..train.em import EMTables, edge_weights_from_structure
+from ..train.em import (EMTables, edge_weights_from_structure,
+                        occ_divide)
 from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
 from .block_fb import _lse_matvec_left, _lse_matvec_right
 
@@ -208,7 +209,7 @@ def _em_one_channel(y_loc, step_valid, lp, mu, sigma, tables: EMTables, *,
     gw = jnp.exp(log_gamma[:, 1 : 1 + N * (K - 1)])       # (Ts, N*(K-1))
     num = jax.lax.psum(y_loc @ gw, time_axis)
     den = jax.lax.psum(jnp.sum(gw, axis=0), time_axis)
-    body = (num / den).reshape(N, K - 1).T
+    body = occ_divide(num, den).reshape(N, K - 1).T
     new_mu = jnp.concatenate([jnp.zeros((1, N), dtype), body], axis=0)
 
     # ---- global sigma (baumwelch.jl:294-307)
@@ -442,7 +443,8 @@ def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
     M = jax.lax.psum(Pm @ gamma, time_axis)                # (3, S)
     G1, Gy, Gy2 = M[0], M[1], M[2]
     nbody = N * (K - 1)
-    body = (Gy[1 : 1 + nbody] / G1[1 : 1 + nbody]).reshape(N, K - 1).T
+    body = occ_divide(Gy[1 : 1 + nbody],
+                      G1[1 : 1 + nbody]).reshape(N, K - 1).T
     new_mu = jnp.concatenate([jnp.zeros((1, N), dtype), body], axis=0)
     smu2 = state_means(tables.states, new_mu)
     x2 = jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy) + jnp.dot(smu2 * smu2, G1)
@@ -637,7 +639,8 @@ def _em_mc_overlap_body(yc_loc, lp, mu, sigmas, *, tables: EMTables,
     M = jax.lax.psum(Pm @ gamma, time_axis)                 # (1+2C, S)
     G1, Gy, Gy2 = M[0], M[1 : 1 + C], M[1 + C :]
     nbody = N * Km1
-    bodym = (Gy[:, 1 : 1 + nbody] / G1[None, 1 : 1 + nbody])
+    bodym = occ_divide(Gy[:, 1 : 1 + nbody],
+                       G1[None, 1 : 1 + nbody])
     bodym = bodym.reshape(C, N, Km1).transpose(2, 1, 0)     # (Km1, N, C)
     new_mu = jnp.concatenate([jnp.zeros((1, N, C), dtype), bodym], axis=0)
     smu_c = jnp.concatenate(

@@ -45,6 +45,23 @@ from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
 from . import template_ops
 
 
+def occ_divide(num, den):
+    """Occupancy-weighted mean num/den with zero-occupancy columns mapped
+    to 0 instead of NaN.
+
+    A dying template's per-state occupancies underflow to exactly 0 in
+    f32 (exp cuts off near -87, vs -745 in the reference's f64 regime)
+    long before its onset-lp reaches the -70 pruning threshold; the
+    resulting 0/0 template means would poison every subsequent EM
+    iteration (observed: f32 MC training nan at iter 5 while f64
+    converges). Zero evidence -> zero mean: the dead template carries no
+    energy and remove_small prunes it, which is where the reference's
+    protocol retires dead templates anyway (src/baumwelch.jl:423-432).
+    """
+    safe = jnp.where(den > 0, den, jnp.ones_like(den))
+    return jnp.where(den > 0, num / safe, jnp.zeros_like(num * safe))
+
+
 def edge_weights_from_structure(lp, n_silent, onsets, valid):
     """Edge log-probs from structural tables, differentiably in lp.
 
@@ -271,7 +288,8 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     # non-overlap layout: state 1 + n*(K-1) + (k-1) == neuron n at ring pos
     # k, so columns 1..1+N*(K-1) of the moment matrix map to (n, k).
     nbody = N * (K - 1)
-    body = (Gy[1 : 1 + nbody] / G1[1 : 1 + nbody]).reshape(N, K - 1).T
+    body = occ_divide(Gy[1 : 1 + nbody],
+                      G1[1 : 1 + nbody]).reshape(N, K - 1).T
     new_mu = jnp.concatenate([jnp.zeros((1, N), mu.dtype), body], axis=0)
 
     # --- global sigma (baumwelch.jl:294-307) from the same moments:
@@ -351,7 +369,7 @@ def _em_step_overlap_pallas(y, lp, mu, sigma, tables: EMTables, *, K: int,
 
     # template update over single-active states (body layout is n-major,
     # matching columns 1..1+N*(K-1) of the flat state order)
-    body = (Gy[1:] / G1[1:]).reshape(N, K - 1).T
+    body = occ_divide(Gy[1:], G1[1:]).reshape(N, K - 1).T
     new_mu = jnp.concatenate(
         [jnp.zeros((1, N), jnp.float32), body], axis=0)
 

@@ -37,7 +37,8 @@ import numpy as np
 from ..core.state_space import build_state_space
 from ..utils.logmath import HALF_LOG_2PI, logsumexp_rows
 from .em import (EMTables, _backward_beta, _forward_alpha,
-                 edge_weights_from_structure, init_templates)
+                 edge_weights_from_structure, init_templates,
+                 occ_divide)
 
 
 def _mc_streams_dense(yc, mu, sigmas):
@@ -111,7 +112,8 @@ def _em_step_overlap_pallas_mc(yc, lp, mu, sigmas, tables: EMTables, *,
 
     # per-channel template update over single-active states
     nbody = N * (K - 1)
-    body = (Gy[:, 1:] / G1[None, 1:]).reshape(C, N, K - 1).transpose(2, 1, 0)
+    body = occ_divide(Gy[:, 1:], G1[None, 1:]).reshape(
+        C, N, K - 1).transpose(2, 1, 0)
     new_mu = jnp.concatenate(
         [jnp.zeros((1, N, C), jnp.float32), body], axis=0)    # (K, N, C)
 
@@ -228,7 +230,8 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
 
     # --- per-channel template update over single-active states
     nbody = N * (K - 1)
-    body = (Gy[:, 1 : 1 + nbody] / G1[None, 1 : 1 + nbody])   # (C, N*(K-1))
+    body = occ_divide(Gy[:, 1 : 1 + nbody],
+                      G1[None, 1 : 1 + nbody])  # (C, N*(K-1))
     body = body.reshape(C, N, K - 1).transpose(2, 1, 0)        # (K-1, N, C)
     new_mu = jnp.concatenate(
         [jnp.zeros((1, N, C), dtype), body], axis=0)           # (K, N, C)

@@ -178,7 +178,9 @@ def streaming_em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
 
     new_lp = (out["xx"] - out["bb"])[1:]
     new_pi = out["pi"]
-    body = (out["num"] / out["den"]).reshape(N, K - 1).T
+    from .em import occ_divide
+
+    body = occ_divide(out["num"], out["den"]).reshape(N, K - 1).T
     new_mu = jnp.concatenate([jnp.zeros((1, N), dtype), body], axis=0)
     smu2 = state_means(tables.states, new_mu)
     x2 = (jnp.sum(out["Gy2"]) - 2.0 * jnp.dot(smu2, out["Gy"])

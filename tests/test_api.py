@@ -229,3 +229,40 @@ def test_fit_spiking_models_fast_batched_matches_per_channel():
         assert batch[c].ll == pytest.approx(single.ll, rel=1e-12)
         np.testing.assert_array_equal(np.asarray(batch[c].seam_ok),
                                       np.asarray(single.seam_ok))
+
+
+def test_decode_with_zero_templates_is_all_silent():
+    """Training can prune every template (the reference CLI's no-spikeForms
+    analog, hmmsort.jl:40-45): every decode path must return the pure-noise
+    model — all-silent labels and the silent-emission ll — instead of a
+    zero-size-reduction crash."""
+    import numpy as np
+    from hmmspikesorter_tpu.models.api import (HMMTemplateModel,
+                                               fit_spiking_model,
+                                               fit_spiking_model_fast)
+    from hmmspikesorter_tpu.models.multichannel import (
+        HMMTemplateModelMC, fit_spiking_model_mc, fit_spiking_model_mc_fast)
+    from hmmspikesorter_tpu.utils.logmath import HALF_LOG_2PI
+
+    rng = np.random.default_rng(4)
+    sigma, T = 0.3, 3000
+    y = rng.normal(0.0, sigma, T)
+    tm = HMMTemplateModel(mu=np.zeros((60, 0)), sigma=sigma,
+                          lp=np.zeros(0), allow_overlaps=False)
+    want = float(np.sum(-HALF_LOG_2PI - np.log(sigma)
+                        - (y * y) / (2 * sigma * sigma)))
+    for fn in (fit_spiking_model, fit_spiking_model_fast):
+        m = fn(tm, y)
+        assert not m.ml_seq.any()
+        assert float(m.ll) == pytest.approx(want, rel=1e-12)
+
+    sg = np.array([0.3, 0.25])
+    yc = sg * rng.standard_normal((T, 2))
+    tmc = HMMTemplateModelMC(mu=np.zeros((60, 0, 2)), sigmas=sg,
+                             lp=np.zeros(0), allow_overlaps=False)
+    want_mc = float(np.sum(-HALF_LOG_2PI - np.log(sg))
+                    * T - np.sum((yc * yc) / (2 * sg * sg)))
+    for fn in (fit_spiking_model_mc, fit_spiking_model_mc_fast):
+        m = fn(tmc, yc)
+        assert not m.ml_seq.any()
+        assert float(m.ll) == pytest.approx(want_mc, rel=1e-12)

@@ -198,3 +198,26 @@ def test_em_chain_mc_overlap_mode_runs():
     np.testing.assert_allclose(np.asarray(lls_o), np.asarray(lls_g),
                                rtol=1e-9)
     assert np.all(np.diff(np.asarray(lls_o)) > -1e-6)
+
+
+def test_f32_training_survives_dying_templates():
+    """Over-provisioned init (4 templates, 2 true cells): dying templates'
+    occupancies underflow to exactly 0 in f32 long before the -70 pruning
+    threshold; the occupancy-guarded M-step (train/em.occ_divide) must
+    keep the iteration finite and converge, instead of 0/0 template means
+    poisoning the chain (observed: nan/-inf from iteration 5 pre-guard)."""
+    from hmmspikesorter_tpu.train.em_mc import train_model_mc
+
+    K, N, C, T = 12, 2, 2, 12000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.2, 0.5, 0.3)], axis=1)
+    rng = np.random.default_rng(2)
+    mu = temps[:, :, None] * (0.4 + rng.random((N, C)))
+    sigmas = np.array([0.3, 0.26])
+    yc, _ = _mc_signal(T, mu, sigmas, np.log([0.01, 0.006]), seed=8)
+    model, pi, lls = train_model_mc(yc, n_neurons=4, K=K, nsteps=8,
+                                    dtype=jnp.float32, fb_mode="gather",
+                                    rng=np.random.default_rng(3))
+    assert np.all(np.isfinite(np.asarray(lls)))
+    assert np.all(np.isfinite(np.asarray(model.sigmas)))
+    assert 1 <= model.mu.shape[1] <= 3

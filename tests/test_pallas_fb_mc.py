@@ -50,7 +50,8 @@ def _compare(ref, out, ll_rel=1e-5):
                                        err_msg=name)
 
 
-@pytest.mark.parametrize("N,K,C,T", [(2, 16, 3, 6000), (3, 16, 2, 9000)])
+@pytest.mark.parametrize("N,K,C,T", [(2, 16, 3, 6000), (3, 16, 2, 9000),
+                                     (4, 12, 2, 9000)])   # N=4: ch=16 path
 def test_pallas_mc_em_matches_overlap_engine(N, K, C, T):
     block = 1024
     L, H = pallas_em_geometry(K, block)
