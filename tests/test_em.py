@@ -234,3 +234,23 @@ def test_em_chain_matches_sequential_steps():
     np.testing.assert_array_equal(np.asarray(cpi), np.asarray(pi))
     assert float(cs) == float(s)
     np.testing.assert_allclose(np.asarray(clls), lls, rtol=0)
+
+
+def test_f32_training_survives_dying_templates_single_channel():
+    """Single-channel mirror of the MC f32 regression: over-provisioned
+    init, dying templates' occupancies underflow to 0 in f32 — the
+    occ_divide guard must keep every iteration finite."""
+    import jax.numpy as jnp
+    from hmmspikesorter_tpu.train.em import train_model
+
+    K, T = 12, 12000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.2, 0.5, 0.3)], axis=1)
+    rng = np.random.default_rng(6)
+    y, _ = create_signal(T, 0.3, np.array([0.01, 0.006]), temps, rng=rng)
+    res = train_model(y.astype(np.float32), n_neurons=4, K=K, nsteps=8,
+                      dtype=jnp.float32, fb_mode="gather",
+                      rng=np.random.default_rng(3))
+    assert np.all(np.isfinite(np.asarray(res.ll_history)))
+    assert np.isfinite(res.sigma)
+    assert 1 <= res.n_neurons <= 3
