@@ -133,6 +133,31 @@ def main():
              "efficiency": round(base_ov / t_ov / D, 3)}
         print(json.dumps(r), flush=True)
         results.append(r)
+
+        # joint multi-channel EM, time-sharded (one model over C channels)
+        from hmmspikesorter_tpu.parallel.sharded_em import sharded_em_step_mc
+
+        C = 4
+        rng_mc = np.random.default_rng(7)
+        yc = (y[:, None] * (0.3 + rng_mc.random(C))[None, :]
+              + 0.1 * rng_mc.standard_normal((T, C))).astype(np.float32)
+        mu_mc = np.repeat(temps[:, :, None], C, axis=2).astype(np.float32)
+        sg_mc = np.full(C, sigma, np.float32)
+
+        def em_mc():
+            out = sharded_em_step_mc(yc, lp, mu_mc, sg_mc, tables, mesh,
+                                     K=K, L=512, H=240, time_axis="time")
+            return np.asarray(out[0])
+
+        t_mc = _bench(em_mc)
+        if D == 1:
+            base_mc = t_mc
+        r = {"phase": "sharded_em_mc", "D": D, "T": T, "C": C, "L": 512,
+             "H": 240, "wall_s": round(t_mc, 4),
+             "speedup": round(base_mc / t_mc, 3),
+             "efficiency": round(base_mc / t_mc / D, 3)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
     return results
 
 
