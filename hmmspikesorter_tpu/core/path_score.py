@@ -49,7 +49,8 @@ def path_transition_weights(pos_from, pos_to, lp, K: int) -> np.ndarray:
     Returns (M,) summed per-neuron weights (-inf where a move is invalid).
     """
     lp = np.asarray(lp, np.float64)
-    lpz = np.log1p(-np.exp(lp.sum()))
+    # N == 0: no onsets exist, the silent self-loop has probability 1
+    lpz = np.log1p(-np.exp(lp.sum())) if lp.size else 0.0
     p, q = pos_from, pos_to
     stay = (p == 0) & (q == 0)
     onset = (p == 0) & (q == 1)

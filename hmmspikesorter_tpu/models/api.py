@@ -22,7 +22,6 @@ import numpy as np
 
 from ..config import UNSET, _section, pick
 from ..core.emission import state_means
-from ..utils.logmath import HALF_LOG_2PI
 from ..core.reconstruction import reconstruct_signal
 from ..core.state_space import StateSpace, build_state_space
 from ..core.viterbi import viterbi_decode
@@ -138,15 +137,27 @@ def refit_template_model(model: HMMTemplateModel, y, nsteps: int,
 def _all_silent_model(templates, y, sigmas) -> HMMSpikingModel:
     """Degenerate pure-noise decode for n_neurons == 0 (training can prune
     every template; the reference CLI returns a null model on no
-    spikeForms, hmmsort.jl:40-45). With no onsets the silent self-loop has
-    probability 1, so the reference's cumulative-score ll reduces to the
-    sum of silent emissions (silent mean = 0 with no templates)."""
-    y2 = np.atleast_2d(np.asarray(y, np.float64).T).T        # (T, C) view
-    sg = np.atleast_1d(np.asarray(sigmas, np.float64))
-    ll = float(np.sum(-HALF_LOG_2PI - np.log(sg))
-               * len(y2) - np.sum((y2 * y2) / (2.0 * sg * sg)))
-    return HMMSpikingModel(templates, np.zeros(len(y2), np.int32), ll,
-                           np.asarray(y))
+    spikeForms, hmmsort.jl:40-45). The decode is all-silent and ll keeps
+    the reference cumulative-score contract (viterbi.jl:92-96) via the
+    telescoped path score — the same formula every other decode path
+    reports, so bic()/ll comparisons against N >= 1 models stay on one
+    scale."""
+    from ..core.path_score import path_cumulative_ll, path_cumulative_ll_mc
+
+    y = np.asarray(y)
+    x = np.zeros(len(y), np.int32)
+    states = templates.state_space.states
+    if y.ndim == 2:
+        ll = path_cumulative_ll_mc(y, x, states, templates.mu, sigmas,
+                                   templates.lp)
+    else:
+        ll = path_cumulative_ll(y, x, states, templates.mu, float(sigmas),
+                                templates.lp)
+    model = HMMSpikingModel(templates, x, float(ll), y)
+    # the fast paths set these on every other return; keep the contract
+    model.seam_ok = np.ones(0, bool)
+    model.seams_repaired = 0
+    return model
 
 
 def fit_spiking_model(

@@ -666,6 +666,8 @@ def overlap_em_mc_vmem_bytes(N: int, K: int, C: int) -> int:
     the two): stream/checkpoint/yc input blocks (double-buffered), the
     per-channel moment accumulators + output blocks, caches, and the remat
     alpha slab."""
+    if K - 1 > KP:
+        raise ValueError(f"pallas EM kernel supports K <= {KP + 1}")
     NKP = N * KP
     ch = _chunk(N)
     rows = (2 * (ch * NKP + ch + ch * C)       # es/eb/yc in, double-buffered
@@ -678,8 +680,13 @@ def overlap_em_mc_vmem_bytes(N: int, K: int, C: int) -> int:
     return rows * G * 4
 
 
-def overlap_em_mc_vmem_ok(N: int, K: int, C: int) -> bool:
-    return overlap_em_mc_vmem_bytes(N, K, C) * VMEM_SLOP <= VMEM_LIMIT
+def overlap_em_mc_vmem_ok(N: int, K: int, C: int,
+                          ceiling: int | None = None) -> bool:
+    if ceiling is None:
+        from .pallas_viterbi_ovn_mb import _gate_ceiling
+
+        ceiling = _gate_ceiling()
+    return overlap_em_mc_vmem_bytes(N, K, C) * VMEM_SLOP <= ceiling
 
 
 @partial(jax.jit, static_argnames=("L", "H", "interpret"))

@@ -88,7 +88,19 @@ CH = 16          # window steps per grid chunk
 # MC front-end's live temporaries measured 18 MB at the production config
 # (N=3, K=60) — raising the cap is how Mosaic sanctions that. The request
 # does not reserve memory; it only widens the compile-time stack check.
+# VMEM_LIMIT is the validated v5e value used at kernel-build time; the
+# auto-selection gates consult the per-device-kind ceiling
+# (utils/platform.tpu_vmem_ceiling_bytes) so cores with ~16 MB physical
+# VMEM keep falling back to the XLA engines.
 VMEM_LIMIT = 64 * 2**20
+
+
+def _gate_ceiling() -> int:
+    from ..utils.platform import tpu_vmem_ceiling_bytes
+
+    return min(VMEM_LIMIT, tpu_vmem_ceiling_bytes())
+
+
 # Measured actual/estimated scoped-usage ratio (18.0 MB actual vs 12.9 MB
 # estimated for MC N=3 K=60): Mosaic keeps more grid temporaries live than
 # the two the estimators count. Gates scale estimates by this before
@@ -132,8 +144,10 @@ def ovn_mb_vmem_bytes(N: int, K: int) -> int:
     return (P + 2) * grid + N * KP * G * 4 + out + 3 * N * KP * G * 4
 
 
-def ovn_mb_vmem_ok(N: int, K: int) -> bool:
-    return ovn_mb_vmem_bytes(N, K) * VMEM_SLOP <= VMEM_LIMIT
+def ovn_mb_vmem_ok(N: int, K: int, ceiling: int | None = None) -> bool:
+    if ceiling is None:
+        ceiling = _gate_ceiling()
+    return ovn_mb_vmem_bytes(N, K) * VMEM_SLOP <= ceiling
 
 
 def _first_max(cands):
@@ -695,7 +709,7 @@ def ovn_decode_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
 # (ops/ring_viterbi_mc.py) and labels bit-match them: eb = (es + d) - c1,
 # ep[q] = ((es + d_i) + d_j) - c2[q], identical float association.
 # The static c2 table is stored lane-minor (P*KP, KP, 1) and splat across
-# lanes in-kernel (a (P*KP, KP, G) copy would be 12.6 MB of VMEM at N=3).
+# lanes in-kernel (a (P*KP, KP, G) copy would be 6.3 MB of VMEM at N=3).
 
 CHM = 8          # MC window steps per grid chunk (d slabs are NR rows/step)
 
@@ -712,8 +726,10 @@ def ovn_mc_mb_vmem_bytes(N: int, K: int) -> int:
     return (P + 2) * grid + NR * G * 4 + d_in + out + 2 * NR * G * 4
 
 
-def ovn_mc_mb_vmem_ok(N: int, K: int) -> bool:
-    return ovn_mc_mb_vmem_bytes(N, K) * VMEM_SLOP <= VMEM_LIMIT
+def ovn_mc_mb_vmem_ok(N: int, K: int, ceiling: int | None = None) -> bool:
+    if ceiling is None:
+        ceiling = _gate_ceiling()
+    return ovn_mc_mb_vmem_bytes(N, K) * VMEM_SLOP <= ceiling
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -457,8 +457,8 @@ def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
 
 
 def sharded_em_step_mc(yc, lp, mu, sigmas, tables: EMTables, mesh: Mesh, *,
-                       K: int, L: int = 256, time_axis: str = "time",
-                       H: int | None = None):
+                       K: int, L: int | None = None,
+                       time_axis: str = "time", H: int | None = None):
     """One multi-channel EM step, time-sharded (beyond-reference: the
     reference is single-threaded AND channel-1-only).
 
@@ -480,6 +480,10 @@ def sharded_em_step_mc(yc, lp, mu, sigmas, tables: EMTables, mesh: Mesh, *,
     Dv = mesh.shape[time_axis]
     if H is None:
         H = max(4 * K, 64)
+    if L is None:
+        # default window sized to the resolved halo so L >= 2H holds at
+        # any K (L=256 would be unusable at the production K=60)
+        L = max(256, 4 * H)
     Ts = T // Dv
     if T % (Dv * L) != 0:
         raise ValueError(f"T={T} must be a multiple of Dv*L={Dv * L}")

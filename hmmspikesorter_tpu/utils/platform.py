@@ -22,3 +22,21 @@ def is_tpu_backend() -> bool:
     name = (getattr(dev, "platform", "") or "").lower()
     kind = (getattr(dev, "device_kind", "") or "").lower()
     return "tpu" in name or "tpu" in kind
+
+
+def tpu_vmem_ceiling_bytes() -> int:
+    """Scoped-VMEM ceiling to request from Mosaic on this backend.
+
+    The 18 MB MC-decode live set and the N=4 K=60 pair grids were
+    validated against a raised 64 MB ceiling on v5e; older cores with
+    ~16 MB physical VMEM must keep Mosaic's conservative default so the
+    engine gates fall back to the XLA engines instead of auto-selecting
+    a kernel that fails scoped allocation at compile.
+    """
+    try:
+        kind = (getattr(jax.devices()[0], "device_kind", "") or "").lower()
+    except Exception:
+        kind = ""
+    if any(t in kind for t in ("v5", "v6", "v4")):
+        return 64 * 2**20
+    return 16 * 2**20

@@ -242,27 +242,33 @@ def test_decode_with_zero_templates_is_all_silent():
                                                fit_spiking_model_fast)
     from hmmspikesorter_tpu.models.multichannel import (
         HMMTemplateModelMC, fit_spiking_model_mc, fit_spiking_model_mc_fast)
-    from hmmspikesorter_tpu.utils.logmath import HALF_LOG_2PI
+    from hmmspikesorter_tpu.core.path_score import (path_cumulative_ll,
+                                                    path_cumulative_ll_mc)
 
     rng = np.random.default_rng(4)
     sigma, T = 0.3, 3000
     y = rng.normal(0.0, sigma, T)
     tm = HMMTemplateModel(mu=np.zeros((60, 0)), sigma=sigma,
                           lp=np.zeros(0), allow_overlaps=False)
-    want = float(np.sum(-HALF_LOG_2PI - np.log(sigma)
-                        - (y * y) / (2 * sigma * sigma)))
+    # ll keeps the reference cumulative-score contract (same scale as
+    # every N >= 1 decode, so bic() comparisons stay meaningful)
+    want = path_cumulative_ll(y, np.zeros(T, np.int64),
+                              tm.state_space.states, tm.mu, sigma, tm.lp)
     for fn in (fit_spiking_model, fit_spiking_model_fast):
         m = fn(tm, y)
         assert not m.ml_seq.any()
         assert float(m.ll) == pytest.approx(want, rel=1e-12)
+        assert m.seams_repaired == 0 and m.seam_ok.size == 0
 
     sg = np.array([0.3, 0.25])
     yc = sg * rng.standard_normal((T, 2))
     tmc = HMMTemplateModelMC(mu=np.zeros((60, 0, 2)), sigmas=sg,
                              lp=np.zeros(0), allow_overlaps=False)
-    want_mc = float(np.sum(-HALF_LOG_2PI - np.log(sg))
-                    * T - np.sum((yc * yc) / (2 * sg * sg)))
+    want_mc = path_cumulative_ll_mc(yc, np.zeros(T, np.int64),
+                                    tmc.state_space.states, tmc.mu, sg,
+                                    tmc.lp)
     for fn in (fit_spiking_model_mc, fit_spiking_model_mc_fast):
         m = fn(tmc, yc)
         assert not m.ml_seq.any()
         assert float(m.ll) == pytest.approx(want_mc, rel=1e-12)
+        assert m.seams_repaired == 0 and m.seam_ok.size == 0

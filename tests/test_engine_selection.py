@@ -13,6 +13,9 @@ from hmmspikesorter_tpu.parallel.overlap_save import (
 @pytest.fixture
 def fake_tpu(monkeypatch):
     monkeypatch.setattr(plat, "is_tpu_backend", lambda: True)
+    # v5e-class core: the raised scoped-VMEM ceiling applies
+    monkeypatch.setattr(plat, "tpu_vmem_ceiling_bytes",
+                        lambda: 64 * 2**20)
 
 
 def test_resolver_picks_pallas_family_on_tpu(fake_tpu):
@@ -59,6 +62,7 @@ def test_mc_em_auto_vmem_gate(monkeypatch):
     the XLA overlap engine (review finding)."""
     from hmmspikesorter_tpu.ops.pallas_fb_mb import overlap_em_mc_vmem_ok
 
-    assert overlap_em_mc_vmem_ok(3, 60, 4)
-    assert overlap_em_mc_vmem_ok(3, 60, 32)
-    assert not overlap_em_mc_vmem_ok(3, 60, 384)
+    v5e = 64 * 2**20
+    assert overlap_em_mc_vmem_ok(3, 60, 4, ceiling=v5e)
+    assert overlap_em_mc_vmem_ok(3, 60, 32, ceiling=v5e)
+    assert not overlap_em_mc_vmem_ok(3, 60, 384, ceiling=v5e)

@@ -75,9 +75,13 @@ def test_ovn_mb_multi_chunk_n4():
 
 
 def test_ovn_mb_vmem_gate():
-    # production K=60: N=3 and N=4 fit under the raised scoped-VMEM
-    # ceiling (vmem_limit_bytes — both validated bit-exact on v5e);
-    # pathological pair counts are still refused
-    assert ovn_mb_vmem_ok(3, 60)
-    assert ovn_mb_vmem_ok(4, 60)
-    assert not ovn_mb_vmem_ok(8, 60)
+    # production K=60 against the raised (v5e-validated) 64 MB ceiling:
+    # N=3 and N=4 fit (both bit-exact on hardware); pathological pair
+    # counts are refused. Against a conservative 16 MB core only N=3
+    # single-channel fits (the pre-raise behavior).
+    v5e = 64 * 2**20
+    assert ovn_mb_vmem_ok(3, 60, ceiling=v5e)
+    assert ovn_mb_vmem_ok(4, 60, ceiling=v5e)
+    assert not ovn_mb_vmem_ok(8, 60, ceiling=v5e)
+    assert ovn_mb_vmem_ok(3, 60, ceiling=16 * 2**20)
+    assert not ovn_mb_vmem_ok(4, 60, ceiling=16 * 2**20)
