@@ -658,7 +658,7 @@ def overlap_em_stats_pallas(y, lp, mu, sigma, *, L: int, H: int,
 
 # raised scoped ceiling + measured live-temporary slop: single-sourced
 # with the decode kernels so the two cannot drift
-from .pallas_viterbi_ovn_mb import VMEM_LIMIT, VMEM_SLOP
+from .pallas_viterbi_ovn_mb import VMEM_LIMIT, VMEM_SLOP_MC
 
 
 def overlap_em_mc_vmem_bytes(N: int, K: int, C: int) -> int:
@@ -686,7 +686,7 @@ def overlap_em_mc_vmem_ok(N: int, K: int, C: int,
         from .pallas_viterbi_ovn_mb import _gate_ceiling
 
         ceiling = _gate_ceiling()
-    return overlap_em_mc_vmem_bytes(N, K, C) * VMEM_SLOP <= ceiling
+    return overlap_em_mc_vmem_bytes(N, K, C) * VMEM_SLOP_MC <= ceiling
 
 
 @partial(jax.jit, static_argnames=("L", "H", "interpret"))

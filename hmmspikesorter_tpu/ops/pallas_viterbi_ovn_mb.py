@@ -101,11 +101,14 @@ def _gate_ceiling() -> int:
     return min(VMEM_LIMIT, tpu_vmem_ceiling_bytes())
 
 
-# Measured actual/estimated scoped-usage ratio (18.0 MB actual vs 12.9 MB
-# estimated for MC N=3 K=60): Mosaic keeps more grid temporaries live than
-# the two the estimators count. Gates scale estimates by this before
-# comparing against the ceiling.
-VMEM_SLOP = 1.5
+# Measured actual/estimated scoped-usage ratios: Mosaic keeps more grid
+# temporaries live than the two the estimators count. Single-channel: the
+# N=3 K=60 kernel compiled under the 16 MB default against a 12.1 MB
+# estimate (ratio <= 1.32). MC: 18.0 MB actual vs 12.9 MB estimated
+# (ratio 1.4). Gates scale estimates by these before comparing against
+# the ceiling.
+VMEM_SLOP = 1.3          # single-channel kernel
+VMEM_SLOP_MC = 1.5       # MC front-end (larger live emission set)
 
 
 def _round_up(x, m):
@@ -729,7 +732,7 @@ def ovn_mc_mb_vmem_bytes(N: int, K: int) -> int:
 def ovn_mc_mb_vmem_ok(N: int, K: int, ceiling: int | None = None) -> bool:
     if ceiling is None:
         ceiling = _gate_ceiling()
-    return ovn_mc_mb_vmem_bytes(N, K) * VMEM_SLOP <= ceiling
+    return ovn_mc_mb_vmem_bytes(N, K) * VMEM_SLOP_MC <= ceiling
 
 
 @partial(jax.jit, static_argnames=("interpret",))
