@@ -355,3 +355,40 @@ def test_mc_fast_auto_streams_past_block_cap(monkeypatch):
     one = fit_spiking_model_mc_fast(tm, yc, L=512, H=64, streaming=False)
     np.testing.assert_array_equal(np.asarray(auto.ml_seq),
                                   np.asarray(one.ml_seq))
+
+
+def test_mc_engines_randomized_property_sweep():
+    """Randomized topology sweep (the MC mirror of test_path_score's
+    property check): random N/K/C/overlaps/rates/noise/gains — the
+    structured MC engines must bit-match the generic dense decoder and
+    agree on ll, on every draw."""
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        N = int(rng.integers(2, 5))
+        K = int(rng.integers(5, 11))
+        C = int(rng.integers(1, 5))
+        overlaps = bool(rng.integers(0, 2))
+        T = int(rng.integers(150, 400))
+        mu, sigmas, lp = _mk_model(K, N, C, seed=1000 + trial,
+                                   scale=float(0.5 + rng.random()))
+        yc, _ = _mk_signal(T, mu, sigmas, lp, seed=2000 + trial)
+        ss = build_state_space(N, K, overlaps)
+        smc = state_means_mc(jnp.asarray(ss.states), jnp.asarray(mu))
+        em = emission_logprob_mc(jnp.asarray(yc), smc, jnp.asarray(sigmas))
+        in_idx, in_w = ss.in_table(lp)
+        xg, llg = viterbi_decode_em(em, jnp.asarray(in_idx),
+                                    jnp.asarray(in_w))
+        if not overlaps:
+            engines = [ring_viterbi_nov_mc]
+        elif N == 2:
+            engines = [ring_viterbi_ov2_mc, ring_viterbi_ovn_mc]
+        else:
+            engines = [ring_viterbi_ovn_mc]
+        for engine in engines:
+            xr, llr = engine(yc, lp, mu, sigmas)
+            np.testing.assert_array_equal(
+                np.asarray(xr), np.asarray(xg),
+                err_msg=f"trial {trial}: N={N} K={K} C={C} "
+                        f"overlaps={overlaps} {engine.__name__}")
+            assert abs(float(llr) - float(llg)) < 1e-6 * max(
+                1.0, abs(float(llg)))
