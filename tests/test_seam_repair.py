@@ -89,3 +89,40 @@ def test_streaming_path_repairs_too(setup):
     assert np.asarray(fast.seam_ok).all()
     np.testing.assert_array_equal(np.asarray(fast.ml_seq, np.int64),
                                   np.asarray(seq.ml_seq, np.int64))
+
+
+def test_fast_path_randomized_exactness_sweep():
+    """Randomized production fast-path property: across random (T, L, H,
+    topology, rates, noise) draws — including spike-dense signals — the
+    repaired overlap-save decode must exactly reproduce the sequential
+    whole-signal decode, labels AND ll."""
+    from hmmspikesorter_tpu.data.synthetic import create_signal
+
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        K = int(rng.integers(8, 16))
+        N = int(rng.integers(2, 4))
+        overlaps = bool(rng.integers(0, 2))
+        H = int(rng.integers(3, 6)) * 16
+        L = 2 * H * int(rng.integers(1, 3))
+        B = int(rng.integers(3, 7))
+        T = B * L + int(rng.integers(0, L))
+        sigma = float(0.1 + 0.3 * rng.random())
+        pp = 10.0 ** (-rng.uniform(1.5, 2.5, N))
+        temps = np.stack(
+            [create_spike_template(K, 2.0 + rng.random() * 2,
+                                   0.3 + 0.5 * rng.random(),
+                                   0.15 + 0.15 * rng.random())
+             for _ in range(N)], axis=1)
+        y, _ = create_signal(T, sigma, pp, temps,
+                             rng=np.random.default_rng(500 + trial))
+        tm = HMMTemplateModel(mu=temps, sigma=sigma, lp=np.log(pp),
+                              allow_overlaps=overlaps)
+        seq = fit_spiking_model(tm, y)
+        fast = fit_spiking_model_fast(tm, y, L=L, H=H)
+        msg = (f"trial {trial}: T={T} L={L} H={H} N={N} K={K} "
+               f"overlaps={overlaps} sigma={sigma:.2f}")
+        np.testing.assert_array_equal(np.asarray(fast.ml_seq),
+                                      np.asarray(seq.ml_seq), err_msg=msg)
+        assert float(fast.ll) == pytest.approx(float(seq.ll),
+                                               rel=1e-9), msg
