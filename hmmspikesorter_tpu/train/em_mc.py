@@ -364,7 +364,8 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
                    dtype=jnp.float64, verbose: int = 0,
                    condense_alpha: float = 0.05, sparse_lp0: float = -70.0,
                    small_alpha: float = 0.05, fb_mode: str | None = None,
-                   block: int = 2048):
+                   block: int = 2048, callback=None, metrics=None,
+                   checkpoint_dir: str | None = None):
     """Multi-channel training driver — the reference protocol
     (src/baumwelch.jl:311-354: EM -> condense -> remove_sparse ->
     remove_small -> EM/2) on a (T, C) recording, learning per-channel
@@ -408,19 +409,57 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
     mu = init_templates_mc(K, n_neurons, C, sigmas, rng)
     ll_hist = []
 
-    def phase(lp, mu, sigmas, steps):
+    import time as _time
+
+    eager = (verbose > 0 or metrics is not None or checkpoint_dir is not None
+             or callback is not None)
+
+    def phase(lp, mu, sigmas, steps, name="em"):
         if steps <= 0 or mu.shape[1] == 0:
             return lp, None, mu, sigmas, []
         ss = build_state_space(mu.shape[1], K, False)
         tables = EMTables.build(ss)
-        lp_d, pi, mu_d, sg_d, lls = em_chain_mc(
-            jnp.asarray(yc, dtype), jnp.asarray(lp, dtype),
-            jnp.asarray(mu, dtype), jnp.asarray(sigmas, dtype), tables,
-            K=K, n_iters=steps, fb_mode=fb_mode, block=block)
-        return (np.asarray(lp_d), np.asarray(pi), np.asarray(mu_d),
-                np.asarray(sg_d), [float(v) for v in np.asarray(lls)])
+        lp_d = jnp.asarray(lp, dtype)
+        mu_d = jnp.asarray(mu, dtype)
+        sg_d = jnp.asarray(sigmas, dtype)
+        yc_d = jnp.asarray(yc, dtype)
+        if not eager:
+            # one compiled program for the whole phase (one dispatch)
+            lp_d, pi, mu_d, sg_d, lls = em_chain_mc(
+                yc_d, lp_d, mu_d, sg_d, tables, K=K, n_iters=steps,
+                fb_mode=fb_mode, block=block)
+            return (np.asarray(lp_d), np.asarray(pi), np.asarray(mu_d),
+                    np.asarray(sg_d), [float(v) for v in np.asarray(lls)])
+        # per-iteration host loop with the single-channel driver's
+        # observability contract (verbose/metrics/checkpoint/callback)
+        lls, pi = [], None
+        for i in range(steps):
+            if callback is not None:
+                callback(np.asarray(mu_d))
+            t0 = _time.perf_counter()
+            lp_d, pi, mu_d, sg_d, ll = em_step_mc(
+                yc_d, lp_d, mu_d, sg_d, tables, K=K, fb_mode=fb_mode,
+                block=block)
+            lls.append(float(ll))
+            elapsed = _time.perf_counter() - t0
+            if verbose > 0:
+                print(f"  MC EM iter {i}: ll={lls[-1]:.2f} "
+                      f"sigmas={np.round(np.asarray(sg_d), 4)}")
+            if metrics is not None:
+                metrics.em_iter(i, lls[-1], np.asarray(sg_d),
+                                np.asarray(lp_d), elapsed, len(yc))
+            if checkpoint_dir is not None:
+                from ..utils.checkpoint import save_checkpoint
 
-    lp, pi, mu, sigmas, lls = phase(lp, mu, sigmas, nsteps)
+                save_checkpoint(
+                    f"{checkpoint_dir}/em_mc_latest.npz",
+                    lp=np.asarray(lp_d), mu=np.asarray(mu_d),
+                    sigma=np.asarray(sg_d), em_iter=i, phase=name,
+                    ll_history=lls)
+        return (np.asarray(lp_d), np.asarray(pi), np.asarray(mu_d),
+                np.asarray(sg_d), lls)
+
+    lp, pi, mu, sigmas, lls = phase(lp, mu, sigmas, nsteps, "em1")
     ll_hist += lls
 
     mu, lp = condense_templates_mc(mu, lp, sigmas, condense_alpha,
@@ -432,7 +471,8 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
     if verbose > 0:
         print(f"{mu.shape[1]} templates remain after surgery")
 
-    lp, pi, mu, sigmas, lls = phase(lp, mu, sigmas, nsteps // 2)
+    lp, pi, mu, sigmas, lls = phase(lp, mu, sigmas, nsteps // 2,
+                                    "em2")
     ll_hist += lls
 
     model = HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=lp)

@@ -31,8 +31,9 @@ def save_checkpoint(path: str, *, lp, mu, sigma, em_iter: int, phase: str,
     }
     d = os.path.dirname(path) or "."
     with tempfile.NamedTemporaryFile(dir=d, suffix=".npz", delete=False) as f:
+        # sigma: scalar (single-channel) or (C,) per-channel noise (MC)
         np.savez(f, lp=np.asarray(lp), mu=np.asarray(mu),
-                 sigma=np.asarray(float(sigma)))
+                 sigma=np.asarray(sigma, np.float64))
         tmp = f.name
     os.replace(tmp, path)
     with tempfile.NamedTemporaryFile("w", dir=d, suffix=".json",
@@ -43,9 +44,13 @@ def save_checkpoint(path: str, *, lp, mu, sigma, em_iter: int, phase: str,
 
 
 def load_checkpoint(path: str):
-    """Returns (state dict with lp/mu/sigma, metadata dict)."""
+    """Returns (state dict with lp/mu/sigma, metadata dict). sigma is a
+    float for single-channel checkpoints, a (C,) array for multi-channel
+    ones."""
     z = np.load(path)
-    state = {"lp": z["lp"], "mu": z["mu"], "sigma": float(z["sigma"])}
+    sg = np.asarray(z["sigma"])
+    state = {"lp": z["lp"], "mu": z["mu"],
+             "sigma": float(sg) if sg.ndim == 0 else sg}
     meta_path = path + ".json"
     meta = {}
     if os.path.exists(meta_path):

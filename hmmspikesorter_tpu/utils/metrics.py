@@ -32,10 +32,14 @@ class MetricsLogger:
             print(line)
         return rec
 
-    def em_iter(self, i: int, ll: float, sigma: float, lp, elapsed: float,
+    def em_iter(self, i: int, ll: float, sigma, lp, elapsed: float,
                 n_samples: int):
+        import numpy as _np
+
+        sg = _np.asarray(sigma, _np.float64).reshape(-1)
         return self.log(
-            "em_iter", iter=i, ll=float(ll), sigma=float(sigma),
+            "em_iter", iter=i, ll=float(ll),
+            sigma=float(sg[0]) if sg.size == 1 else [float(v) for v in sg],
             onset_logp=[float(v) for v in lp], wall_s=round(elapsed, 4),
             samples_per_s=round(n_samples / max(elapsed, 1e-9), 1))
 

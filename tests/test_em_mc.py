@@ -221,3 +221,35 @@ def test_f32_training_survives_dying_templates():
     assert np.all(np.isfinite(np.asarray(lls)))
     assert np.all(np.isfinite(np.asarray(model.sigmas)))
     assert 1 <= model.mu.shape[1] <= 3
+
+
+def test_train_model_mc_observability(tmp_path):
+    """verbose/metrics/checkpoint/callback parity with the single-channel
+    driver: per-iteration metrics rows, a resumable checkpoint with the
+    (C,) sigmas array, and template callbacks."""
+    from hmmspikesorter_tpu.train.em_mc import train_model_mc
+    from hmmspikesorter_tpu.utils.checkpoint import load_checkpoint
+    from hmmspikesorter_tpu.utils.metrics import MetricsLogger
+
+    K, N, C, T = 10, 2, 2, 4000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.5, 0.4, 0.3)], axis=1)
+    rng = np.random.default_rng(4)
+    mu = temps[:, :, None] * (0.4 + rng.random((N, C)))
+    sigmas = np.array([0.3, 0.25])
+    yc, _ = _mc_signal(T, mu, sigmas, np.log([0.01, 0.006]), seed=5)
+
+    seen = []
+    logger = MetricsLogger(str(tmp_path / "m.jsonl"), echo=False)
+    model, pi, lls = train_model_mc(
+        yc, n_neurons=2, K=K, nsteps=3, rng=np.random.default_rng(1),
+        metrics=logger, checkpoint_dir=str(tmp_path),
+        callback=lambda m: seen.append(m.shape))
+    logger.close()
+    assert len(seen) >= 3                      # called before each iter
+    rows = [l for l in open(tmp_path / "m.jsonl")]
+    assert len(rows) >= 3
+    state, meta = load_checkpoint(str(tmp_path / "em_mc_latest.npz"))
+    assert state["mu"].ndim == 3               # (K, N, C)
+    assert np.asarray(state["sigma"]).shape == (C,)
+    assert meta["phase"] in ("em1", "em2")
