@@ -224,6 +224,54 @@ def predict_mc(model: HMMSpikingModel) -> np.ndarray:
     return smu_c[np.asarray(model.ml_seq)]
 
 
+def refit_template_model_mc(model: HMMTemplateModelMC, yc, nsteps: int,
+                            *, verbose: int = 0,
+                            fb_mode: str | None = None
+                            ) -> HMMTemplateModelMC:
+    """Warm-start MC EM from an existing model (the MC mirror of the
+    reference fit!, fit.jl:49-52 / models.api.refit_template_model) —
+    also the checkpoint-recovery path: load em_mc_latest.npz
+    (utils/checkpoint.load_checkpoint), rebuild the HMMTemplateModelMC,
+    and continue with this."""
+    import jax.numpy as jnp
+
+    from ..core.state_space import build_state_space
+    from ..train.em import EMTables
+    from ..train.em_mc import em_chain_mc
+
+    yc = np.asarray(yc, np.float64)
+    K = model.K
+    if fb_mode is None:
+        # same auto rule as train_model_mc
+        from ..ops.pallas_fb_mb import overlap_em_mc_vmem_ok
+        from ..utils.platform import is_tpu_backend
+        import jax
+
+        H = max(4 * K, 64)
+        Lov = max(2048, 4 * H)
+        long_enough = len(yc) >= 2 * (Lov + 2 * H)
+        if long_enough and jax.default_backend() != "cpu":
+            fb_mode = ("overlap_pallas"
+                       if K <= 65 and model.n_neurons <= 8
+                       and is_tpu_backend()
+                       and overlap_em_mc_vmem_ok(model.n_neurons, K,
+                                                 model.n_channels)
+                       else "overlap")
+        else:
+            fb_mode = "gather"
+    tables = EMTables.build(build_state_space(model.n_neurons, K, False))
+    lp, pi, mu, sg, lls = em_chain_mc(
+        jnp.asarray(yc), jnp.asarray(model.lp), jnp.asarray(model.mu),
+        jnp.asarray(model.sigmas), tables, K=K, n_iters=nsteps,
+        fb_mode=fb_mode)
+    if verbose > 0:
+        print(f"refit_mc: ll {float(np.asarray(lls)[0]):.1f} -> "
+              f"{float(np.asarray(lls)[-1]):.1f}")
+    return HMMTemplateModelMC(mu=np.asarray(mu), sigmas=np.asarray(sg),
+                              lp=np.asarray(lp),
+                              allow_overlaps=model.allow_overlaps)
+
+
 def fit_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 10,
            **kwargs) -> HMMSpikingModel:
     """Train (multi-channel Baum-Welch, train/em_mc.train_model_mc) then

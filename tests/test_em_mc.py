@@ -253,3 +253,38 @@ def test_train_model_mc_observability(tmp_path):
     assert state["mu"].ndim == 3               # (K, N, C)
     assert np.asarray(state["sigma"]).shape == (C,)
     assert meta["phase"] in ("em1", "em2")
+
+
+def test_refit_template_model_mc_warm_start(tmp_path):
+    """MC fit! analog: resume training from a checkpoint-reconstructed
+    model; the warm-started chain must continue improving the same ll."""
+    from hmmspikesorter_tpu.models.multichannel import (
+        HMMTemplateModelMC, refit_template_model_mc)
+    from hmmspikesorter_tpu.train.em_mc import train_model_mc
+    from hmmspikesorter_tpu.utils.checkpoint import load_checkpoint
+
+    K, N, C, T = 10, 2, 2, 4000
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.5, 0.4, 0.3)], axis=1)
+    rng = np.random.default_rng(4)
+    mu = temps[:, :, None] * (0.4 + rng.random((N, C)))
+    sigmas = np.array([0.3, 0.25])
+    yc, _ = _mc_signal(T, mu, sigmas, np.log([0.01, 0.006]), seed=5)
+    train_model_mc(yc, n_neurons=2, K=K, nsteps=3,
+                   rng=np.random.default_rng(1),
+                   checkpoint_dir=str(tmp_path))
+    state, meta = load_checkpoint(str(tmp_path / "em_mc_latest.npz"))
+    resumed = HMMTemplateModelMC(mu=state["mu"], sigmas=state["sigma"],
+                                 lp=state["lp"], allow_overlaps=False)
+    ll_at_ckpt = meta["ll_history"][-1]
+    refit = refit_template_model_mc(resumed, yc, nsteps=3)
+    # one more f64 chain from the checkpoint improves (or holds) the ll
+    from hmmspikesorter_tpu.core.state_space import build_state_space
+    from hmmspikesorter_tpu.train.em import EMTables
+    from hmmspikesorter_tpu.train.em_mc import em_step_mc
+
+    tables = EMTables.build(build_state_space(2, K, False))
+    ll_after = float(em_step_mc(
+        jnp.asarray(yc), jnp.asarray(refit.lp), jnp.asarray(refit.mu),
+        jnp.asarray(refit.sigmas), tables, K=K)[4])
+    assert ll_after >= ll_at_ckpt - 1e-6
