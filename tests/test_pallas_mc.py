@@ -66,6 +66,7 @@ def _scan_ref(es, d, lp, c1, c2, sil):
 @pytest.mark.parametrize("N,K,C,B,seed", [
     (2, 12, 3, 4, 3),
     (3, 9, 2, 3, 7),
+    (4, 9, 2, 2, 11),   # N=4 x MC: reachable via the raised VMEM ceiling
 ])
 def test_mc_mb_bitmatches_scan_engine(N, K, C, B, seed):
     W = 4 * STEP
