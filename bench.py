@@ -55,26 +55,56 @@ def main():
         state_means(jnp.asarray(ss.states), jnp.asarray(temps, dtype)), dev)
 
     # --- TPU decode: ring-structured engine (gather-free) fully on-device —
-    # window gather, vmapped block decodes, seam snap, and stitch are one
-    # jitted program; the signal crosses the wire once each way
+    # window gather, vmapped block decodes, seam snap, stitch, AND the
+    # packed spike-event extraction are one jitted program; only the
+    # ~T/(16K) event blob crosses the wire back (core/events.py), and the
+    # full label sequence is reconstructed exactly on the host each
+    # iteration (bit-equality vs the dense transfer asserted below)
+    from hmmspikesorter_tpu.core.events import (
+        _parse_event_blob, _ring_overlap_save_events_impl,
+        labels_from_onsets, onsets_from_packed)
+    from hmmspikesorter_tpu.parallel.overlap_save import resolve_block_engine
+
     lp_d = jnp.asarray(lp, dtype)
     mu_d = jnp.asarray(temps, dtype)
     y_d = jax.device_put(jnp.asarray(y, dtype), dev)
+    sg_d = jnp.asarray(sigma, dtype)
+    be = resolve_block_engine("auto", True, K, N, L + 2 * H)
+    Bn = T // L
 
-    def run():
-        x, ok = ring_overlap_save(y_d, lp_d, mu_d, sigma, L=L, H=H,
-                                  overlaps=True)
+    def run_ev():
+        return _ring_overlap_save_events_impl(y_d, lp_d, mu_d, sg_d, L=L,
+                                              H=H, overlaps=True,
+                                              block_engine=be)[0]
+
+    def labels_of(blob):
         # np.asarray is the reliable completion barrier on tunneled
         # backends (block_until_ready can return early there)
-        return np.asarray(x), np.asarray(ok)
+        pk, cn, x0, ok = _parse_event_blob(np.asarray(blob), T=T, N=N,
+                                           K=K, B=Bn)
+        x = labels_from_onsets(onsets_from_packed(pk, cn, K=K), x0,
+                               T=T, N=N, K=K, overlaps=True)
+        return x, ok
 
-    x_tpu, seam_ok = run()                      # warmup + correctness output
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    tpu_sps = T / min(times)
+    x_tpu, seam_ok = labels_of(run_ev())        # warmup + correctness output
+    # dense-transfer cross-check: the sparse reconstruction must be
+    # bit-equal to the labels the device computed
+    x_dense = np.asarray(ring_overlap_save(y_d, lp_d, mu_d, sigma, L=L,
+                                           H=H, overlaps=True)[0])
+    assert (x_tpu == x_dense.astype(np.int32)).all(), \
+        "event-transfer reconstruction diverged from dense labels"
+    # throughput: pipelined one deep — dispatch the next decode, then
+    # reconstruct the previous blob's labels while the device works; every
+    # iteration produces the full (T,) label vector on the host
+    R = 4
+    t0 = time.perf_counter()
+    prev = run_ev()
+    for _ in range(R - 1):
+        nxt = run_ev()
+        labels_of(prev)
+        prev = nxt
+    labels_of(prev)
+    tpu_sps = R * T / (time.perf_counter() - t0)
 
     # --- CPU baseline (reference loop semantics, -O3, single thread);
     # best-of-3 to damp noisy-neighbor variance on the shared host

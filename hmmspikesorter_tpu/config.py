@@ -91,6 +91,11 @@ class DecodeConfig:
     prefetch: int = 2                # streaming double-buffer depth
     repair: bool = True              # widen-and-re-decode flagged seams
     block_engine: str = "auto"   # "ring" | "pallas" | "pallas_ovn" | "auto"
+    transfer: str = "dense"          # "dense" | "events" (sparse onset
+    #                                  grid + exact host reconstruction —
+    #                                  core/events.py; wins when the
+    #                                  host<->device label transfer
+    #                                  dominates, e.g. tunneled backends)
     channels: object = 1             # 1 (reference contract) | "all"
     multichannel: bool = False       # joint multi-channel decode (all
     #                                  spikeForms channels; beyond reference)

@@ -258,6 +258,7 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
                            prefetch: int | None = None,
                            repair: bool | None = None,
                            block_engine: str | None = None,
+                           transfer: str | None = None,
                            config=None) -> HMMSpikingModel:
     """Production decode: fully on-device parallel overlap-save with the
     ring engines (parallel/overlap_save.ring_overlap_save) — orders of
@@ -289,6 +290,13 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     whenever the labels agree; an unrepaired raw seam can make it -inf
     (the path crosses an invalid transition — an honest signal).
 
+    transfer="events" (one-shot path only) fetches the packed spike-onset
+    grid instead of the dense labels and reconstructs them exactly on the
+    host (core/events.py) — a lossless ~16x-smaller transfer that wins
+    when the device->host label copy dominates wall time (tunneled or
+    PCIe-remote backends). Labels, ll, and seam handling are identical;
+    the decoded onsets are additionally exposed as `model.spike_onsets`.
+
     repair=True (default) re-decodes any seam that found no common silence
     over geometrically widening windows until a silence certificate exists
     on both sides (parallel/seam_repair.py) — the analog of the reference
@@ -312,6 +320,9 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     prefetch = arg(prefetch, "prefetch", 2)
     repair = arg(repair, "repair", True)
     block_engine = arg(block_engine, "block_engine", "auto")
+    transfer = arg(transfer, "transfer", "dense")
+    if transfer not in ("dense", "events"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
 
     y = np.asarray(y, dtype=np.float64)
     if templates.n_neurons == 0:
@@ -345,11 +356,19 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
             y, in_idx, in_w, smu, templates.sigma, L=L, H=H,
             blocks_per_call=blocks_per_call, block_decoder=dec,
             prefetch=prefetch)
+        spike_onsets = None
+    elif transfer == "events" and templates.has_ring_engine:
+        from ..core.events import decode_events_overlap_save
+
+        spike_onsets, x, seam_ok = decode_events_overlap_save(
+            y, templates.lp, templates.mu, templates.sigma, L=L, H=H,
+            overlaps=templates.allow_overlaps, block_engine=block_engine)
     else:
         x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
                                        templates.sigma, L=L, H=H,
                                        overlaps=templates.allow_overlaps,
                                        block_engine=block_engine)
+        spike_onsets = None
     from ..core.path_score import path_cumulative_ll
 
     x = np.asarray(x)
@@ -365,11 +384,19 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
         x, _ = repair_seams(y, x, failed, dec, H=H)
         n_repaired = int((~seam_ok).sum())
         seam_ok = np.ones_like(seam_ok)
+        spike_onsets = None          # repair rewrote labels; recompute below
     ll = path_cumulative_ll(y, x, templates.state_space.states,
                             templates.mu, templates.sigma, templates.lp)
     model = HMMSpikingModel(templates, x, ll, y)
     model.seam_ok = seam_ok
     model.seams_repaired = n_repaired
+    if spike_onsets is None and transfer == "events":
+        from ..core.events import _onsets_dense
+
+        spike_onsets = _onsets_dense(x, N=templates.n_neurons,
+                                     K=templates.K,
+                                     overlaps=templates.allow_overlaps)
+    model.spike_onsets = spike_onsets
     return model
 
 

@@ -167,6 +167,24 @@ def test_fast_decode_exact_ll_non_overlap():
         assert np.isfinite(fast.ll)
 
 
+def test_fast_decode_events_transfer_identical():
+    for overlaps in (True, False):
+        tm, y, _ = _model_and_signal(K=20, T=8192, overlaps=overlaps)
+        dense = api.fit_spiking_model_fast(tm, y, L=1024, H=128)
+        ev = api.fit_spiking_model_fast(tm, y, L=1024, H=128,
+                                        transfer="events")
+        np.testing.assert_array_equal(ev.ml_seq, dense.ml_seq)
+        assert ev.ll == pytest.approx(dense.ll, rel=1e-12)
+        # the exposed onsets are exactly the dense decode's phase-1 hits
+        from hmmspikesorter_tpu.core.events import phase_of
+        t = np.arange(len(y))
+        for n in range(tm.n_neurons):
+            mask = np.asarray(phase_of(np.asarray(dense.ml_seq, np.int32),
+                                       n, tm.n_neurons, tm.K,
+                                       overlaps)) == 1
+            np.testing.assert_array_equal(ev.spike_onsets[n], t[mask])
+
+
 def test_fast_decode_streaming_matches_oneshot():
     tm, y, _ = _model_and_signal(K=20, T=8192, overlaps=True)
     one = api.fit_spiking_model_fast(tm, y, L=1024, H=128)

@@ -1,0 +1,174 @@
+"""Sparse spike-event transfer (core/events.py): device-side packed onset
+extraction + exact host reconstruction of the label sequence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hmmspikesorter_tpu.core.events import (
+    decode_events_overlap_save, event_chunk, extract_onsets,
+    extract_onsets_packed, labels_from_onsets, onsets_from_packed, phase_of)
+from hmmspikesorter_tpu.core.state_space import build_state_space
+from hmmspikesorter_tpu.data.synthetic import (create_signal_fast,
+                                               create_spike_template)
+from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
+
+
+def _random_valid_path(rng, T, N, K, overlaps, *, p_onset=0.02, x0_phase=None):
+    """Simulate a valid path of the combined ring HMM directly: random
+    onsets respecting the <= (2 if overlaps else 1) simultaneously-active
+    constraint; optionally start mid-spike (neuron 0 at phase x0_phase)."""
+    phases = np.zeros((N, T), np.int32)
+    cur = np.zeros(N, np.int32)
+    if x0_phase:
+        cur[0] = x0_phase
+    max_active = 2 if overlaps else 1
+    for t in range(T):
+        if t > 0:
+            for n in range(N):
+                c = cur[n]
+                cur[n] = c + 1 if 0 < c < K - 1 else 0
+            for n in range(N):
+                if cur[n] == 0 and (cur > 0).sum() < max_active \
+                        and rng.random() < p_onset:
+                    cur[n] = 1
+        phases[:, t] = cur
+    # compose combined-state ids with the closed-form encoding
+    x = np.zeros(T, np.int32)
+    Km1 = K - 1
+    act = (phases > 0).sum(axis=0)
+    for n in range(N):
+        sel = (phases[n] > 0) & (act == 1)
+        x[sel] = 1 + n * Km1 + phases[n, sel] - 1
+    if overlaps:
+        base = 1 + N * Km1
+        rank = 0
+        for i in range(N - 1):
+            for j in range(i + 1, N):
+                sel = (phases[i] > 0) & (phases[j] > 0)
+                x[sel] = (base + rank * Km1 * Km1
+                          + (phases[i, sel] - 1) * Km1 + (phases[j, sel] - 1))
+                rank += 1
+    return x
+
+
+@pytest.mark.parametrize("N,K,overlaps", [(2, 7, True), (3, 6, True),
+                                          (2, 9, False), (4, 5, True)])
+def test_roundtrip_random_valid_paths(N, K, overlaps):
+    rng = np.random.default_rng(42 + N + K)
+    for trial in range(4):
+        T = int(rng.integers(200, 600))
+        x = _random_valid_path(rng, T, N, K, overlaps,
+                               x0_phase=(trial % 2) * min(3, K - 2))
+        onsets = extract_onsets(jnp.asarray(x), N=N, K=K, overlaps=overlaps)
+        xr = labels_from_onsets(onsets, x[0], T=T, N=N, K=K,
+                                overlaps=overlaps)
+        np.testing.assert_array_equal(xr, x)
+
+
+def test_phase_of_matches_state_table():
+    for N, K, ov in [(2, 8, True), (3, 5, True), (3, 7, False)]:
+        ss = build_state_space(N, K, ov)
+        x = np.arange(ss.nstates, dtype=np.int32)
+        for n in range(N):
+            np.testing.assert_array_equal(
+                np.asarray(phase_of(x, n, N, K, ov)), ss.states[n])
+
+
+def test_densest_firing_roundtrip():
+    # densest possible firing of one neuron: onset every K samples —
+    # exactly one onset per event chunk is the packing's worst case
+    N, K, T = 2, 5, 103
+    x = np.zeros(T, np.int32)
+    t = 0
+    n_onsets = 0
+    expected = []
+    while t < T:
+        span = min(K - 1, T - t)
+        x[t : t + span] = 1 + np.arange(span)   # neuron 0 ring
+        expected.append(t)
+        n_onsets += 1
+        t += K
+    onsets = extract_onsets(jnp.asarray(x), N=N, K=K, overlaps=True)
+    np.testing.assert_array_equal(onsets[0], expected)
+    assert len(onsets[1]) == 0
+    xr = labels_from_onsets(onsets, x[0], T=T, N=N, K=K, overlaps=True)
+    np.testing.assert_array_equal(xr, x)
+
+
+def test_packed_cross_check_detects_invalid_spacing():
+    # two onsets of one neuron closer than K (invalid spliced path):
+    # the chunk grid loses one and the count cross-check must catch it
+    N, K = 2, 9
+    G = event_chunk(K)
+    T = 6 * G
+    x = np.zeros(T, np.int32)
+    x[G] = 1                                    # onset at chunk boundary
+    x[G + 2] = 1                                # second onset 2 < K later
+    packed, counts = extract_onsets_packed(jnp.asarray(x), N=N, K=K,
+                                           overlaps=True)
+    with pytest.raises(ValueError, match="closer than K"):
+        onsets_from_packed(packed, counts, K=K)
+
+
+def _bench_problem(T=1 << 15, N=2, K=60, sigma=0.3, seed=7):
+    rng = np.random.default_rng(seed)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array([0.003, 0.001][:N])
+    y, _ = create_signal_fast(T, sigma, pp, temps, rng=rng)
+    return y, np.log(pp), temps, sigma
+
+
+def test_decode_events_matches_dense_decode():
+    y, lp, mu, sigma = _bench_problem()
+    L, H = 2048, 256
+    x_dense, ok = ring_overlap_save(y, lp, mu, sigma, L=L, H=H,
+                                    overlaps=True)
+    onsets, x_ev, ok2 = decode_events_overlap_save(
+        y, lp, mu, sigma, L=L, H=H, overlaps=True)
+    assert np.asarray(ok2).all()
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok2))
+    np.testing.assert_array_equal(x_ev, np.asarray(x_dense).astype(np.int32))
+    # the events ARE the onsets of the dense decode
+    N, K = mu.shape[1], mu.shape[0]
+    t = np.arange(len(y))
+    for n in range(N):
+        mask = np.asarray(phase_of(np.asarray(x_dense).astype(np.int32),
+                                   n, N, K, True)) == 1
+        np.testing.assert_array_equal(onsets[n], t[mask])
+
+
+def test_decode_events_flagged_seam_falls_back_dense():
+    # a signal with no common silence anywhere near one seam: back-to-back
+    # spikes through the cut (same construction as test_seam_repair)
+    K, N = 12, 2
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    T, L, H = 1 << 11, 512, 32
+    sigma = 0.25
+    rng = np.random.default_rng(3)
+    y = sigma * rng.standard_normal(T)
+    seam = L  # first seam
+    t0 = seam - 40 * (K - 1)
+    for i in range(80):                       # alternating dense spikes
+        n = i % 2
+        s = t0 + i * (K - 1)
+        seg = temps[: K - 1, n]
+        y[s : s + K - 1] += seg[: max(0, min(K - 1, T - s))]
+    lp = np.log([0.01, 0.01])
+    x_dense, ok = ring_overlap_save(y, lp, temps, sigma, L=L, H=H,
+                                    overlaps=True)
+    onsets, x_ev, ok2 = decode_events_overlap_save(
+        y, lp, temps, sigma, L=L, H=H, overlaps=True)
+    np.testing.assert_array_equal(np.asarray(ok), ok2)
+    # whether or not the seam flagged, the events path must return the
+    # dense decode's labels exactly
+    np.testing.assert_array_equal(x_ev, np.asarray(x_dense).astype(np.int32))
+    # and the onsets must be the dense decode's onsets even on the
+    # fallback path
+    t = np.arange(T)
+    for n in range(N):
+        mask = np.asarray(phase_of(np.asarray(x_dense).astype(np.int32),
+                                   n, N, K, True)) == 1
+        np.testing.assert_array_equal(onsets[n], t[mask])
