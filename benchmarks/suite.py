@@ -100,14 +100,19 @@ def config2():
     mu = jnp.asarray(temps, jnp.float32)
     y_d = jnp.asarray(y, jnp.float32)
 
+    from hmmspikesorter_tpu.core.events import decode_events_overlap_save
+
     def run():
-        x, ok = ring_overlap_save(y_d, lp, mu, sigma, L=8192, H=256,
-                                  overlaps=True)
-        # np.asarray is the reliable completion barrier on tunneled
-        # backends (block_until_ready can return early there)
-        return np.asarray(x), np.asarray(ok)
+        # sparse event transfer + exact host label reconstruction (the
+        # host-side np.asarray fetch inside is the completion barrier)
+        _, x, ok = decode_events_overlap_save(y_d, lp, mu, sigma, L=8192,
+                                              H=256, overlaps=True)
+        return x, ok
 
     x, seam_ok = run()
+    x_dense = np.asarray(ring_overlap_save(y_d, lp, mu, sigma, L=8192,
+                                           H=256, overlaps=True)[0])
+    assert (x == x_dense.astype(np.int32)).all()
     t0 = time.perf_counter()
     run()
     dec_s = time.perf_counter() - t0
@@ -152,15 +157,23 @@ def config4():
     mu = jnp.asarray(_mk_signal(100, sigma, pp, K)[2], jnp.float32)
 
     # channel-batched on-device overlap-save: every channel's blocks fold
-    # into one block batch (single program, single round trip)
+    # into one block batch (single program); the sparse event blob is the
+    # only transfer back (the dense (C, T) int16 labels would be 32 MB)
+    # and every channel's labels are reconstructed exactly on the host
+    from hmmspikesorter_tpu.core.events import (
+        decode_events_overlap_save_batched)
+
     yd = jax.device_put(jnp.asarray(ys))
 
     def run():
-        x, _ = ring_overlap_save_batched(yd, lp, mu, jnp.float32(sigma),
-                                         L=8192, H=256, overlaps=True)
-        return np.asarray(x)
+        _, xs, _ = decode_events_overlap_save_batched(
+            yd, lp, mu, jnp.float32(sigma), L=8192, H=256, overlaps=True)
+        return xs
 
-    run()                                       # warm/compile
+    xs_ev = run()                               # warm/compile
+    xs_dense = np.asarray(ring_overlap_save_batched(
+        yd, lp, mu, jnp.float32(sigma), L=8192, H=256, overlaps=True)[0])
+    assert (xs_ev == xs_dense.astype(np.int32)).all()
     t0 = time.perf_counter()
     run()
     dec_s = time.perf_counter() - t0

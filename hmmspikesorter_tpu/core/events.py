@@ -320,3 +320,84 @@ def _onsets_dense(x, *, N, K, overlaps):
     t = np.arange(len(x))
     return [t[np.asarray(phase_of(x, n, N, K, overlaps)) == 1]
             for n in range(N)]
+
+
+@partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))
+def _ring_overlap_save_batched_events_impl(ys, lp, mu, sigma, *, L, H,
+                                           overlaps, block_engine):
+    """Channel-batched decode + event extraction as one program. Blob
+    layout: [packed (Ch*N*C) | counts (Ch*N int32) | x0 (Ch int32) |
+    seam_ok (Ch*(B-1) bool)]."""
+    from ..parallel.overlap_save import _ring_overlap_save_batched_impl
+
+    xs, seam_ok = _ring_overlap_save_batched_impl(
+        ys, lp, mu, sigma, L=L, H=H, overlaps=overlaps,
+        block_engine=block_engine)
+    K, N = mu.shape
+    packed, counts = jax.vmap(
+        partial(extract_onsets_packed, N=N, K=K, overlaps=overlaps))(xs)
+    blob = jnp.concatenate([_u8(packed), _u8(counts),
+                            _u8(xs[:, 0].astype(jnp.int32)), _u8(seam_ok)])
+    return blob, xs
+
+
+def decode_events_overlap_save_batched(ys, lp, mu, sigma, *, L: int,
+                                       H: int, overlaps: bool,
+                                       block_engine: str = "auto",
+                                       return_labels: bool = True):
+    """Channel-batched production decode with sparse event transfer: the
+    (Ch, T) recording batch decodes as ONE device program
+    (parallel/overlap_save.ring_overlap_save_batched) and one event blob
+    comes back — the dense (Ch, T) label transfer it replaces grows with
+    the channel count and dominates wall time well before the device does.
+
+    Returns (onsets: list of Ch lists of N int arrays, xs (Ch, T) int32
+    or None, seam_ok (Ch, B-1) bool). Channels whose seams all snapped
+    reconstruct from events; any flagged channel falls back to the dense
+    fetch (one extra transfer for the whole batch).
+    """
+    from ..parallel.overlap_save import resolve_block_engine
+
+    ys = jnp.asarray(ys)
+    lp = jnp.asarray(lp)
+    mu = jnp.asarray(mu)
+    K, N = mu.shape
+    Ch, T = ys.shape
+    G = event_chunk(K)
+    C = -(-T // G)
+    B = -(-T // L)
+    block_engine = resolve_block_engine(block_engine, overlaps, K, N,
+                                        L + 2 * H)
+    blob, xs_dense = _ring_overlap_save_batched_events_impl(
+        ys, lp, mu, jnp.asarray(sigma), L=L, H=H, overlaps=overlaps,
+        block_engine=block_engine)
+    blob = np.asarray(blob)
+    o = Ch * N * C
+    packed = blob[:o].reshape(Ch, N, C)
+    counts = blob[o : o + 4 * Ch * N].view(np.int32).reshape(Ch, N)
+    o += 4 * Ch * N
+    x0 = blob[o : o + 4 * Ch].view(np.int32)
+    o += 4 * Ch
+    seam_ok = blob[o : o + Ch * max(B - 1, 0)].astype(bool).reshape(
+        Ch, max(B - 1, 0))
+
+    xs_np = None
+    onsets, xs = [], []
+    for c in range(Ch):
+        ok = bool(seam_ok[c].all())
+        if ok:
+            try:
+                on = onsets_from_packed(packed[c], counts[c], K=K)
+                onsets.append(on)
+                if return_labels:
+                    xs.append(labels_from_onsets(on, int(x0[c]), T=T, N=N,
+                                                 K=K, overlaps=overlaps))
+                continue
+            except ValueError:
+                pass
+        if xs_np is None:
+            xs_np = np.asarray(xs_dense).astype(np.int32)
+        onsets.append(_onsets_dense(xs_np[c], N=N, K=K, overlaps=overlaps))
+        if return_labels:
+            xs.append(xs_np[c])
+    return onsets, (np.stack(xs) if return_labels else None), seam_ok

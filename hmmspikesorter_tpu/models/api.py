@@ -437,6 +437,7 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
                                     H: int | None = None,
                                     repair: bool | None = None,
                                     block_engine: str | None = None,
+                                    transfer: str | None = None,
                                     config=None) -> list[HMMSpikingModel]:
     """Channel-batched production decode: (C, T) recordings, one shared
     template model, ONE device program for every channel's blocks
@@ -455,6 +456,9 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
     H = arg(H, "H", None)
     repair = arg(repair, "repair", True)
     block_engine = arg(block_engine, "block_engine", "auto")
+    transfer = arg(transfer, "transfer", "dense")
+    if transfer not in ("dense", "events"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
     if H is None:
         H = max(4 * templates.K, 64)
 
@@ -468,10 +472,16 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
                                        repair=repair,
                                        block_engine=block_engine)
                 for row in ys]
-    xs, oks = ring_overlap_save_batched(ys, templates.lp, templates.mu,
-                                        templates.sigma, L=L, H=H,
-                                        overlaps=templates.allow_overlaps,
-                                        block_engine=block_engine)
+    if transfer == "events" and templates.has_ring_engine:
+        from ..core.events import decode_events_overlap_save_batched
+
+        _, xs, oks = decode_events_overlap_save_batched(
+            ys, templates.lp, templates.mu, templates.sigma, L=L, H=H,
+            overlaps=templates.allow_overlaps, block_engine=block_engine)
+    else:
+        xs, oks = ring_overlap_save_batched(
+            ys, templates.lp, templates.mu, templates.sigma, L=L, H=H,
+            overlaps=templates.allow_overlaps, block_engine=block_engine)
     xs = np.asarray(xs)
     oks = np.asarray(oks)
     models = []

@@ -139,6 +139,54 @@ def test_decode_events_matches_dense_decode():
         np.testing.assert_array_equal(onsets[n], t[mask])
 
 
+def test_decode_events_batched_matches_dense():
+    from hmmspikesorter_tpu.core.events import (
+        decode_events_overlap_save_batched)
+    from hmmspikesorter_tpu.parallel.overlap_save import (
+        ring_overlap_save_batched)
+
+    K, N, Ch, T = 20, 2, 3, 8192
+    rng = np.random.default_rng(11)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    ys = np.stack([create_signal_fast(T, 0.3, pp, temps, rng=rng)[0]
+                   for _ in range(Ch)])
+    lp = np.log(pp)
+    L, H = 1024, 128
+    xs_d, ok_d = ring_overlap_save_batched(ys, lp, temps, 0.3, L=L, H=H,
+                                           overlaps=True)
+    onsets, xs_e, ok_e = decode_events_overlap_save_batched(
+        ys, lp, temps, 0.3, L=L, H=H, overlaps=True)
+    np.testing.assert_array_equal(np.asarray(ok_d), ok_e)
+    np.testing.assert_array_equal(xs_e, np.asarray(xs_d).astype(np.int32))
+    t = np.arange(T)
+    for c in range(Ch):
+        for n in range(N):
+            mask = np.asarray(phase_of(xs_e[c], n, N, K, True)) == 1
+            np.testing.assert_array_equal(onsets[c][n], t[mask])
+
+
+def test_api_batched_events_transfer_identical():
+    from hmmspikesorter_tpu.models import api
+
+    K, Ch, T = 20, 2, 8192
+    rng = np.random.default_rng(5)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    ys = np.stack([create_signal_fast(T, 0.3, pp, temps, rng=rng)[0]
+                   for _ in range(Ch)])
+    tm = api.HMMTemplateModel(mu=temps, sigma=0.3, lp=np.log(pp),
+                              allow_overlaps=True)
+    dense = api.fit_spiking_models_fast_batched(tm, ys, L=1024, H=128)
+    ev = api.fit_spiking_models_fast_batched(tm, ys, L=1024, H=128,
+                                             transfer="events")
+    for md, me in zip(dense, ev):
+        np.testing.assert_array_equal(me.ml_seq, md.ml_seq)
+        assert me.ll == pytest.approx(md.ll, rel=1e-12)
+
+
 def test_decode_events_flagged_seam_falls_back_dense():
     # a signal with no common silence anywhere near one seam: back-to-back
     # spikes through the cut (same construction as test_seam_repair)
