@@ -450,17 +450,35 @@ def _em_window_1d(x, *, T, L, H, B, W, edge):
     return xw
 
 
-@partial(jax.jit, static_argnames=("L", "H", "interpret"))
-def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
-    T = y.shape[0]
+def _em_stats_from_windows(y_win, core_lo, core_hi, xi_hi, lp, mu, sigma,
+                           *, interpret=False):
+    """Run the fused EM kernels over prebuilt halo windows.
+
+    The window construction is the caller's: the single-device path
+    (`_overlap_em_stats_impl`) clamps edge windows to the global signal
+    edges, while the time-sharded path (parallel/sharded_em.py,
+    fb_mode="overlap_pallas") builds per-device windows from a halo
+    ppermute and clamps only at the mesh edges — the kernels and the
+    per-window core-bounds mechanism are identical, so the two paths
+    cannot drift.
+
+    Args:
+      y_win: (B, W) f32 halo windows, W = L + 2H a multiple of the chunk.
+      core_lo/core_hi/xi_hi: (B,) int32 per-window core bounds in window
+        coordinates (dynamic — may depend on a mesh device index).
+
+    Returns (G1, Gy, Gy2, X, Xd, beta0, endc, pre): the linear-space
+    per-state sums over this window batch, the window-0 terminal beta
+    (log space), and the per-window telescoped-ll edge reads
+    (endc = lse(alpha) at core_hi-1, pre = at core_lo-1; a core_lo of 0
+    yields pre = 0 — the absolute first-window term).
+    """
+    B, W = y_win.shape
     K, N = mu.shape
     Km1 = K - 1
     NKP = N * KP
-    B = -(-T // L)
-    W = L + 2 * H
     dtype = jnp.float32
 
-    y = jnp.asarray(y, dtype)
     lp = jnp.asarray(lp, dtype)
     mu = jnp.asarray(mu, dtype)
     sigma = jnp.asarray(sigma, dtype)
@@ -477,24 +495,19 @@ def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
     bmg = jnp.zeros((N, KP), dtype).at[:, :Km1].set(body)
     bm = jnp.broadcast_to(bmg.reshape(NKP, 1), (NKP, G))
 
-    # windows with clamped edge rows (no rolling: per-lane core bounds
-    # keep every sample owned by exactly one window, in that window's own
-    # coordinates) — same construction as ring_overlap_forward_backward
-    starts, edge, core_lo, core_hi, xi_hi = _em_window_geom(T, L, H, B, W)
-    y_win = _em_window_1d(y, T=T, L=L, H=H, B=B, W=W, edge=edge)
-
     Bg = _round_up(B, G) // G
     Bp = Bg * G
     ch = _chunk(N)
     Wc = W // ch
 
-    ypad = jnp.zeros((Bp, W), dtype).at[:B].set(y_win)
+    ypad = jnp.zeros((Bp, W), dtype).at[:B].set(y_win.astype(dtype))
     y_in = ypad.reshape(Bg, G, W).transpose(0, 2, 1)           # (Bg, W, G)
-    bnp = np.zeros((Bp, 3), np.int32)                          # padded rows:
-    bnp[:B, 0] = core_lo                                       # lo=hi=0 ->
-    bnp[:B, 1] = core_hi                                       # no stats
-    bnp[:B, 2] = xi_hi
-    bounds = jnp.asarray(bnp).reshape(Bg, G, 3).transpose(0, 2, 1)
+    bvals = jnp.stack([jnp.asarray(core_lo, jnp.int32),
+                       jnp.asarray(core_hi, jnp.int32),
+                       jnp.asarray(xi_hi, jnp.int32)], axis=1)  # (B, 3)
+    bpad = jnp.zeros((Bp, 3), jnp.int32).at[:B].set(bvals)      # padded rows:
+    bounds = bpad.reshape(Bg, G, 3).transpose(0, 2, 1)          # lo=hi=0 ->
+    #                                                             no stats
 
     fkernel = _make_fwd_kernel(N, Km1, ch)
     fin_specs = [
@@ -606,17 +619,35 @@ def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
     beta0 = jnp.concatenate(
         [b0s[0, :, 0], b0b[0, :, 0].reshape(N, KP)[:, :Km1].reshape(-1)])
 
-    # telescoped ll from the per-step lse(alpha) output:
-    # ll = endc[0] + sum_{b>=1} (endc[b] - pre[b]) with pre/endc at the
-    # owner-core edges of each window (ring_overlap_forward_backward)
+    # per-window telescoped-ll edge reads from the per-step lse(alpha)
+    # output (ring_overlap_forward_backward's pre/endc); a core_lo of 0
+    # matches no position -> pre = 0 (the absolute first-window term)
     la_bm = la.transpose(0, 2, 1).reshape(Bp, W)[:B]           # (B, W)
     pos = jnp.arange(W)[None, :]
-    endc = jnp.sum(jnp.where(pos == (core_hi - 1)[:, None], la_bm, 0.0),
-                   axis=1)
-    pre = jnp.sum(jnp.where(pos == (core_lo - 1)[:, None], la_bm, 0.0),
-                  axis=1)
-    ll = endc[0] + jnp.sum(endc[1:] - pre[1:])
+    endc = jnp.sum(jnp.where(pos == (jnp.asarray(core_hi) - 1)[:, None],
+                             la_bm, 0.0), axis=1)
+    pre = jnp.sum(jnp.where(pos == (jnp.asarray(core_lo) - 1)[:, None],
+                            la_bm, 0.0), axis=1)
+    return G1, Gy, Gy2, X, Xd, beta0, endc, pre
 
+
+@partial(jax.jit, static_argnames=("L", "H", "interpret"))
+def _overlap_em_stats_impl(y, lp, mu, sigma, *, L, H, interpret=False):
+    T = y.shape[0]
+    K, N = mu.shape
+    B = -(-T // L)
+    W = L + 2 * H
+
+    y = jnp.asarray(y, jnp.float32)
+    # windows with clamped edge rows (no rolling: per-lane core bounds
+    # keep every sample owned by exactly one window, in that window's own
+    # coordinates) — same construction as ring_overlap_forward_backward
+    starts, edge, core_lo, core_hi, xi_hi = _em_window_geom(T, L, H, B, W)
+    y_win = _em_window_1d(y, T=T, L=L, H=H, B=B, W=W, edge=edge)
+    G1, Gy, Gy2, X, Xd, beta0, endc, pre = _em_stats_from_windows(
+        y_win, core_lo, core_hi, xi_hi, lp, mu, sigma, interpret=interpret)
+    # telescoped ll: absolute first-window term + same-window differences
+    ll = endc[0] + jnp.sum(endc[1:] - pre[1:])
     return G1, Gy, Gy2, X, Xd, beta0, ll
 
 

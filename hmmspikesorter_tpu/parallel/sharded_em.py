@@ -227,7 +227,8 @@ def _em_one_channel(y_loc, step_valid, lp, mu, sigma, tables: EMTables, *,
 def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
                     K: int, L: int = 256, time_axis: str = "time",
                     channel_axis: str | None = "channel",
-                    fb_mode: str = "blocked", H: int | None = None):
+                    fb_mode: str = "blocked", H: int | None = None,
+                    interpret: bool | None = None):
     """One EM step for a (C, T) channel batch on a (channel, time) mesh.
 
     Per-channel independent models: lp (C, N), mu (C, K, N), sigma (C,).
@@ -242,6 +243,15 @@ def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
                 — no operators at all. Needs >= 2 blocks per device and
                 halo accuracy per ops/ring_fb.ring_overlap_forward_backward
                 (below float precision at H = 4K).
+      "overlap_pallas" the same halo/window/psum protocol, but each
+                device's windows run through the fused Pallas EM kernels
+                (ops/pallas_fb_mb.py) instead of the XLA scans — the
+                production multi-chip TPU training mode (ROADMAP #11).
+                Same constraints as "overlap" plus the kernel's: the
+                non-overlap topology, K <= 65, W = L + 2H a multiple of
+                its chunk. f32 statistics. `interpret` forces Pallas
+                interpret mode (defaults to True off-TPU so the fake-mesh
+                CPU tests exercise this path).
 
     Single-channel time-only use: pass C=1 arrays and a channel axis of
     size 1 (or channel_axis=None with a 1-axis mesh).
@@ -251,23 +261,35 @@ def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
     Dv = mesh.shape[time_axis]
     if T % (Dv * L) != 0:
         raise ValueError(f"T={T} must be a multiple of Dv*L={Dv * L}")
-    if fb_mode not in ("blocked", "overlap"):
-        raise ValueError(f"fb_mode must be 'blocked' or 'overlap', "
-                         f"got {fb_mode!r}")
+    if fb_mode not in ("blocked", "overlap", "overlap_pallas"):
+        raise ValueError(f"fb_mode must be 'blocked', 'overlap' or "
+                         f"'overlap_pallas', got {fb_mode!r}")
     if H is None:
         H = max(4 * K, 64)
-    if fb_mode == "overlap":
+    if fb_mode in ("overlap", "overlap_pallas"):
         Ts = T // Dv
         if H < 1 or Ts // L < 2 or L < 2 * H:
             raise ValueError(
                 f"overlap mode needs 1 <= H <= L/2 and >= 2 blocks per "
                 f"device (Ts={Ts}, L={L}, H={H})")
+    if fb_mode == "overlap_pallas":
+        from ..ops.pallas_fb_mb import CH as EMCH, KP as EMKP
+
+        if K - 1 > EMKP:
+            raise ValueError(f"pallas EM kernel supports K <= {EMKP + 1}")
+        if (L + 2 * H) % EMCH != 0:
+            raise ValueError(
+                f"W = L + 2H = {L + 2 * H} must be a multiple of {EMCH}")
+        if interpret is None:
+            from ..utils.platform import is_tpu_backend
+
+            interpret = not is_tpu_backend()
 
     # dummy masked step 0 aligns steps with samples (module docstring)
     step_valid = jnp.arange(T) > 0
 
     def body(y_loc, step_valid_loc, lp_loc, mu_loc, sigma_loc):
-        if fb_mode == "overlap":
+        if fb_mode in ("overlap", "overlap_pallas"):
             Dv_ = jax.lax.axis_size(time_axis)
             # halo exchange: my tail -> right neighbor's left halo,
             # my head -> left neighbor's right halo (zeros at mesh edges)
@@ -277,8 +299,13 @@ def sharded_em_step(y, lp, mu, sigma, tables: EMTables, mesh: Mesh, *,
             halo_r = jax.lax.ppermute(
                 y_loc[:, :H], time_axis,
                 [(i + 1, i) for i in range(Dv_ - 1)])
-            fn = partial(_em_one_channel_overlap, tables=tables, K=K, L=L,
-                         H=H, time_axis=time_axis)
+            if fb_mode == "overlap_pallas":
+                fn = partial(_em_one_channel_overlap_pallas, tables=tables,
+                             K=K, L=L, H=H, time_axis=time_axis,
+                             interpret=interpret)
+            else:
+                fn = partial(_em_one_channel_overlap, tables=tables, K=K,
+                             L=L, H=H, time_axis=time_axis)
             return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))(
                 y_loc, halo_l, halo_r, lp_loc, mu_loc, sigma_loc)
         fn = partial(_em_one_channel, tables=tables, K=K, L=L,
@@ -451,6 +478,90 @@ def _em_one_channel_overlap(y_loc, halo_l, halo_r, lp, mu, sigma,
     new_sigma = jnp.sqrt(x2 / jnp.sum(G1))
 
     return new_lp, new_pi, new_mu, new_sigma, ll
+
+
+def _em_one_channel_overlap_pallas(y_loc, halo_l, halo_r, lp, mu, sigma,
+                                   tables: EMTables, *, K: int, L: int,
+                                   H: int, time_axis: str, interpret: bool):
+    """Per-device, per-channel fused-kernel EM body
+    (fb_mode='overlap_pallas'): the two Pallas EM kernels of
+    ops/pallas_fb_mb.py drop in per shard unchanged (ROADMAP #11) — the
+    cross-device state is identical to fb_mode='overlap' (one 2H-sample
+    halo ppermute + the statistic psums), but each device's local windows
+    run through the fused forward/backward kernels instead of the XLA
+    scans, and the psum'd quantities are ~KBs of *linear-space*
+    sufficient statistics (the same ones the single-device
+    _em_step_overlap_pallas M-step consumes)."""
+    from ..ops.pallas_fb_mb import _em_stats_from_windows
+    from ..ops.ring_fb import _emission_fns, _flat
+
+    N = tables.states.shape[0]
+    dtype = y_loc.dtype
+    didx = jax.lax.axis_index(time_axis)
+    Dv = jax.lax.axis_size(time_axis)
+    Ts = y_loc.shape[0]
+    B = Ts // L
+    W = L + 2 * H
+
+    # local halo windows (uniform rows read straight from the halo-extended
+    # span; only the MESH-edge rows clamp to the real signal edges — the
+    # same scheme as _em_one_channel_overlap, expressed through the
+    # kernels' per-window core bounds instead of rolls)
+    y_halo = jnp.concatenate([halo_l, y_loc, halo_r])          # (Ts + 2H,)
+    y_ext = jnp.pad(y_halo, (0, (B + 1) * L - (Ts + 2 * H)))
+    A = y_ext.reshape(B + 1, L)
+    y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)   # (B, W)
+    first_real = jax.lax.dynamic_slice_in_dim(y_loc, 0, W)
+    last_real = jax.lax.dynamic_slice_in_dim(y_loc, Ts - W, W)
+    y_win = y_win.at[0].set(jnp.where(didx == 0, first_real, y_win[0]))
+    y_win = y_win.at[B - 1].set(
+        jnp.where(didx == Dv - 1, last_real, y_win[B - 1]))
+
+    idx = jnp.arange(B)
+    core_lo = jnp.full((B,), H, jnp.int32)
+    core_lo = jnp.where((idx == 0) & (didx == 0), 0, core_lo)
+    core_lo = jnp.where((idx == B - 1) & (didx == Dv - 1), 2 * H, core_lo)
+    core_hi = core_lo + L
+    # xi (the t -> t+1 step) exists for global t <= T-2
+    xi_hi = jnp.where((idx == B - 1) & (didx == Dv - 1), core_hi - 1,
+                      core_hi)
+
+    G1, Gy, Gy2, X, Xd, beta0, endc, pre = _em_stats_from_windows(
+        y_win, core_lo, core_hi, xi_hi, lp, mu, sigma, interpret=interpret)
+
+    # reductions: every statistic is a linear-space sum
+    G1 = jax.lax.psum(G1, time_axis)
+    Gy = jax.lax.psum(Gy, time_axis)
+    Gy2 = jax.lax.psum(Gy2, time_axis)
+    X = jax.lax.psum(X, time_axis)
+    Xd = jax.lax.psum(Xd, time_axis)
+
+    # telescoped ll: the global first window contributes its absolute endc
+    # (its core_lo is 0 -> pre = 0 already), every other window endc - pre
+    ll = jax.lax.psum(jnp.sum(endc - pre), time_axis)
+
+    # pi needs alpha0 (emission at the global sample 0, dead-pi quirk) and
+    # window 0's terminal beta — both live on time-device 0
+    mu32 = jnp.asarray(mu, jnp.float32)
+    es0, eb0 = _emission_fns(mu32, jnp.asarray(sigma, jnp.float32))(
+        jnp.asarray(y_loc[0], jnp.float32))
+    alpha0 = _flat(es0, eb0)
+    zero = jnp.zeros_like(alpha0)
+    alpha0 = jax.lax.psum(jnp.where(didx == 0, alpha0, zero), time_axis)
+    beta0 = jax.lax.psum(jnp.where(didx == 0, beta0, zero), time_axis)
+    g0 = jax.nn.logsumexp(alpha0 + beta0)
+    new_pi = (alpha0 + beta0 - g0).astype(dtype)
+
+    # M-step: identical formulas to train.em._em_step_overlap_pallas
+    new_lp = (jnp.log(X) - jnp.log(Xd)).astype(dtype)
+    body = occ_divide(Gy[1:], G1[1:]).reshape(N, K - 1).T
+    new_mu = jnp.concatenate([jnp.zeros((1, N), jnp.float32), body], axis=0)
+    smu2 = state_means(tables.states, new_mu)
+    x2 = (jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy)
+          + jnp.dot(smu2 * smu2, G1))
+    new_sigma = jnp.sqrt(x2 / jnp.sum(G1)).astype(dtype)
+
+    return new_lp, new_pi, new_mu.astype(dtype), new_sigma, ll.astype(dtype)
 
 
 # --- multi-channel distributed EM: the joint (T, C) model time-sharded ---

@@ -144,6 +144,48 @@ def test_sharded_em_overlap_mode_matches_single_device(tdev, cdev):
         np.testing.assert_allclose(pi_sh[c], np.asarray(pi_1), atol=1e-7)
 
 
+@pytest.mark.parametrize("tdev,cdev", [(4, 1), (2, 2)])
+def test_sharded_em_overlap_pallas_matches_single_device(tdev, cdev):
+    """Distributed fused-kernel EM (fb_mode='overlap_pallas', ROADMAP #11):
+    the Pallas EM kernels drop in per shard unchanged (interpret mode on
+    the fake CPU mesh); the psum'd linear statistics must reproduce the
+    single-device fused EM up to reduction reassociation, and the exact
+    f64 gather EM at f32 tolerance."""
+    y, mu, lp, sigma, ss = _mk(K=12, T=8192)
+    tables = EMTables.build(ss)
+    C = cdev
+    ys = np.stack([y] * C).astype(np.float32)
+    lps = np.stack([lp] * C).astype(np.float32)
+    mus = np.stack([mu] * C).astype(np.float32)
+    sigmas = np.full(C, sigma, np.float32)
+
+    devs = np.array(jax.devices()[: tdev * cdev]).reshape(cdev, tdev)
+    mesh = Mesh(devs, ("channel", "time"))
+    out = sharded_em_step(ys, lps, mus, sigmas, tables, mesh, K=ss.K,
+                          L=512, fb_mode="overlap_pallas", H=128)
+    lp_sh, pi_sh, mu_sh, sig_sh, ll_sh = map(np.asarray, out)
+
+    # single-device fused EM (same kernels, same window protocol)
+    lp_p, pi_p, mu_p, sig_p, ll_p = map(np.asarray, em_step(
+        jnp.asarray(y, jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(mu, jnp.float32), jnp.float32(sigma), tables, K=ss.K,
+        fb_mode="overlap_pallas", block=512, fb_interpret=True))
+    # exact reference-semantics EM at f64 (f32-tolerance anchor)
+    lp_1, pi_1, mu_1, sig_1, ll_1 = em_step(
+        jnp.asarray(y), jnp.asarray(lp), jnp.asarray(mu),
+        jnp.asarray(sigma), tables, K=ss.K, fb_mode="gather")
+    for c in range(C):
+        np.testing.assert_allclose(lp_sh[c], lp_p, rtol=2e-5)
+        np.testing.assert_allclose(mu_sh[c], mu_p, atol=2e-5)
+        assert sig_sh[c] == pytest.approx(float(sig_p), rel=2e-6)
+        assert ll_sh[c] == pytest.approx(float(ll_p), rel=2e-6)
+        np.testing.assert_allclose(pi_sh[c], pi_p, atol=1e-4)
+        np.testing.assert_allclose(lp_sh[c], np.asarray(lp_1), rtol=1e-3)
+        np.testing.assert_allclose(mu_sh[c], np.asarray(mu_1), atol=1e-3)
+        assert sig_sh[c] == pytest.approx(float(sig_1), rel=1e-4)
+        assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-5)
+
+
 def _mk_mc(N=2, K=12, C=3, T=4096, seed=13):
     rng = np.random.default_rng(seed)
     temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
