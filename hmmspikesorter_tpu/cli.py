@@ -311,6 +311,12 @@ def main(argv=None) -> int:
                         "'all' = decode every channel of a 2-D recording "
                         "(with --engine fast, one batched device program; "
                         "output mlseq/ll gain a leading channel axis)")
+    p.add_argument("--transfer", choices=["dense", "events"],
+                   default="dense",
+                   help="'events' fetches the packed spike-onset grid "
+                        "instead of dense labels and reconstructs them "
+                        "exactly on the host (much less device->host "
+                        "traffic; --engine fast only)")
     p.add_argument("--multichannel", action="store_true",
                    help="decode ONE spike train from ALL channels jointly, "
                         "using every channel of spikeForms (the reference "
@@ -329,7 +335,8 @@ def main(argv=None) -> int:
                                      chunksize=args.chunksize,
                                      channels=(1 if args.channels == "1"
                                                else "all"),
-                                     multichannel=args.multichannel))
+                                     multichannel=args.multichannel,
+                                     transfer=args.transfer))
     sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg)
     return 0
 

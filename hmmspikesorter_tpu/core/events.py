@@ -162,13 +162,15 @@ def labels_from_onsets(onsets, x0, *, T: int, N: int, K: int,
     """
     x0 = int(x0)
     Km1 = K - 1
-    # per-neuron onset lists, with a virtual (possibly negative) onset for
-    # a spike already in progress at t=0: phase p0 at t=0 <=> onset 1-p0
+    # per-neuron onset lists, with a virtual (negative) onset for a spike
+    # already in progress at t=0: phase p0 at t=0 <=> onset 1-p0. p0 == 1
+    # IS a real onset at t=0 — already in the extracted list, so adding
+    # the virtual one would double-count it in the validity sweep.
     ons = []
     for n in range(N):
         pos = np.asarray(onsets[n], np.int64)
         p0 = int(phase_of(np.asarray([x0]), n, N, K, overlaps)[0])
-        if p0 > 0:
+        if p0 > 1:
             pos = np.concatenate([[1 - p0], pos])
         ons.append(pos)
 
@@ -320,6 +322,45 @@ def _onsets_dense(x, *, N, K, overlaps):
     t = np.arange(len(x))
     return [t[np.asarray(phase_of(x, n, N, K, overlaps)) == 1]
             for n in range(N)]
+
+
+def make_events_block_decoder(block_decoder, *, N: int, K: int,
+                              overlaps: bool):
+    """Wrap a streaming block decoder ((B, W) windows -> (B, W) labels)
+    so each device call returns ONE packed event blob instead of the
+    dense label batch (parallel/overlap_save.overlap_save_decode_long's
+    D2H is all labels; events cut it ~16x at K=60). Each window's decode
+    is a valid path by itself (no splicing happens on the device), so the
+    host reconstruction below is unconditionally exact."""
+
+    def dec(y_win, sil):
+        xb = block_decoder(y_win, sil)                       # (B, W)
+        packed, counts = jax.vmap(
+            partial(extract_onsets_packed, N=N, K=K, overlaps=overlaps))(xb)
+        blob = jnp.concatenate([_u8(packed), _u8(counts),
+                                _u8(xb[:, 0].astype(jnp.int32))])
+        return blob
+
+    return dec
+
+
+def unpack_window_blob(blob, *, B: int, W: int, N: int, K: int,
+                       overlaps: bool) -> np.ndarray:
+    """Host-side inverse of make_events_block_decoder: (B, W) int32
+    labels, bit-equal to the dense block decode."""
+    blob = np.asarray(blob)
+    G = event_chunk(K)
+    C = -(-W // G)
+    o = B * N * C
+    packed = blob[:o].reshape(B, N, C)
+    counts = blob[o : o + 4 * B * N].view(np.int32).reshape(B, N)
+    x0 = blob[o + 4 * B * N : o + 4 * B * N + 4 * B].view(np.int32)
+    out = np.empty((B, W), np.int32)
+    for b in range(B):
+        onsets = onsets_from_packed(packed[b], counts[b], K=K)
+        out[b] = labels_from_onsets(onsets, int(x0[b]), T=W, N=N, K=K,
+                                    overlaps=overlaps)
+    return out
 
 
 @partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))

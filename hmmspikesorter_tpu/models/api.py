@@ -352,10 +352,14 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
         # the one-shot path (f64 on CPU-x64, f32 on TPU) — a f32 window fed
         # to the f64 ring decoder could flip labels near score ties
         in_idx, in_w, smu = templates.decode_tables()
+        espec = ((templates.n_neurons, templates.K,
+                  templates.allow_overlaps)
+                 if transfer == "events" and templates.has_ring_engine
+                 else None)
         x, seam_ok = overlap_save_decode_long(
             y, in_idx, in_w, smu, templates.sigma, L=L, H=H,
             blocks_per_call=blocks_per_call, block_decoder=dec,
-            prefetch=prefetch)
+            prefetch=prefetch, event_spec=espec)
         spike_onsets = None
     elif transfer == "events" and templates.has_ring_engine:
         from ..core.events import decode_events_overlap_save

@@ -180,7 +180,7 @@ def _decode_blocks_from_y(y_win, sil, in_idx, in_w, state_mu, sigma):
 def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
                              H: int, blocks_per_call: int = 8,
                              block_decoder=None, prefetch: int = 2,
-                             window_dtype=None):
+                             window_dtype=None, event_spec=None):
     """Host-driven overlap-save decode of arbitrarily long signals.
 
     Streams batches of `blocks_per_call` halo-extended blocks through the
@@ -207,12 +207,26 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
     `prefetch` (blocks_per_call, W) input windows are live on the device.
     prefetch=1 reproduces the strictly serial dispatch-then-fetch loop.
 
+    `event_spec=(N, K, overlaps)` (requires block_decoder) switches each
+    chunk's D2H transfer to the packed spike-event blob (core/events.py,
+    ~16x smaller at K=60); labels are reconstructed exactly on the host —
+    each window's decode is a valid path, so no fallback is needed.
+
     Returns (x (T,) int32, seam_ok (B-1,) bool).
     """
     if L < 2 * H:
         raise ValueError("need L >= 2H so seam cuts are monotone")
     if prefetch < 1:
         raise ValueError("prefetch must be >= 1")
+    if event_spec is not None:
+        if block_decoder is None:
+            raise ValueError("event_spec requires a block_decoder")
+        from ..core.events import (make_events_block_decoder,
+                                   unpack_window_blob)
+
+        eN, eK, eov = event_spec
+        block_decoder = make_events_block_decoder(block_decoder, N=eN,
+                                                  K=eK, overlaps=eov)
     y = np.asarray(y)
     T = len(y)
     Tp = -(-T // L) * L                    # seam grid; windows themselves
@@ -237,7 +251,12 @@ def overlap_save_decode_long(y, in_idx, in_w, state_mu, sigma, *, L: int,
 
     def fetch_oldest():
         p0, p1, dev = pending.popleft()
-        labels[p0:p1] = np.asarray(dev)[: p1 - p0]
+        if event_spec is not None:
+            lab = unpack_window_blob(dev, B=blocks_per_call, W=W, N=eN,
+                                     K=eK, overlaps=eov)
+        else:
+            lab = np.asarray(dev)
+        labels[p0:p1] = lab[: p1 - p0]
 
     for c0 in range(0, B, blocks_per_call):
         c1 = min(c0 + blocks_per_call, B)

@@ -92,6 +92,21 @@ def test_sort_data_fast_engine(tmp_path):
     assert np.isfinite(out_fast["ll"])
 
 
+def test_sort_data_fast_engine_events_transfer(tmp_path):
+    """--transfer events must produce the identical MAT payload (labels
+    reconstructed exactly from the packed onset grid)."""
+    from hmmspikesorter_tpu.config import Config, DecodeConfig
+
+    tfile, dfile, temps, pp, y = _write_inputs(tmp_path, T=4096)
+    out_fast = cli.sort_data(tfile, dfile, str(tmp_path / "f.mat"),
+                             engine="fast")
+    cfg = Config(decode=DecodeConfig(engine="fast", transfer="events"))
+    out_ev = cli.sort_data(tfile, dfile, str(tmp_path / "e.mat"),
+                           config=cfg)
+    np.testing.assert_array_equal(out_ev["mlseq"], out_fast["mlseq"])
+    assert out_ev["ll"] == out_fast["ll"]
+
+
 def test_sort_data_all_channels(tmp_path):
     """channels='all' decodes every channel of a 2-D recording; channel 1's
     row of the batched output matches the default single-channel run, and

@@ -187,6 +187,26 @@ def test_api_batched_events_transfer_identical():
         assert me.ll == pytest.approx(md.ll, rel=1e-12)
 
 
+def test_streaming_events_transfer_identical():
+    from hmmspikesorter_tpu.models import api
+
+    K = 20
+    tmz = None
+    rng = np.random.default_rng(17)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    y, _ = create_signal_fast(1 << 14, 0.3, pp, temps, rng=rng)
+    tm = api.HMMTemplateModel(mu=temps, sigma=0.3, lp=np.log(pp),
+                              allow_overlaps=True)
+    dense = api.fit_spiking_model_fast(tm, y, L=1024, H=128, streaming=True,
+                                       blocks_per_call=4)
+    ev = api.fit_spiking_model_fast(tm, y, L=1024, H=128, streaming=True,
+                                    blocks_per_call=4, transfer="events")
+    np.testing.assert_array_equal(ev.ml_seq, dense.ml_seq)
+    assert ev.ll == pytest.approx(dense.ll, rel=1e-12)
+
+
 def test_decode_events_flagged_seam_falls_back_dense():
     # a signal with no common silence anywhere near one seam: back-to-back
     # spikes through the cut (same construction as test_seam_repair)
