@@ -204,7 +204,8 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
         guard_inputs(yc.T, float(tmc.sigmas[0]))
         print("Fitting model...")
         if engine == "fast":
-            model = fit_spiking_model_mc_fast(tmc, yc)
+            model = fit_spiking_model_mc_fast(
+                tmc, yc, transfer=pick(UNSET, dc("transfer"), "dense"))
         else:
             model = fit_spiking_model_mc(tmc, yc, chunksize=chunksize,
                                          progress=progress)

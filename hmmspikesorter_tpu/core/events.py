@@ -324,6 +324,55 @@ def _onsets_dense(x, *, N, K, overlaps):
             for n in range(N)]
 
 
+@partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine",
+                                   "N", "K"))
+def _mc_overlap_save_events_impl(es, d, lp, c1, cx, *, L, H, overlaps,
+                                 block_engine, N, K):
+    from ..parallel.overlap_save import _mc_overlap_save_impl
+
+    x, seam_ok = _mc_overlap_save_impl(es, d, lp, c1, cx, L=L, H=H,
+                                       overlaps=overlaps,
+                                       block_engine=block_engine)
+    packed, counts = extract_onsets_packed(x, N=N, K=K, overlaps=overlaps)
+    blob = jnp.concatenate([_u8(packed), _u8(counts),
+                            _u8(x[0].astype(jnp.int32)), _u8(seam_ok)])
+    return blob, x
+
+
+def decode_events_mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int,
+                                  overlaps: bool,
+                                  block_engine: str = "auto",
+                                  return_labels: bool = True):
+    """Multi-channel production decode with sparse event transfer: same
+    contract as decode_events_overlap_save, over the joint (T, C) model
+    (parallel/overlap_save.mc_overlap_save)."""
+    from ..parallel.overlap_save import _mc_prepare
+
+    K, N, _ = np.shape(mu)
+    T = int(np.shape(yc)[0])
+    es, d, lp_d, c1, cx, block_engine = _mc_prepare(
+        yc, lp, mu, sigmas, L=L, H=H, overlaps=overlaps,
+        block_engine=block_engine)
+    blob, x_dense = _mc_overlap_save_events_impl(
+        es, d, lp_d, c1, cx, L=L, H=H, overlaps=overlaps,
+        block_engine=block_engine, N=N, K=K)
+    B = -(-T // L) if T >= L + 2 * H else 1
+    packed, counts, x0, seam_ok = _parse_event_blob(blob, T=T, N=N, K=K,
+                                                    B=B)
+    if seam_ok.all():
+        try:
+            onsets = onsets_from_packed(packed, counts, K=K)
+            x = (labels_from_onsets(onsets, x0, T=T, N=N, K=K,
+                                    overlaps=overlaps)
+                 if return_labels else None)
+            return onsets, x, seam_ok
+        except ValueError:
+            pass
+    x = np.asarray(x_dense).astype(np.int32)
+    onsets = _onsets_dense(x, N=N, K=K, overlaps=overlaps)
+    return onsets, (x if return_labels else None), seam_ok
+
+
 def make_events_block_decoder(block_decoder, *, N: int, K: int,
                               overlaps: bool):
     """Wrap a streaming block decoder ((B, W) windows -> (B, W) labels)

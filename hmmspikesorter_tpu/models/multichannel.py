@@ -129,7 +129,8 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
                               streaming: bool | None = None,
                               blocks_per_call: int = 256,
                               prefetch: int = 2,
-                              repair: bool = True) -> HMMSpikingModel:
+                              repair: bool = True,
+                              transfer: str = "dense") -> HMMSpikingModel:
     """Production multi-channel decode: parallel overlap-save with the
     structured MC ring engines (parallel/overlap_save.mc_overlap_save),
     automatic seam repair, and the telescoped reference ll
@@ -142,7 +143,12 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
     through the fixed-shape host driver (one compile serves any T —
     raw (B, W, C) windows stream to the device and the channel-collapsing
     projection runs per block, ops/ring_viterbi_mc.mc_block_decoder);
-    True/False force either path. Labels are identical."""
+    True/False force either path. Labels are identical.
+
+    transfer="events" fetches the packed spike-onset grid instead of the
+    dense labels (core/events.py — exact host reconstruction, decoded
+    onsets exposed as model.spike_onsets), on both the one-shot and the
+    streaming path."""
     from ..parallel.overlap_save import mc_overlap_save
 
     yc = np.asarray(yc, dtype=np.float64)
@@ -167,14 +173,25 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
         dec = mc_block_decoder(templates.lp, templates.mu, templates.sigmas,
                                overlaps=templates.allow_overlaps,
                                W=L + 2 * H)
+        espec = ((templates.n_neurons, templates.K,
+                  templates.allow_overlaps) if transfer == "events"
+                 else None)
         x, seam_ok = overlap_save_decode_long(
             yc, None, None, None, None, L=L, H=H,
             blocks_per_call=blocks_per_call, block_decoder=dec,
-            prefetch=prefetch)
+            prefetch=prefetch, event_spec=espec)
+        spike_onsets = None
+    elif transfer == "events":
+        from ..core.events import decode_events_mc_overlap_save
+
+        spike_onsets, x, seam_ok = decode_events_mc_overlap_save(
+            yc, templates.lp, templates.mu, templates.sigmas, L=L, H=H,
+            overlaps=templates.allow_overlaps)
     else:
         x, seam_ok = mc_overlap_save(yc, templates.lp, templates.mu,
                                      templates.sigmas, L=L, H=H,
                                      overlaps=templates.allow_overlaps)
+        spike_onsets = None
     x = np.asarray(x)
     seam_ok = np.asarray(seam_ok)
     n_repaired = 0
@@ -186,11 +203,19 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
         x, _ = repair_seams(yc, x, failed, dec, H=H)
         n_repaired = int((~seam_ok).sum())
         seam_ok = np.ones_like(seam_ok)
+        spike_onsets = None          # repair rewrote labels; recompute below
     ll = path_cumulative_ll_mc(yc, x, templates.state_space.states,
                                templates.mu, templates.sigmas, templates.lp)
     model = HMMSpikingModel(templates, x, ll, yc)
     model.seam_ok = seam_ok
     model.seams_repaired = n_repaired
+    if spike_onsets is None and transfer == "events":
+        from ..core.events import _onsets_dense
+
+        spike_onsets = _onsets_dense(x, N=templates.n_neurons,
+                                     K=templates.K,
+                                     overlaps=templates.allow_overlaps)
+    model.spike_onsets = spike_onsets
     return model
 
 

@@ -633,6 +633,18 @@ def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool,
 
     Returns (x (T,) int labels, seam_ok (B-1,) bool).
     """
+    es, d, lp_d, c1, cx, block_engine = _mc_prepare(
+        yc, lp, mu, sigmas, L=L, H=H, overlaps=overlaps,
+        block_engine=block_engine)
+    return _mc_overlap_save_impl(es, d, lp_d, c1, cx, L=L, H=H,
+                                 overlaps=overlaps,
+                                 block_engine=block_engine)
+
+
+def _mc_prepare(yc, lp, mu, sigmas, *, L, H, overlaps, block_engine):
+    """Shared MC front-end prep: resolve the engine, project the channel
+    streams, and build the static energy tables (consumed by
+    mc_overlap_save and the events-transfer wrapper in core/events.py)."""
     from ..core.emission_mc import MCTables, mc_streams
 
     if L < 2 * H:
@@ -654,9 +666,7 @@ def mc_overlap_save(yc, lp, mu, sigmas, *, L: int, H: int, overlaps: bool,
         cx = jnp.asarray(tables.x2[(0, 1)], dtype)       # ov2 cross form
     else:
         cx = jnp.zeros((0,), dtype)
-    return _mc_overlap_save_impl(es, d, jnp.asarray(lp, dtype), c1, cx,
-                                 L=L, H=H, overlaps=overlaps,
-                                 block_engine=block_engine)
+    return es, d, jnp.asarray(lp, dtype), c1, cx, block_engine
 
 
 @partial(jax.jit, static_argnames=("L", "H", "overlaps", "block_engine"))

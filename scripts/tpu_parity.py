@@ -135,6 +135,25 @@ def main() -> int:
     record["agreement_pallas_vs_ring_full_T"] = float(
         (x_pal == x_tpu).mean())
 
+    # --- 4c. sparse event transfer on hardware (round 3): the packed
+    # onset grid + exact host reconstruction must reproduce the dense
+    # full-T labels bit-for-bit, and the streaming events path its dense
+    # twin
+    from hmmspikesorter_tpu.core.events import decode_events_overlap_save
+
+    _, x_ev, ok_ev = decode_events_overlap_save(
+        jnp.asarray(y, jnp.float32), jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps, jnp.float32), sigma, L=8192, H=256,
+        overlaps=True)
+    record["agreement_events_vs_dense_full_T"] = float(
+        (x_ev == x_tpu.astype(np.int32)).mean())
+    record["events_seams_ok"] = bool(ok_ev.all())
+    ms_ev = fit_spiking_model_fast(tm, y[: 1 << 19], L=8192, H=256,
+                                   streaming=True, blocks_per_call=32,
+                                   transfer="events")
+    record["agreement_streaming_events_vs_dense_2e19"] = float(
+        (np.asarray(ms_ev.ml_seq) == np.asarray(ms.ml_seq)).mean())
+
     # --- 5. EM step f32 blocked on TPU vs native f64 reference EM
     from hmmspikesorter_tpu.train.em import EMTables, em_step
 

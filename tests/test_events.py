@@ -207,6 +207,36 @@ def test_streaming_events_transfer_identical():
     assert ev.ll == pytest.approx(dense.ll, rel=1e-12)
 
 
+def test_mc_events_transfer_identical():
+    from hmmspikesorter_tpu.models.multichannel import (
+        HMMTemplateModelMC, fit_spiking_model_mc_fast)
+
+    K, N, C, T = 20, 2, 3, 1 << 13
+    rng = np.random.default_rng(8)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    gains = 0.3 + rng.random((N, C))
+    mu = temps[:, :, None] * gains[None]
+    sigmas = 0.25 + 0.1 * rng.random(C)
+    pp = np.array([0.004, 0.002])
+    y, truth = create_signal_fast(T, 0.0, pp, temps, rng=rng)
+    yc = sigmas[None, :] * rng.standard_normal((T, C))
+    for n in range(N):
+        k = truth[n]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n]
+    tmc = HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=np.log(pp),
+                             allow_overlaps=True)
+    dense = fit_spiking_model_mc_fast(tmc, yc, L=1024, H=128)
+    ev = fit_spiking_model_mc_fast(tmc, yc, L=1024, H=128,
+                                   transfer="events")
+    np.testing.assert_array_equal(ev.ml_seq, dense.ml_seq)
+    assert ev.ll == pytest.approx(dense.ll, rel=1e-12)
+    evs = fit_spiking_model_mc_fast(tmc, yc, L=1024, H=128, streaming=True,
+                                    blocks_per_call=4, transfer="events")
+    np.testing.assert_array_equal(evs.ml_seq, dense.ml_seq)
+
+
 def test_decode_events_flagged_seam_falls_back_dense():
     # a signal with no common silence anywhere near one seam: back-to-back
     # spikes through the cut (same construction as test_seam_repair)
