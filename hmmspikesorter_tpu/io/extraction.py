@@ -61,6 +61,40 @@ def extract_spiketimes(model: HMMSpikingModel) -> list[np.ndarray]:
     return out
 
 
+def extract_spiketimes_from_onsets(onsets, mu, x0: int = 0, *,
+                                   T: int | None = None) -> list[np.ndarray]:
+    """Spike timestamps straight from decoded onsets — no label sequence.
+
+    The trough-aligned timestamp of a spike with onset o is
+    ``o + argmin(waveform) - 1`` (the neuron reaches ring position k at
+    sample o + k - 1), so the event-transfer decode
+    (``model.spike_onsets``, core/events.py) yields extraction-contract
+    timestamps without ever reconstructing the (T,) labels. ``x0`` seeds
+    a spike already in progress at sample 0 (its onset lies before the
+    recording); timestamps are clipped to [0, T).
+
+    Equals extract_spiketimes(model) exactly for single-channel models
+    and for multi-channel models via the same largest-channel trough.
+    """
+    from ..core.events import phase_of
+
+    mu = np.asarray(mu)
+    N = mu.shape[1]
+    K = mu.shape[0]
+    out = []
+    for i in range(N):
+        qidx = int(np.argmin(_trough_waveform(mu, i)))
+        ts = np.asarray(onsets[i], np.int64) + qidx - 1
+        p0 = int(phase_of(np.asarray([int(x0)]), i, N, K, True)[0])
+        if p0 > 1:                       # mid-spike at t=0: onset at 1-p0
+            ts = np.concatenate([[qidx - p0], ts])
+        ts = ts[ts >= 0]
+        if T is not None:
+            ts = ts[ts < T]
+        out.append(ts)
+    return out
+
+
 def extract_units(model: HMMSpikingModel, channel: int,
                   *, sampling_rate: float = DEFAULT_SAMPLING_RATE) -> dict:
     """Unit dicts keyed by the reference's filename pattern

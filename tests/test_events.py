@@ -207,6 +207,35 @@ def test_streaming_events_transfer_identical():
     assert ev.ll == pytest.approx(dense.ll, rel=1e-12)
 
 
+def test_spiketimes_from_onsets_match_label_extraction():
+    from hmmspikesorter_tpu.io import extraction
+    from hmmspikesorter_tpu.models import api
+
+    y, lp, mu, sigma = _bench_problem(T=1 << 14)
+    tm = api.HMMTemplateModel(mu=mu, sigma=sigma, lp=lp,
+                              allow_overlaps=True)
+    m = api.fit_spiking_model_fast(tm, y, L=1024, H=128, transfer="events")
+    via_labels = extraction.extract_spiketimes(m)
+    via_onsets = extraction.extract_spiketimes_from_onsets(
+        m.spike_onsets, mu, x0=int(m.ml_seq[0]), T=len(y))
+    for a, b in zip(via_labels, via_onsets):
+        np.testing.assert_array_equal(a, b)
+    # synthetic mid-spike start: phase p0 at t=0 must yield the clipped
+    # trough timestamp without an in-range onset
+    N, K = mu.shape[1], mu.shape[0]
+    x = _random_valid_path(np.random.default_rng(1), 400, N, K, True,
+                           x0_phase=3)
+    onsets = extract_onsets(jnp.asarray(x), N=N, K=K, overlaps=True)
+    via_on = extraction.extract_spiketimes_from_onsets(onsets, mu,
+                                                       x0=int(x[0]), T=400)
+    rolled = np.stack([np.asarray(phase_of(x, n, N, K, True))
+                       for n in range(N)])
+    for i in range(N):
+        qidx = int(np.argmin(mu[:, i]))
+        np.testing.assert_array_equal(via_on[i],
+                                      np.nonzero(rolled[i] == qidx)[0])
+
+
 def test_mc_events_transfer_identical():
     from hmmspikesorter_tpu.models.multichannel import (
         HMMTemplateModelMC, fit_spiking_model_mc_fast)
