@@ -383,14 +383,23 @@ def make_events_block_decoder(block_decoder, *, N: int, K: int,
     host reconstruction below is unconditionally exact."""
 
     def dec(y_win, sil):
-        xb = block_decoder(y_win, sil)                       # (B, W)
-        packed, counts = jax.vmap(
-            partial(extract_onsets_packed, N=N, K=K, overlaps=overlaps))(xb)
-        blob = jnp.concatenate([_u8(packed), _u8(counts),
-                                _u8(xb[:, 0].astype(jnp.int32))])
-        return blob
+        # two module-level-cached jit dispatches per chunk (the decode and
+        # the pack): a per-closure @jax.jit here would RECOMPILE on every
+        # driver invocation (fresh closure identity), minutes apiece on
+        # remote-compile backends, and eager packing ops would each pay a
+        # dispatch round trip per chunk
+        return _pack_label_windows(block_decoder(y_win, sil), N=N, K=K,
+                                   overlaps=overlaps)
 
     return dec
+
+
+@partial(jax.jit, static_argnames=("N", "K", "overlaps"))
+def _pack_label_windows(xb, *, N, K, overlaps):
+    packed, counts = jax.vmap(
+        partial(extract_onsets_packed, N=N, K=K, overlaps=overlaps))(xb)
+    return jnp.concatenate([_u8(packed), _u8(counts),
+                            _u8(xb[:, 0].astype(jnp.int32))])
 
 
 def unpack_window_blob(blob, *, B: int, W: int, N: int, K: int,
