@@ -100,12 +100,19 @@ def load_template_file_mc(inputfile: str, max_templates: int = MAX_TEMPLATES):
                                   allow_overlaps=True)
 
 
-def load_data_file(datafile: str, *, channels=1) -> np.ndarray:
+def load_data_file(datafile: str, *, channels=1,
+                   keep_int: bool = False) -> np.ndarray:
     """Read the voltage trace (reference hmmsort.jl:66-88).
 
     channels=1 (reference behavior) returns channel 1 as a (T,) trace;
     channels="all" returns every channel as a (C, T) matrix (a 1-D
-    dataset becomes (1, T))."""
+    dataset becomes (1, T)).
+
+    keep_int=True preserves an integer on-disk dtype (int16 ADC data is
+    the common format) instead of the reference's Float64 conversion
+    (hmmsort.jl:80-88): the fast decode paths ship integers to the device
+    raw and cast in-graph — float(int16) is exact, so results are
+    identical while the host->device transfer halves."""
     import h5py
 
     with h5py.File(datafile, "r") as ff:
@@ -126,6 +133,8 @@ def load_data_file(datafile: str, *, channels=1) -> np.ndarray:
             data = data[0]
     elif channels == "all":
         data = data[None]
+    if keep_int and np.issubdtype(data.dtype, np.integer):
+        return np.ascontiguousarray(data)
     return np.asarray(data, dtype=np.float64)
 
 
@@ -228,9 +237,12 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
         return {}
     print("Creating template model...")
     print("Loading data...")
-    data = load_data_file(datafile, channels=channels)
+    # the fast engine casts integer recordings in-graph (exact) — keep
+    # int16 data raw so the device upload is half the bytes
+    data = load_data_file(datafile, channels=channels,
+                          keep_int=(engine == "fast" and channels != "all"))
 
-    guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
+    guard_inputs(np.asarray(data, np.float64), tm.sigma)  # fail fast on NaN
     print("Fitting model...")
     if channels == "all":
         if engine == "fast":

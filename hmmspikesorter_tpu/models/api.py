@@ -324,7 +324,14 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     if transfer not in ("dense", "events"):
         raise ValueError(f"unknown transfer mode {transfer!r}")
 
-    y = np.asarray(y, dtype=np.float64)
+    # integer recordings (int16 ADC data is the common on-disk format)
+    # ship to the device RAW and are cast in-graph: float32(int16) is
+    # exact, so labels are identical to a host-side float cast while the
+    # host->device transfer — the long-recording bottleneck — halves.
+    # Host-side math (ll replay, seam repair) uses the float64 view.
+    y_raw = np.asarray(y)
+    int_input = np.issubdtype(y_raw.dtype, np.integer)
+    y = y_raw.astype(np.float64)
     if templates.n_neurons == 0:
         return _all_silent_model(templates, y, templates.sigma)
     if H is None:
@@ -357,18 +364,21 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
                  if transfer == "events" and templates.has_ring_engine
                  else None)
         x, seam_ok = overlap_save_decode_long(
-            y, in_idx, in_w, smu, templates.sigma, L=L, H=H,
-            blocks_per_call=blocks_per_call, block_decoder=dec,
-            prefetch=prefetch, event_spec=espec)
+            y_raw if int_input else y, in_idx, in_w, smu, templates.sigma,
+            L=L, H=H, blocks_per_call=blocks_per_call, block_decoder=dec,
+            prefetch=prefetch, event_spec=espec,
+            window_dtype=(y_raw.dtype if int_input else None))
         spike_onsets = None
     elif transfer == "events" and templates.has_ring_engine:
         from ..core.events import decode_events_overlap_save
 
         spike_onsets, x, seam_ok = decode_events_overlap_save(
-            y, templates.lp, templates.mu, templates.sigma, L=L, H=H,
+            y_raw if int_input else y, templates.lp, templates.mu,
+            templates.sigma, L=L, H=H,
             overlaps=templates.allow_overlaps, block_engine=block_engine)
     else:
-        x, seam_ok = ring_overlap_save(y, templates.lp, templates.mu,
+        x, seam_ok = ring_overlap_save(y_raw if int_input else y,
+                                       templates.lp, templates.mu,
                                        templates.sigma, L=L, H=H,
                                        overlaps=templates.allow_overlaps,
                                        block_engine=block_engine)

@@ -185,6 +185,26 @@ def test_fast_decode_events_transfer_identical():
             np.testing.assert_array_equal(ev.spike_onsets[n], t[mask])
 
 
+def test_fast_decode_int16_input_identical():
+    """Integer recordings ship to the device raw and are cast in-graph;
+    float(int16) is exact, so every fast path must match the float64 run
+    bit-for-bit (labels AND ll)."""
+    tm0, y, _ = _model_and_signal(K=20, T=8192, overlaps=True)
+    yi = np.clip(np.round(y * 2000), -32768, 32767).astype(np.int16)
+    yf = yi.astype(np.float64)
+    # rescale templates/sigma into the integer units
+    tm = api.HMMTemplateModel(mu=tm0.mu * 2000, sigma=tm0.sigma * 2000,
+                              lp=tm0.lp, allow_overlaps=True)
+    for kw in ({}, {"transfer": "events"},
+               {"streaming": True, "blocks_per_call": 4},
+               {"streaming": True, "blocks_per_call": 4,
+                "transfer": "events"}):
+        mf = api.fit_spiking_model_fast(tm, yf, L=1024, H=128, **kw)
+        mi = api.fit_spiking_model_fast(tm, yi, L=1024, H=128, **kw)
+        np.testing.assert_array_equal(mi.ml_seq, mf.ml_seq)
+        assert mi.ll == pytest.approx(mf.ll, rel=1e-12), kw
+
+
 def test_fast_decode_streaming_matches_oneshot():
     tm, y, _ = _model_and_signal(K=20, T=8192, overlaps=True)
     one = api.fit_spiking_model_fast(tm, y, L=1024, H=128)
