@@ -479,22 +479,25 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
     from ..core.path_score import path_cumulative_ll
     from ..parallel.overlap_save import ring_overlap_save_batched
 
-    ys = np.asarray(ys, dtype=np.float64)
+    ys_raw = np.asarray(ys)
+    int_input = np.issubdtype(ys_raw.dtype, np.integer)
+    ys = ys_raw.astype(np.float64)
     if ys.shape[1] < L + 2 * H:
         # shorter than one window: per-channel one-shot exact decode
         return [fit_spiking_model_fast(templates, row, L=L, H=H,
                                        repair=repair,
                                        block_engine=block_engine)
                 for row in ys]
+    ys_dev = ys_raw if int_input else ys    # raw ints: in-graph cast is exact
     if transfer == "events" and templates.has_ring_engine:
         from ..core.events import decode_events_overlap_save_batched
 
         _, xs, oks = decode_events_overlap_save_batched(
-            ys, templates.lp, templates.mu, templates.sigma, L=L, H=H,
+            ys_dev, templates.lp, templates.mu, templates.sigma, L=L, H=H,
             overlaps=templates.allow_overlaps, block_engine=block_engine)
     else:
         xs, oks = ring_overlap_save_batched(
-            ys, templates.lp, templates.mu, templates.sigma, L=L, H=H,
+            ys_dev, templates.lp, templates.mu, templates.sigma, L=L, H=H,
             overlaps=templates.allow_overlaps, block_engine=block_engine)
     xs = np.asarray(xs)
     oks = np.asarray(oks)

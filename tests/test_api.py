@@ -203,6 +203,15 @@ def test_fast_decode_int16_input_identical():
         mi = api.fit_spiking_model_fast(tm, yi, L=1024, H=128, **kw)
         np.testing.assert_array_equal(mi.ml_seq, mf.ml_seq)
         assert mi.ll == pytest.approx(mf.ll, rel=1e-12), kw
+    # channel-batched path
+    for kw in ({}, {"transfer": "events"}):
+        bf = api.fit_spiking_models_fast_batched(tm, np.stack([yf, yf]),
+                                                 L=1024, H=128, **kw)
+        bi = api.fit_spiking_models_fast_batched(tm, np.stack([yi, yi]),
+                                                 L=1024, H=128, **kw)
+        for mf2, mi2 in zip(bf, bi):
+            np.testing.assert_array_equal(mi2.ml_seq, mf2.ml_seq)
+            assert mi2.ll == pytest.approx(mf2.ll, rel=1e-12)
 
 
 def test_fast_decode_streaming_matches_oneshot():
