@@ -59,8 +59,10 @@ def device_op_breakdown(xs):
                 for st in ev.stats:
                     nm = stats_meta.get(st.metadata_id, "")
                     if nm in ("source_info", "tf_op"):
+                        # XPlane interns strings: a ref_value indexes into
+                        # stat_metadata (str_value is only used inline)
                         src = (st.str_value
-                               or stats_meta.get(st.str_metadata_id, ""))
+                               or stats_meta.get(st.ref_value, ""))
                 # group by op kind: strip trailing .N indices
                 name = md.name
                 base = name.rstrip("0123456789.")

@@ -242,7 +242,10 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     data = load_data_file(datafile, channels=channels,
                           keep_int=(engine == "fast" and channels != "all"))
 
-    guard_inputs(np.asarray(data, np.float64), tm.sigma)  # fail fast on NaN
+    if np.issubdtype(data.dtype, np.integer):
+        guard_inputs(None, tm.sigma)       # ints cannot hold NaN; check sigma
+    else:
+        guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
     print("Fitting model...")
     if channels == "all":
         if engine == "fast":

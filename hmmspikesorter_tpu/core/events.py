@@ -77,11 +77,6 @@ def phase_of(x, n: int, N: int, K: int, overlaps: bool):
     return phase
 
 
-def onset_capacity(T: int, K: int) -> int:
-    """Worst-case onsets per neuron on a valid length-T path."""
-    return T // K + 1
-
-
 def event_chunk(K: int) -> int:
     """Largest power-of-two chunk length G <= min(K, 128): guarantees at
     most one onset per neuron per chunk on a valid path, and offsets fit
@@ -462,6 +457,8 @@ def decode_events_overlap_save_batched(ys, lp, mu, sigma, *, L: int,
     mu = jnp.asarray(mu)
     K, N = mu.shape
     Ch, T = ys.shape
+    if T < L + 2 * H:
+        raise ValueError("signal shorter than one window; decode directly")
     G = event_chunk(K)
     C = -(-T // G)
     B = -(-T // L)

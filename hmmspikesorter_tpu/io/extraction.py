@@ -62,7 +62,7 @@ def extract_spiketimes(model: HMMSpikingModel) -> list[np.ndarray]:
 
 
 def extract_spiketimes_from_onsets(onsets, mu, x0: int = 0, *,
-                                   T: int | None = None) -> list[np.ndarray]:
+                                   T: int) -> list[np.ndarray]:
     """Spike timestamps straight from decoded onsets — no label sequence.
 
     The trough-aligned timestamp of a spike with onset o is
@@ -71,7 +71,9 @@ def extract_spiketimes_from_onsets(onsets, mu, x0: int = 0, *,
     (``model.spike_onsets``, core/events.py) yields extraction-contract
     timestamps without ever reconstructing the (T,) labels. ``x0`` seeds
     a spike already in progress at sample 0 (its onset lies before the
-    recording); timestamps are clipped to [0, T).
+    recording); timestamps are clipped to [0, T) — T is required because
+    a final spike whose trough falls past the recording end has no
+    label-based timestamp either.
 
     Equals extract_spiketimes(model) exactly for single-channel models
     and for multi-channel models via the same largest-channel trough.
@@ -88,10 +90,7 @@ def extract_spiketimes_from_onsets(onsets, mu, x0: int = 0, *,
         p0 = int(phase_of(np.asarray([int(x0)]), i, N, K, True)[0])
         if p0 > 1:                       # mid-spike at t=0: onset at 1-p0
             ts = np.concatenate([[qidx - p0], ts])
-        ts = ts[ts >= 0]
-        if T is not None:
-            ts = ts[ts < T]
-        out.append(ts)
+        out.append(ts[(ts >= 0) & (ts < T)])
     return out
 
 

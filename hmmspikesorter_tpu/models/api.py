@@ -486,13 +486,15 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
         # shorter than one window: per-channel one-shot exact decode
         return [fit_spiking_model_fast(templates, row, L=L, H=H,
                                        repair=repair,
-                                       block_engine=block_engine)
+                                       block_engine=block_engine,
+                                       transfer=transfer)
                 for row in ys]
     ys_dev = ys_raw if int_input else ys    # raw ints: in-graph cast is exact
+    all_onsets = None
     if transfer == "events" and templates.has_ring_engine:
         from ..core.events import decode_events_overlap_save_batched
 
-        _, xs, oks = decode_events_overlap_save_batched(
+        all_onsets, xs, oks = decode_events_overlap_save_batched(
             ys_dev, templates.lp, templates.mu, templates.sigma, L=L, H=H,
             overlaps=templates.allow_overlaps, block_engine=block_engine)
     else:
@@ -521,6 +523,15 @@ def fit_spiking_models_fast_batched(templates: HMMTemplateModel, ys, *,
         m = HMMSpikingModel(templates, x, ll, ys[c])
         m.seam_ok = ok
         m.seams_repaired = n_rep
+        if transfer == "events":
+            if n_rep or all_onsets is None:
+                from ..core.events import _onsets_dense
+
+                m.spike_onsets = _onsets_dense(
+                    x, N=templates.n_neurons, K=templates.K,
+                    overlaps=templates.allow_overlaps)
+            else:
+                m.spike_onsets = all_onsets[c]
         models.append(m)
     return models
 

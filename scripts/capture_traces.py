@@ -6,6 +6,12 @@
 Then: python benchmarks/trace_report.py traces/decode  (device-time
 breakdown), or load traces/*/plugins/profile/*/vm.trace.json.gz at
 ui.perfetto.dev."""
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np, jax, jax.numpy as jnp
 
 from hmmspikesorter_tpu.core.events import _ring_overlap_save_events_impl

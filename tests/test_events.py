@@ -182,9 +182,15 @@ def test_api_batched_events_transfer_identical():
     dense = api.fit_spiking_models_fast_batched(tm, ys, L=1024, H=128)
     ev = api.fit_spiking_models_fast_batched(tm, ys, L=1024, H=128,
                                              transfer="events")
+    t = np.arange(T)
     for md, me in zip(dense, ev):
         np.testing.assert_array_equal(me.ml_seq, md.ml_seq)
         assert me.ll == pytest.approx(md.ll, rel=1e-12)
+        # batched events expose per-channel onsets like the other paths
+        for n in range(tm.n_neurons):
+            mask = np.asarray(phase_of(np.asarray(md.ml_seq, np.int32),
+                                       n, tm.n_neurons, K, True)) == 1
+            np.testing.assert_array_equal(me.spike_onsets[n], t[mask])
 
 
 def test_streaming_events_transfer_identical():
