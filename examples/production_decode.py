@@ -45,6 +45,27 @@ for n, times in enumerate(extract_spiketimes(model)):
     print(f"neuron {n}: {len(times)} spikes"
           + (f", first at sample {times[0]}" if len(times) else ""))
 
+# -- sparse event transfer (the production D2H path) ------------------------
+# transfer="events" ships a packed onset grid instead of the dense labels
+# (~16x smaller at K=60 — the label copy dominates e2e wall time on
+# remote-attached hosts) and reconstructs the labels exactly; the decoded
+# onsets come along for free and map straight to extraction timestamps.
+from hmmspikesorter_tpu.io.extraction import extract_spiketimes_from_onsets
+
+m_ev = api.fit_spiking_model_fast(tm, y, config=cfg, transfer="events")
+assert (m_ev.ml_seq == model.ml_seq).all() and m_ev.ll == model.ll
+t_ev = extract_spiketimes_from_onsets(m_ev.spike_onsets, temps,
+                                      x0=int(m_ev.ml_seq[0]), T=len(y))
+assert all(np.array_equal(a, b)
+           for a, b in zip(t_ev, extract_spiketimes(model)))
+print("events transfer: labels, ll, and spike times identical "
+      f"({sum(len(o) for o in m_ev.spike_onsets)} onsets shipped instead "
+      f"of {len(y)} labels)")
+
+# integer recordings (int16 ADC data) can be passed raw — the cast to
+# float happens in-graph (exact), halving the host->device transfer:
+#   api.fit_spiking_model_fast(tm_scaled, y_int16, config=cfg)
+
 # -- reconstruction quality ------------------------------------------------
 recon = api.predict(model)
 q = 1 - np.std(recon - y) / np.std(y)
