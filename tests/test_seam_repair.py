@@ -126,3 +126,11 @@ def test_fast_path_randomized_exactness_sweep():
                                       np.asarray(seq.ml_seq), err_msg=msg)
         assert float(fast.ll) == pytest.approx(float(seq.ll),
                                                rel=1e-9), msg
+        # the sparse-event transfer must survive the same random
+        # geometries (incl. flagged-seam repairs, where it falls back to
+        # the dense fetch before the repair pass rewrites labels)
+        ev = fit_spiking_model_fast(tm, y, L=L, H=H, transfer="events")
+        np.testing.assert_array_equal(np.asarray(ev.ml_seq),
+                                      np.asarray(fast.ml_seq), err_msg=msg)
+        assert float(ev.ll) == pytest.approx(float(fast.ll),
+                                             rel=1e-12), msg
