@@ -61,6 +61,24 @@ def path_transition_weights(pos_from, pos_to, lp, K: int) -> np.ndarray:
     return w.sum(axis=0)
 
 
+def _telescoped_score(em, x, states, lp, K, silent_start) -> float:
+    """Shared tail of the single- and multi-channel scores: the prefix
+    cumsum of per-step transition + emission increments over path `x`,
+    given the per-sample path emissions `em` (T,). Changes to the ll
+    contract (silent_start, T == 1 semantics) live in exactly one place."""
+    T = len(em)
+    if T == 0:
+        return 0.0
+    prefix0 = 0.0 if (silent_start and x[0] == 0) else float(em[0])
+    if T == 1:
+        return 0.0                                        # sum over t>=1 empty
+
+    pos = states[:, x]                                    # (N, T)
+    w = path_transition_weights(pos[:, :-1], pos[:, 1:], lp, K)  # (T-1,)
+    prefix = prefix0 + np.cumsum(w + em[1:])              # T1[x_t,t], t>=1
+    return float(prefix.sum())
+
+
 def path_cumulative_ll(y, x, states, mu, sigma, lp, *,
                        silent_start: bool = True) -> float:
     """Reference cumulative-score ll of path `x` (viterbi.jl:92-96), O(T).
@@ -76,24 +94,13 @@ def path_cumulative_ll(y, x, states, mu, sigma, lp, *,
     x = np.asarray(x, np.int64)
     states = np.asarray(states)
     mu = np.asarray(mu, np.float64)
-    T = len(y)
-    if T == 0:
-        return 0.0
     K, N = mu.shape
 
     smu = mu[states, np.arange(N)[:, None]].sum(axis=0)   # (S,) state means
     sigma = float(sigma)
     em = (-HALF_LOG_2PI - np.log(sigma)
           - (y - smu[x]) ** 2 / (2.0 * sigma * sigma))    # (T,)
-
-    prefix0 = 0.0 if (silent_start and x[0] == 0) else float(em[0])
-    if T == 1:
-        return 0.0                                        # sum over t>=1 empty
-
-    pos = states[:, x]                                    # (N, T)
-    w = path_transition_weights(pos[:, :-1], pos[:, 1:], lp, K)  # (T-1,)
-    prefix = prefix0 + np.cumsum(w + em[1:])              # T1[x_t,t], t>=1
-    return float(prefix.sum())
+    return _telescoped_score(em, x, states, lp, K, silent_start)
 
 
 def path_cumulative_ll_mc(yc, x, states, mu, sigmas, lp, *,
@@ -106,21 +113,10 @@ def path_cumulative_ll_mc(yc, x, states, mu, sigmas, lp, *,
     states = np.asarray(states)
     mu = np.asarray(mu, np.float64)
     sigmas = np.asarray(sigmas, np.float64)
-    T = len(yc)
-    if T == 0:
-        return 0.0
     K, N, C = mu.shape
 
     smu = mu[states, np.arange(N)[:, None]].sum(axis=0)   # (S, C)
     d = yc - smu[x]                                       # (T, C)
     em = np.sum(-HALF_LOG_2PI - np.log(sigmas)
                 - d * d / (2.0 * sigmas * sigmas), axis=1)  # (T,)
-
-    prefix0 = 0.0 if (silent_start and x[0] == 0) else float(em[0])
-    if T == 1:
-        return 0.0
-
-    pos = states[:, x]
-    w = path_transition_weights(pos[:, :-1], pos[:, 1:], lp, K)
-    prefix = prefix0 + np.cumsum(w + em[1:])
-    return float(prefix.sum())
+    return _telescoped_score(em, x, states, lp, K, silent_start)

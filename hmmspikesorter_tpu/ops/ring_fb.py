@@ -195,7 +195,6 @@ def ring_blocked_forward_backward(y, lp, mu, sigma, *, L: int = 256):
     ops = jax.vmap(fwd_operator)(y_steps, mask)            # (B, S, S)
 
     # boundary chains (B steps, tiny)
-    from ..utils.logmath import logsumexp_rows
 
     a0 = _flat(*em(y[0]))
 
@@ -374,6 +373,38 @@ def _overlap_window_1d(x, *, T, L, H, B, W, edge_rows):
     return xw
 
 
+def _overlap_guards(T, L, H, B, W):
+    """Window-geometry guards shared by the overlap engines (the same
+    constraints parallel/overlap_save.py enforces): H >= 1 keeps the
+    telescoped-ll reads in range (pre = lse[H-1] would wrap at H == 0)
+    and L >= 2H keeps interior windows inside the signal."""
+    if H < 1 or L < 2 * H:
+        raise ValueError(f"need 1 <= H <= L/2, got L={L} H={H}")
+    if B < 2 or T < W:
+        raise ValueError("signal shorter than two blocks; use the "
+                         "sequential or blocked engine")
+
+
+def _realign_and_telescope(alpha_w, beta_w, edge_rows, *, T, L, H, B):
+    """Roll edge rows back to uniform window coordinates and compute the
+    telescoped sequence ll from same-window lse differences. Shared by the
+    single-channel and MC overlap engines so the subtle index arithmetic
+    (pre = lse[H-1], endc = lse[H+L-1], the true-T last-row end) cannot
+    diverge between them."""
+    for b, shift in edge_rows.items():
+        alpha_w = alpha_w.at[:, b].set(jnp.roll(alpha_w[:, b], shift,
+                                                axis=0))
+        beta_w = beta_w.at[:, b].set(jnp.roll(beta_w[:, b], shift, axis=0))
+    lse = logsumexp_rows(alpha_w, axis=-1)                     # (W, B)
+    pre = lse[H - 1]                                           # (B,)
+    endc = lse[H + L - 1]                                      # (B,)
+    iT = (T - 1) - ((B - 1) * L - H)
+    last_end = lse[iT, B - 1]
+    mid = jnp.sum(endc[1 : B - 1] - pre[1 : B - 1])
+    ll = endc[0] + mid + (last_end - pre[B - 1])
+    return alpha_w, beta_w, ll
+
+
 @partial(jax.jit, static_argnames=("L", "H"))
 def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
     """Overlap-save (halo-window) forward/backward: the block-parallel EM
@@ -416,9 +447,7 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
 
     B = -(-T // L)
     W = L + 2 * H
-    if B < 2 or T < W:
-        raise ValueError("signal shorter than two blocks; use the "
-                         "sequential or blocked engine")
+    _overlap_guards(T, L, H, B, W)
 
     # uniform windows: row b covers [b*L - H, b*L - H + W) (reshape trick,
     # same construction as parallel/overlap_save.ring_overlap_save); rows
@@ -462,21 +491,12 @@ def ring_overlap_forward_backward(y, lp, mu, sigma, *, L: int, H: int):
 
     # realign edge rows to uniform coordinates (roll by
     # actual_start - uniform_start; uniform positions beyond the real
-    # signal hold wrapped garbage, which the consumers mask/trim)
+    # signal hold wrapped garbage, which the consumers mask/trim) and
+    # telescope the ll from same-window lse differences
     for b, shift in edge_rows.items():
-        alpha_w = alpha_w.at[:, b].set(jnp.roll(alpha_w[:, b], shift,
-                                                axis=0))
-        beta_w = beta_w.at[:, b].set(jnp.roll(beta_w[:, b], shift, axis=0))
         y_win = y_win.at[b].set(jnp.roll(y_win[b], shift))
-
-    # telescoped ll from same-window lse differences
-    lse = logsumexp_rows(alpha_w, axis=-1)                     # (W, B)
-    pre = lse[H - 1]                                           # (B,)
-    endc = lse[H + L - 1]                                      # (B,)
-    iT = (T - 1) - ((B - 1) * L - H)
-    last_end = lse[iT, B - 1]
-    mid = jnp.sum(endc[1 : B - 1] - pre[1 : B - 1])
-    ll = endc[0] + mid + (last_end - pre[B - 1])
+    alpha_w, beta_w, ll = _realign_and_telescope(
+        alpha_w, beta_w, edge_rows, T=T, L=L, H=H, B=B)
     return alpha_w, beta_w, y_win, ll
 
 
@@ -507,9 +527,7 @@ def ring_overlap_forward_backward_mc(es, eb, lp, *, L: int, H: int):
 
     B = -(-T // L)
     W = L + 2 * H
-    if B < 2 or T < W:
-        raise ValueError("signal shorter than two blocks; use the "
-                         "sequential or blocked engine")
+    _overlap_guards(T, L, H, B, W)
 
     edge_rows = _overlap_edge_rows(T, L, H, B, W)
     win = partial(_overlap_window_1d, T=T, L=L, H=H, B=B, W=W,
@@ -541,16 +559,6 @@ def ring_overlap_forward_backward_mc(es, eb, lp, *, L: int, H: int):
                             (es_steps[1:], eb_steps[1:]), reverse=True)
     beta_w = jnp.concatenate([brest, _flat(bs0, bb0)[None]], axis=0)
 
-    for b, shift in edge_rows.items():
-        alpha_w = alpha_w.at[:, b].set(jnp.roll(alpha_w[:, b], shift,
-                                                axis=0))
-        beta_w = beta_w.at[:, b].set(jnp.roll(beta_w[:, b], shift, axis=0))
-
-    lse = logsumexp_rows(alpha_w, axis=-1)                     # (W, B)
-    pre = lse[H - 1]
-    endc = lse[H + L - 1]
-    iT = (T - 1) - ((B - 1) * L - H)
-    last_end = lse[iT, B - 1]
-    mid = jnp.sum(endc[1 : B - 1] - pre[1 : B - 1])
-    ll = endc[0] + mid + (last_end - pre[B - 1])
+    alpha_w, beta_w, ll = _realign_and_telescope(
+        alpha_w, beta_w, edge_rows, T=T, L=L, H=H, B=B)
     return alpha_w, beta_w, ll

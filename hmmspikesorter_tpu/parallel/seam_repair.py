@@ -58,13 +58,21 @@ def make_window_decoder(lp, mu, sigma, *, overlaps: bool):
 
 def _find_splice(x_cur, x_new, wstart, p, guard_lo, guard_hi, T):
     """Agreement points around seam p: t1 = last common-silent sample
-    <= p in [guard_lo, p], t2 = first common-silent sample > p in
-    (p, guard_hi). Signal edges need no certificate (exact init /
-    termination). Returns (t1, t2) absolute, or None."""
+    STRICTLY BEFORE p in [guard_lo, p), t2 = first common-silent sample
+    > p in (p, guard_hi). Signal edges need no certificate (exact init /
+    termination). Returns (t1, t2) absolute, or None.
+
+    t1 must satisfy t1 < p: sample p is the right block's first sample,
+    so the raw-cut junction is the transition x[p-1] -> x[p] — the splice
+    [t1, t2) must contain it. With t1 == p the junction would survive the
+    repair, and the docstring's validity argument ("the spliced
+    transition x[t1-1] -> 0 equals the current path's own valid
+    transition into silence") would be applied exactly at the one
+    transition of the current path that is NOT known valid."""
     w = slice(guard_lo - wstart, guard_hi - wstart)
     both = (x_cur[guard_lo:guard_hi] == 0) & (x_new[w] == 0)
     offs = np.arange(guard_lo, guard_hi)
-    left = offs[both & (offs <= p)]
+    left = offs[both & (offs < p)]
     right = offs[both & (offs > p)]
     if len(left):
         t1 = int(left[-1])

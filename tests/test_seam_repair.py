@@ -91,6 +91,47 @@ def test_streaming_path_repairs_too(setup):
                                   np.asarray(seq.ml_seq, np.int64))
 
 
+def test_find_splice_excludes_the_raw_cut_sample():
+    """The left splice point must be STRICTLY before the seam p: sample p
+    is the right block's first sample, so t1 == p would leave the raw-cut
+    junction x[p-1] -> x[p] (possibly an invalid mid-ring -> silent jump)
+    outside the splice, breaking the repaired path's validity guarantee."""
+    from hmmspikesorter_tpu.parallel.seam_repair import _find_splice
+
+    p, T = 10, 40
+    x_cur = np.ones(T, np.int32)          # mid-ring everywhere...
+    x_cur[p] = 0                          # ...except the right block's
+    x_cur[4] = 0                          # first sample and one earlier
+    x_cur[p + 5] = 0                      # common-silent point each side
+    x_new = np.ones(T, np.int32)
+    x_new[4] = 0
+    x_new[p] = 0                          # fresh decode also silent at p
+    x_new[p + 5] = 0
+    got = _find_splice(x_cur, x_new, 0, p, 0, T, T)
+    assert got is not None
+    t1, t2 = got
+    assert t1 == 4 and t2 == p + 5        # NOT t1 == p
+    # with no common silence strictly before p, the window must widen
+    x_cur[4] = 1
+    x_new[4] = 1
+    assert _find_splice(x_cur, x_new, 0, p, 5, T, T) is None
+
+
+def test_overlap_fb_guards_bad_geometry():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from hmmspikesorter_tpu.ops.ring_fb import ring_overlap_forward_backward
+
+    y = jnp.zeros(4096)
+    lp = jnp.asarray(np.log([0.01, 0.01]))
+    mu = jnp.asarray(np.zeros((12, 2)))
+    with _pytest.raises(ValueError, match="1 <= H"):
+        ring_overlap_forward_backward(y, lp, mu, 0.3, L=512, H=0)
+    with _pytest.raises(ValueError, match="1 <= H"):
+        ring_overlap_forward_backward(y, lp, mu, 0.3, L=512, H=300)
+
+
 def test_fast_path_randomized_exactness_sweep():
     """Randomized production fast-path property: across random (T, L, H,
     topology, rates, noise) draws — including spike-dense signals — the
