@@ -134,7 +134,8 @@ def refit_template_model(model: HMMTemplateModel, y, nsteps: int,
                             allow_overlaps=model.allow_overlaps)
 
 
-def _all_silent_model(templates, y, sigmas) -> HMMSpikingModel:
+def _all_silent_model(templates, y, sigmas,
+                      transfer: str = "dense") -> HMMSpikingModel:
     """Degenerate pure-noise decode for n_neurons == 0 (training can prune
     every template; the reference CLI returns a null model on no
     spikeForms, hmmsort.jl:40-45). The decode is all-silent and ll keeps
@@ -157,6 +158,7 @@ def _all_silent_model(templates, y, sigmas) -> HMMSpikingModel:
     # the fast paths set these on every other return; keep the contract
     model.seam_ok = np.ones(0, bool)
     model.seams_repaired = 0
+    model.spike_onsets = [] if transfer == "events" else None
     return model
 
 
@@ -333,7 +335,8 @@ def fit_spiking_model_fast(templates: HMMTemplateModel, y, *,
     int_input = np.issubdtype(y_raw.dtype, np.integer)
     y = y_raw.astype(np.float64)
     if templates.n_neurons == 0:
-        return _all_silent_model(templates, y, templates.sigma)
+        return _all_silent_model(templates, y, templates.sigma,
+                                 transfer=transfer)
     if H is None:
         H = max(4 * templates.K, 64)
     if streaming is None:

@@ -84,23 +84,25 @@ class HMMTemplateModelMC:
                                 allow_overlaps=self.allow_overlaps)
 
 
-def _mc_decoder_for(templates: HMMTemplateModelMC):
-    """Whole-signal decode dispatch: a structured ring MC engine exists for
-    every topology (non-overlap any N; pairwise-overlap N=2 specialized,
-    any N table-driven) — the MC mirror of the single-channel dispatch."""
+def _mc_engine_for(templates: HMMTemplateModelMC):
+    """Structured ring MC engine for the model's topology (non-overlap any
+    N; pairwise-overlap N=2 specialized, any N table-driven) — the single
+    dispatch every MC decode/repair path shares."""
     from ..ops.ring_viterbi_mc import (ring_viterbi_nov_mc,
                                       ring_viterbi_ov2_mc,
                                       ring_viterbi_ovn_mc)
 
-    lp = templates.lp
-    mu = templates.mu
-    sigmas = templates.sigmas
     if not templates.allow_overlaps:
-        engine = ring_viterbi_nov_mc
-    elif templates.n_neurons == 2:
-        engine = ring_viterbi_ov2_mc
-    else:
-        engine = ring_viterbi_ovn_mc
+        return ring_viterbi_nov_mc
+    if templates.n_neurons == 2:
+        return ring_viterbi_ov2_mc
+    return ring_viterbi_ovn_mc
+
+
+def _mc_decoder_for(templates: HMMTemplateModelMC):
+    """Whole-signal decode: the MC mirror of the single-channel dispatch."""
+    engine = _mc_engine_for(templates)
+    lp, mu, sigmas = templates.lp, templates.mu, templates.sigmas
     return lambda yy: engine(yy, lp, mu, sigmas)
 
 
@@ -151,17 +153,33 @@ def fit_spiking_model_mc_fast(templates: HMMTemplateModelMC, yc, *,
     streaming path."""
     from ..parallel.overlap_save import mc_overlap_save
 
+    if transfer not in ("dense", "events"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
     yc = np.asarray(yc, dtype=np.float64)
     if yc.ndim != 2 or yc.shape[1] != templates.n_channels:
         raise ValueError(f"yc must be (T, {templates.n_channels})")
     if templates.n_neurons == 0:
         from .api import _all_silent_model
 
-        return _all_silent_model(templates, yc, templates.sigmas)
+        return _all_silent_model(templates, yc, templates.sigmas,
+                                 transfer=transfer)
     if H is None:
         H = max(4 * templates.K, 64)
     if len(yc) < L + 2 * H:
-        return fit_spiking_model_mc(templates, yc)
+        # shorter than one window: exact whole-signal decode, but keep
+        # the fast-path contract (seam_ok/seams_repaired/spike_onsets)
+        m = fit_spiking_model_mc(templates, yc)
+        m.seam_ok = np.ones(0, bool)
+        m.seams_repaired = 0
+        if transfer == "events":
+            from ..core.events import _onsets_dense
+
+            m.spike_onsets = _onsets_dense(
+                np.asarray(m.ml_seq, np.int32), N=templates.n_neurons,
+                K=templates.K, overlaps=templates.allow_overlaps)
+        else:
+            m.spike_onsets = None
+        return m
     if streaming is None:
         from .api import MAX_ONESHOT_BLOCKS
 
@@ -224,12 +242,7 @@ def _mc_repair_decoder(templates: HMMTemplateModelMC):
     parallel/seam_repair.make_window_decoder): decode(y_win, silent_start)
     -> int labels, with emission-only init for interior repair windows."""
     lp, mu, sigmas = templates.lp, templates.mu, templates.sigmas
-    if not templates.allow_overlaps:
-        from ..ops.ring_viterbi_mc import ring_viterbi_nov_mc as engine
-    elif templates.n_neurons == 2:
-        from ..ops.ring_viterbi_mc import ring_viterbi_ov2_mc as engine
-    else:
-        from ..ops.ring_viterbi_mc import ring_viterbi_ovn_mc as engine
+    engine = _mc_engine_for(templates)
 
     def decode(y_win, silent_start):
         x, _ = engine(y_win, lp, mu, sigmas, silent_start=silent_start,
@@ -258,32 +271,14 @@ def refit_template_model_mc(model: HMMTemplateModelMC, yc, nsteps: int,
     also the checkpoint-recovery path: load em_mc_latest.npz
     (utils/checkpoint.load_checkpoint), rebuild the HMMTemplateModelMC,
     and continue with this."""
-    import jax.numpy as jnp
-
-    from ..core.state_space import build_state_space
     from ..train.em import EMTables
-    from ..train.em_mc import em_chain_mc
+    from ..train.em_mc import auto_fb_mode_mc, em_chain_mc
 
     yc = np.asarray(yc, np.float64)
     K = model.K
     if fb_mode is None:
-        # same auto rule as train_model_mc
-        from ..ops.pallas_fb_mb import overlap_em_mc_vmem_ok
-        from ..utils.platform import is_tpu_backend
-        import jax
-
-        H = max(4 * K, 64)
-        Lov = max(2048, 4 * H)
-        long_enough = len(yc) >= 2 * (Lov + 2 * H)
-        if long_enough and jax.default_backend() != "cpu":
-            fb_mode = ("overlap_pallas"
-                       if K <= 65 and model.n_neurons <= 8
-                       and is_tpu_backend()
-                       and overlap_em_mc_vmem_ok(model.n_neurons, K,
-                                                 model.n_channels)
-                       else "overlap")
-        else:
-            fb_mode = "gather"
+        fb_mode = auto_fb_mode_mc(len(yc), K, model.n_neurons,
+                                  model.n_channels)
     tables = EMTables.build(build_state_space(model.n_neurons, K, False))
     lp, pi, mu, sg, lls = em_chain_mc(
         jnp.asarray(yc), jnp.asarray(model.lp), jnp.asarray(model.mu),

@@ -384,6 +384,11 @@ def mc_block_decoder(lp, mu, sigmas, *, overlaps: bool, W: int | None = None,
         engine = "ring"
     else:
         engine = block_engine
+    if engine == "pallas_ovn" and not overlaps:
+        # mirror ring_viterbi.ring_block_decoder / _mc_prepare: an
+        # explicitly forced kernel must never silently downgrade
+        raise ValueError("block_engine='pallas_ovn' requires an overlap "
+                         "topology (overlaps=True)")
     if overlaps and (N >= 3 or engine == "pallas_ovn"):
         name = "ovn" if engine != "pallas_ovn" else "pallas_ovn"
         cx = jnp.asarray(np.stack([tables.c2[p] for p in sorted(tables.c2)]),

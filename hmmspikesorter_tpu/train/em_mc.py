@@ -358,6 +358,27 @@ def init_templates_mc(K: int, N: int, C: int, sigmas,
     return mu
 
 
+
+def auto_fb_mode_mc(T: int, K: int, N: int, C: int, block: int = 2048):
+    """The MC training engine auto-selection rule, shared by
+    train_model_mc and models.multichannel.refit_template_model_mc (the
+    checkpoint-recovery path) so the two cannot diverge: fused Mosaic
+    kernels only on a TPU backend AND when the per-channel accumulators
+    fit VMEM; XLA halo windows otherwise; the gather parity engine for
+    CPU or signals too short for two halo windows."""
+    from ..ops.pallas_fb_mb import overlap_em_mc_vmem_ok
+    from ..utils.platform import is_tpu_backend
+
+    H = max(4 * K, 64)
+    Lov = max(block, 4 * H)
+    long_enough = T >= 2 * (Lov + 2 * H)
+    if long_enough and jax.default_backend() != "cpu":
+        return ("overlap_pallas"
+                if K <= 65 and N <= 8 and is_tpu_backend()
+                and overlap_em_mc_vmem_ok(N, K, C)
+                else "overlap")
+    return "gather"
+
 def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
                    p0: float | None = None,
                    rng: np.random.Generator | None = None,
@@ -387,21 +408,7 @@ def train_model_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 8, *,
     yc = np.asarray(yc, np.float64)
     T, C = yc.shape
     if fb_mode is None:
-        from ..ops.pallas_fb_mb import overlap_em_mc_vmem_ok
-        from ..utils.platform import is_tpu_backend
-
-        H = max(4 * K, 64)
-        Lov = max(block, 4 * H)
-        long_enough = T >= 2 * (Lov + 2 * H)
-        if long_enough and jax.default_backend() != "cpu":
-            # fused Mosaic kernels only on a TPU backend AND when the
-            # per-channel accumulators fit VMEM; else XLA halo windows
-            fb_mode = ("overlap_pallas"
-                       if K <= 65 and n_neurons <= 8 and is_tpu_backend()
-                       and overlap_em_mc_vmem_ok(n_neurons, K, C)
-                       else "overlap")
-        else:
-            fb_mode = "gather"
+        fb_mode = auto_fb_mode_mc(T, K, n_neurons, C, block)
     if p0 is None:
         p0 = 2.0 ** (-3.0 * K / 2.0)          # reference baumwelch.jl:311
     sigmas = yc.std(axis=0)
