@@ -91,10 +91,13 @@ def load_template_file_mc(inputfile: str, max_templates: int = MAX_TEMPLATES):
         mu = wf.transpose(0, 2, 1)             # (K, N, C)
         if cinv.ndim == 2 and cinv.shape == (C, C):
             cdiag = np.diag(cinv)
+        elif np.ravel(cinv).size in (1, C):
+            cdiag = np.broadcast_to(np.ravel(cinv), (C,))
         else:
-            cdiag = np.broadcast_to(np.ravel(cinv),
-                                    (C,)) if np.ravel(cinv).size in (1, C) \
-                else np.full(C, np.ravel(cinv)[0])
+            raise ValueError(
+                f"cinv has {np.ravel(cinv).size} entries for {C} template "
+                f"channels; expected a scalar, a ({C},) vector, or a "
+                f"({C}, {C}) matrix")
         sigmas = np.sqrt(1.0 / np.asarray(cdiag, np.float64))
         return HMMTemplateModelMC(mu=mu, sigmas=sigmas, lp=np.log(pp),
                                   allow_overlaps=True)
@@ -210,11 +213,18 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
                 f"recording has {data.shape[0]} channels but the templates "
                 f"have {tmc.n_channels}")
         yc = np.ascontiguousarray(data[: tmc.n_channels].T)  # (T, C)
-        guard_inputs(yc.T, float(tmc.sigmas[0]))
+        guard_inputs(yc.T, tmc.sigmas)
         print("Fitting model...")
         if engine == "fast":
             model = fit_spiking_model_mc_fast(
-                tmc, yc, transfer=pick(UNSET, dc("transfer"), "dense"))
+                tmc, yc,
+                L=pick(UNSET, dc("L"), 8192),
+                H=pick(UNSET, dc("H"), None),
+                streaming=(pick(UNSET, dc("streaming"), False) or None),
+                blocks_per_call=pick(UNSET, dc("blocks_per_call"), 256),
+                prefetch=pick(UNSET, dc("prefetch"), 2),
+                repair=pick(UNSET, dc("repair"), True),
+                transfer=pick(UNSET, dc("transfer"), "dense"))
         else:
             model = fit_spiking_model_mc(tmc, yc, chunksize=chunksize,
                                          progress=progress)
@@ -242,10 +252,8 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     data = load_data_file(datafile, channels=channels,
                           keep_int=(engine == "fast" and channels != "all"))
 
-    if np.issubdtype(data.dtype, np.integer):
-        guard_inputs(None, tm.sigma)       # ints cannot hold NaN; check sigma
-    else:
-        guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
+    guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
+    #                                    (integer data skips the NaN scan)
     print("Fitting model...")
     if channels == "all":
         if engine == "fast":

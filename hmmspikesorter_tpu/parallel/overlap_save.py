@@ -350,19 +350,36 @@ def ring_overlap_save(y, lp, mu, sigma, *, L: int, H: int, overlaps: bool,
 
 def resolve_block_engine(block_engine, overlaps, K, N, W):
     """Map "auto"/"pallas" to the concrete usable engine for this topology:
-    "pallas" (the N=2 kernel), "pallas_ovn" (general N >= 3), or "ring"."""
-    if block_engine not in ("auto", "pallas"):
-        return block_engine
+    "pallas" (the N=2 kernel), "pallas_ovn" (general N >= 3), or "ring".
+    Explicit names are validated: a typo must not silently decode with a
+    different engine, and a forced Pallas kernel on an unusable
+    backend/topology raises here with a clear message instead of dying
+    inside Mosaic lowering."""
+    if block_engine not in ("auto", "pallas", "pallas_ovn", "ring"):
+        raise ValueError(f"unknown block_engine {block_engine!r}; expected "
+                         "'auto', 'ring', 'pallas', or 'pallas_ovn'")
+    if block_engine == "ring":
+        return "ring"
     from ..ops import pallas_viterbi_ovn_mb as povn
     from ..ops.pallas_viterbi_mb import CH, KP
 
     from ..utils.platform import is_tpu_backend
 
     on_tpu = is_tpu_backend()
-    if overlaps and N == 2 and K - 1 <= KP and W % CH == 0 and on_tpu:
+    ok_ov2 = (overlaps and N == 2 and K - 1 <= KP and W % CH == 0
+              and on_tpu)
+    ok_ovn = (overlaps and N >= 2 and K - 1 <= 64 and W % povn.CH == 0
+              and on_tpu and povn.ovn_mb_vmem_ok(N, K))
+    if block_engine == "pallas_ovn":
+        if not ok_ovn:
+            raise ValueError(
+                "block_engine='pallas_ovn' requires an overlap topology "
+                f"with K <= 65, window (L+2H) divisible by {povn.CH}, a "
+                "TPU backend, and a VMEM-feasible N")
+        return "pallas_ovn"
+    if ok_ov2:
         return "pallas"
-    if (overlaps and N >= 3 and K - 1 <= 64 and W % povn.CH == 0
-            and on_tpu and povn.ovn_mb_vmem_ok(N, K)):
+    if ok_ovn and N >= 3:
         return "pallas_ovn"
     if block_engine == "pallas":
         raise ValueError(
@@ -432,23 +449,30 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
     return x.astype(out_dtype), seam_ok
 
 
+def _edge_rows(T, L, H, B, W):
+    """Static {row: realign shift} map of the windows clamped to a real
+    signal edge (pure int arithmetic — no arrays). Besides rows 0 and
+    B-1, row B-2's right halo overruns T iff 0 < T mod L < H."""
+    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
+    if B >= 3 and (B - 1) * L + H > T:
+        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
+    return edge_rows
+
+
 def _build_windows(y, *, T, L, H, B, W):
     """Uniform halo windows: row b covers [b*L - H, b*L - H + W) of the
     H-zero-padded signal == rows of one reshape plus a shifted head.
     Rows whose uniform window would cross a real signal edge decode the
     real edge instead (reference-faithful init at sample 0, termination
     at T; zero-pad is fake silence that would bias the backtrace) and are
-    rolled back into uniform coordinates after the decode. Besides rows 0
-    and B-1, row B-2's right halo overruns T iff 0 < T mod L < H.
+    rolled back into uniform coordinates after the decode.
 
     Returns (y_win (B, W), edge_rows {row: realign shift})."""
     Tp = B * L
     y_ext = jnp.pad(y, (H, Tp - T + (L - H)))        # length Tp + L
     A = y_ext.reshape(B + 1, L)
     y_win = jnp.concatenate([A[:B], A[1:, : 2 * H]], axis=1)  # (B, W)
-    edge_rows = {0: H, B - 1: (T - W) - ((B - 1) * L - H)}
-    if B >= 3 and (B - 1) * L + H > T:
-        edge_rows[B - 2] = (T - W) - ((B - 2) * L - H)
+    edge_rows = _edge_rows(T, L, H, B, W)
     for b in edge_rows:
         start = 0 if b == 0 else T - W
         y_win = y_win.at[b].set(jax.lax.dynamic_slice_in_dim(y, start, W))
@@ -549,7 +573,7 @@ def _ring_overlap_save_batched_impl(ys, lp, mu, sigma, *, L, H, overlaps,
 
     build = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B, W=W))
     y_win = build(ys)                                # (C, B, W)
-    _, edge_rows = _build_windows(ys[0], T=T, L=L, H=H, B=B, W=W)
+    edge_rows = _edge_rows(T, L, H, B, W)
 
     sil = jnp.zeros((C, B), bool).at[:, 0].set(True)
     y_flat = y_win.reshape(C * B, W)
@@ -707,7 +731,7 @@ def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps,
     feats = jnp.concatenate([es[:, None], d.reshape(T, N * Km1)], axis=1)
     build = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B, W=W))
     f_win = build(feats.T)                               # (F, B, W)
-    _, edge_rows = _build_windows(es, T=T, L=L, H=H, B=B, W=W)
+    edge_rows = _edge_rows(T, L, H, B, W)
     es_win = f_win[0]                                    # (B, W)
     d_win = f_win[1:].transpose(1, 2, 0).reshape(B, W, N, Km1)
     sil0 = jnp.arange(B) == 0

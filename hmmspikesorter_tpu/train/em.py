@@ -494,6 +494,12 @@ def _em_phase(y, lp, mu, sigma, nsteps, K, *, dtype, verbose=0, callback=None,
                 phase=phase, ll_history=lls)
     if not eager:
         lls = [float(v) for v in ll_devs]
+    if pi_d is None:
+        # nsteps == 0 (e.g. train_model(nsteps=1)'s second phase of
+        # nsteps//2): no E-step produced a posterior — keep the
+        # reference's uniform init instead of an object-array None
+        S = tables.states.shape[1]
+        pi_d = jnp.full((S,), -np.log(S), dtype)
     return (np.asarray(lp_d), np.asarray(pi_d), np.asarray(mu_d),
             float(sigma_d), lls)
 

@@ -71,19 +71,25 @@ def assert_finite_tree(tree, *, name: str = "tree") -> None:
                              f"(shape {arr.shape}, dtype {arr.dtype})")
 
 
-def guard_inputs(y, sigma: float) -> None:
+def guard_inputs(y, sigma) -> None:
     """Validate decode inputs before touching the device (CLI bail path).
 
-    Accepts a (T,) trace or a (C, T) channel batch."""
+    y: a (T,) trace or a (C, T) channel batch. sigma: a scalar or a (C,)
+    per-channel vector (every entry is checked — a single bad channel
+    NaN-poisons the joint MC decode as surely as a bad scalar)."""
     y = np.asarray(y)
     if y.ndim not in (1, 2) or y.size == 0:
         raise ValueError(f"signal must be a non-empty 1-D trace or 2-D "
                          f"channel batch, got {y.shape}")
-    if not np.isfinite(y).all():
+    if (not np.issubdtype(y.dtype, np.integer)
+            and not np.isfinite(y).all()):
         # inf is as fatal as NaN here: an inf sample makes the emission
         # -inf and 0 * -inf turns into NaN inside the one-hot selection
-        # matmuls of the table-driven engines
+        # matmuls of the table-driven engines. (Integer data cannot hold
+        # either — the check is skipped so raw int16 recordings don't pay
+        # a full float materialization.)
         raise ValueError("signal contains NaN or infinite samples")
-    if not np.isfinite(sigma) or sigma <= 0:
+    sigma = np.asarray(sigma, np.float64)
+    if not np.isfinite(sigma).all() or (sigma <= 0).any():
         raise ValueError(f"noise sigma must be finite and positive, "
                          f"got {sigma}")

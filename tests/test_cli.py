@@ -107,6 +107,34 @@ def test_sort_data_fast_engine_events_transfer(tmp_path):
     assert out_ev["ll"] == out_fast["ll"]
 
 
+def test_sort_data_fast_engine_int16_data(tmp_path):
+    """Integer HDF5 recordings must decode on the fast engine (raw int16
+    upload, in-graph cast) with output identical to the float64 run."""
+    tfile, _, temps, pp, y = _write_inputs(tmp_path, T=4096)
+    yi = np.clip(np.round(y * 1000), -32768, 32767).astype(np.int16)
+    # rescale the templates/noise into the integer units
+    ti = str(tmp_path / "t_int.h5")
+    with h5py.File(tfile, "r") as src, h5py.File(ti, "w") as dst:
+        dst["spikeForms"] = np.asarray(src["spikeForms"]) * 1000.0
+        dst["cinv"] = np.asarray(src["cinv"]) / 1000.0 ** 2
+        dst["p"] = np.asarray(src["p"])
+    di = str(tmp_path / "d_int.h5")
+    df = str(tmp_path / "d_f64.h5")
+    with h5py.File(di, "w") as f:
+        f["rh/data/analogData"] = yi
+    with h5py.File(df, "w") as f:
+        f["rh/data/analogData"] = yi.astype(np.float64)
+    out_i = cli.sort_data(ti, di, str(tmp_path / "i.mat"), engine="fast")
+    out_f = cli.sort_data(ti, df, str(tmp_path / "f64.mat"), engine="fast")
+    np.testing.assert_array_equal(out_i["mlseq"], out_f["mlseq"])
+    assert out_i["ll"] == out_f["ll"]
+    from hmmspikesorter_tpu.config import Config, DecodeConfig
+
+    cfg = Config(decode=DecodeConfig(engine="fast", transfer="events"))
+    out_e = cli.sort_data(ti, di, str(tmp_path / "ie.mat"), config=cfg)
+    np.testing.assert_array_equal(out_e["mlseq"], out_i["mlseq"])
+
+
 def test_sort_data_all_channels(tmp_path):
     """channels='all' decodes every channel of a 2-D recording; channel 1's
     row of the batched output matches the default single-channel run, and

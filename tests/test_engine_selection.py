@@ -52,8 +52,15 @@ def test_forced_pallas_requires_feasibility(fake_tpu):
     with pytest.raises(ValueError):
         # infeasible: W not divisible by the chunk size
         resolve_block_engine_mc("pallas", True, 60, 3, 100)
-    # explicit concrete engines pass through untouched
-    assert resolve_block_engine("gather", True, 60, 2, 100) == "gather"
+    # explicit concrete engines pass through untouched; unknown names
+    # raise instead of silently decoding with a different engine
+    assert resolve_block_engine("ring", True, 60, 2, 100) == "ring"
+    with pytest.raises(ValueError, match="unknown block_engine"):
+        resolve_block_engine("gather", True, 60, 2, 100)
+    with pytest.raises(ValueError, match="pallas_ovn"):
+        # forced pallas_ovn off-TPU / bad window must raise, not die in
+        # Mosaic lowering
+        resolve_block_engine("pallas_ovn", True, 60, 3, 100)
 
 
 def test_mc_em_auto_vmem_gate(monkeypatch):
