@@ -617,23 +617,28 @@ def resolve_block_engine_mc(block_engine, overlaps, K, N, W):
     """MC mirror of resolve_block_engine: the general-N MC kernel
     (ops/pallas_viterbi_ovn_mb._forward_native_mc) covers every overlap
     N >= 2; W must divide both its CHM chunks and the shared backtrace's
-    CH chunks."""
-    if block_engine not in ("auto", "pallas"):
-        return block_engine
+    CH chunks. Explicit names are validated (same contract as the
+    single-channel resolver: typos and infeasible forced kernels raise)."""
+    if block_engine not in ("auto", "pallas", "pallas_ovn", "ring"):
+        raise ValueError(f"unknown block_engine {block_engine!r}; expected "
+                         "'auto', 'ring', 'pallas', or 'pallas_ovn'")
+    if block_engine == "ring":
+        return "ring"
     from ..ops import pallas_viterbi_ovn_mb as povn
 
     from ..utils.platform import is_tpu_backend
 
     on_tpu = is_tpu_backend()
     step = max(povn.CH, povn.CHM)
-    if (overlaps and N >= 2 and K - 1 <= 64 and W % step == 0
-            and on_tpu and povn.ovn_mc_mb_vmem_ok(N, K)):
+    feasible = (overlaps and N >= 2 and K - 1 <= 64 and W % step == 0
+                and on_tpu and povn.ovn_mc_mb_vmem_ok(N, K))
+    if feasible:
         return "pallas_ovn"
-    if block_engine == "pallas":
+    if block_engine in ("pallas", "pallas_ovn"):
         raise ValueError(
-            "block_engine='pallas' (MC) requires an overlap topology with "
-            f"K <= 65, window (L+2H) divisible by {step}, a TPU backend, "
-            "and a VMEM-feasible N")
+            f"block_engine={block_engine!r} (MC) requires an overlap "
+            f"topology with K <= 65, window (L+2H) divisible by {step}, "
+            "a TPU backend, and a VMEM-feasible N")
     return "ring"
 
 
