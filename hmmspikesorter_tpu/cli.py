@@ -220,7 +220,7 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
                 tmc, yc,
                 L=pick(UNSET, dc("L"), 8192),
                 H=pick(UNSET, dc("H"), None),
-                streaming=(pick(UNSET, dc("streaming"), False) or None),
+                streaming=pick(UNSET, dc("streaming"), None),
                 blocks_per_call=pick(UNSET, dc("blocks_per_call"), 256),
                 prefetch=pick(UNSET, dc("prefetch"), 2),
                 repair=pick(UNSET, dc("repair"), True),

@@ -86,7 +86,10 @@ class DecodeConfig:
     chunksize: int = 100_000         # reference src/hmmsort.jl:90
     L: int = 8192                    # overlap-save core block
     H: int | None = None             # halo; None -> max(4K, 64)
-    streaming: bool = False          # fixed-shape block-batch driver
+    streaming: bool | None = None    # None = auto (recordings past
+    #                                  MAX_ONESHOT_BLOCKS stream); True /
+    #                                  False force the block-batch driver
+    #                                  or the one-shot program
     blocks_per_call: int = 256
     prefetch: int = 2                # streaming double-buffer depth
     repair: bool = True              # widen-and-re-decode flagged seams

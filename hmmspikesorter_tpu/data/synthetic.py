@@ -113,7 +113,7 @@ def create_signal_fast(T: int, sigma: float, pp, templates, *, rng=None):
     last_end = -1
     acc_t, acc_c = [], []
     for t, c in zip(cand_t.tolist(), cand_c.tolist()):
-        if t > last_end:
+        if t >= last_end:
             acc_t.append(t)
             acc_c.append(c)
             last_end = t + K  # active for samples t..t+K-1... playback below

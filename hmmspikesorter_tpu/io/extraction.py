@@ -44,6 +44,14 @@ def _trough_waveform(mu: np.ndarray, i: int) -> np.ndarray:
     return mu[:, i, c]
 
 
+def _trough_index(mu: np.ndarray, i: int) -> int:
+    """Ring position of neuron i's alignment trough, restricted to the
+    ACTIVE rows 1..K-1: row 0 is the forced-zero baseline (silence), and
+    a positive-going template whose minimum is that baseline would
+    otherwise mark every silent sample as a spike."""
+    return 1 + int(np.argmin(_trough_waveform(mu, i)[1:]))
+
+
 def extract_spiketimes(model: HMMSpikingModel) -> list[np.ndarray]:
     """Per-neuron spike sample indices (reference src/extraction.jl:15-24).
 
@@ -56,8 +64,7 @@ def extract_spiketimes(model: HMMSpikingModel) -> list[np.ndarray]:
     rolled = unroll_mlseq(model.ml_seq, ss.states)
     out = []
     for i in range(tm.n_neurons):
-        qidx = int(np.argmin(_trough_waveform(tm.mu, i)))
-        out.append(np.nonzero(rolled[i] == qidx)[0])
+        out.append(np.nonzero(rolled[i] == _trough_index(tm.mu, i))[0])
     return out
 
 
@@ -85,7 +92,7 @@ def extract_spiketimes_from_onsets(onsets, mu, x0: int = 0, *,
     K = mu.shape[0]
     out = []
     for i in range(N):
-        qidx = int(np.argmin(_trough_waveform(mu, i)))
+        qidx = _trough_index(mu, i)
         ts = np.asarray(onsets[i], np.int64) + qidx - 1
         p0 = int(phase_of(np.asarray([int(x0)]), i, N, K, True)[0])
         if p0 > 1:                       # mid-spike at t=0: onset at 1-p0

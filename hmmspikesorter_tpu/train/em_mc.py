@@ -299,7 +299,7 @@ def condense_templates_mc(mu, lp, sigmas, alpha: float = 0.05, *,
     the per-channel-whitened aligned difference is chi^2-compatible with
     noise (dof = overlap_len * C - 1); the merged waveform follows the
     reference fill rule per channel (src/baumwelch.jl:446-478)."""
-    from ..utils.stats import chi2_cdf
+    from ..utils.stats import chi2_sf
 
     mu = np.asarray(mu, np.float64)
     lp = np.asarray(lp, np.float64)
@@ -315,7 +315,7 @@ def condense_templates_mc(mu, lp, sigmas, alpha: float = 0.05, *,
                 d = wh[idx1, i1] - wh[idx2, i2]
                 x = float(np.sum(d * d))
                 n = len(idx1) * C
-                pval = 0.0 if len(idx1) < 5 else 1.0 - chi2_cdf(x, n - 1)
+                pval = 0.0 if len(idx1) < 5 else chi2_sf(x, n - 1)
                 if pval > alpha and (best is None or x > best[2]):
                     best = (i1, i2, x, (idx1, idx2))
         if best is None:
@@ -337,13 +337,13 @@ def remove_small_mc(mu, sigmas, alpha: float = 0.05):
     """Indices of MC templates whose whitened energy is significant vs
     chi^2(C*(K-1)) noise (reference src/baumwelch.jl:423-432, summed over
     channels; dof excludes the zero row per channel)."""
-    from ..utils.stats import chi2_cdf
+    from ..utils.stats import chi2_sf
 
     mu = np.asarray(mu, np.float64)
     sigmas = np.asarray(sigmas, np.float64)
     K, _, C = mu.shape
     z = np.sum(mu * mu / (sigmas * sigmas)[None, None, :], axis=(0, 2))
-    pvals = 1.0 - chi2_cdf(z, C * (K - 1))
+    pvals = chi2_sf(z, C * (K - 1))
     return np.nonzero(pvals < alpha)[0]
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils.stats import chi2_cdf
+from ..utils.stats import chi2_sf
 
 
 def _alignment_shifts(K: int):
@@ -85,7 +85,7 @@ def condense_candidate(mu: np.ndarray, sigma2: float, alpha: float = 0.05):
             x = float(d @ d) / sigma2
             n = len(idx1)
             # reference heuristic: <5 overlapping points is never a match
-            pval = 0.0 if n < 5 else 1.0 - chi2_cdf(x, n - 1)
+            pval = 0.0 if n < 5 else chi2_sf(x, n - 1)
             if pval > alpha and (best is None or x > best[2]):
                 best = (i1, i2, x, (idx1, idx2))
     return best
@@ -173,5 +173,5 @@ def remove_small(mu: np.ndarray, sigma: float, alpha: float = 0.05):
     mu = np.asarray(mu, dtype=np.float64)
     K = mu.shape[0]
     z = (mu * mu).sum(axis=0) / (float(sigma) ** 2)
-    pvals = 1.0 - chi2_cdf(z, K - 1)
+    pvals = chi2_sf(z, K - 1)
     return np.nonzero(pvals < alpha)[0]

@@ -30,17 +30,34 @@ def save_checkpoint(path: str, *, lp, mu, sigma, em_iter: int, phase: str,
         **(extra or {}),
     }
     d = os.path.dirname(path) or "."
-    with tempfile.NamedTemporaryFile(dir=d, suffix=".npz", delete=False) as f:
-        # sigma: scalar (single-channel) or (C,) per-channel noise (MC)
-        np.savez(f, lp=np.asarray(lp), mu=np.asarray(mu),
-                 sigma=np.asarray(sigma, np.float64))
-        tmp = f.name
-    os.replace(tmp, path)
-    with tempfile.NamedTemporaryFile("w", dir=d, suffix=".json",
-                                     delete=False) as f:
-        json.dump(meta, f)
-        tmp = f.name
-    os.replace(tmp, path + ".json")
+    # metadata travels INSIDE the npz so a crash between file writes can
+    # never pair new weights with stale metadata; the .json sidecar is a
+    # human-readable convenience derived from the same dict
+    tmp = None
+    try:
+        with tempfile.NamedTemporaryFile(dir=d, suffix=".npz",
+                                         delete=False) as f:
+            # sigma: scalar (single-channel) or (C,) per-channel noise (MC)
+            np.savez(f, lp=np.asarray(lp), mu=np.asarray(mu),
+                     sigma=np.asarray(sigma, np.float64),
+                     meta_json=np.asarray(json.dumps(meta)))
+            tmp = f.name
+        os.replace(tmp, path)
+        tmp = None
+    finally:
+        if tmp is not None:
+            os.unlink(tmp)
+    tmp = None
+    try:
+        with tempfile.NamedTemporaryFile("w", dir=d, suffix=".json",
+                                         delete=False) as f:
+            json.dump(meta, f)
+            tmp = f.name
+        os.replace(tmp, path + ".json")
+        tmp = None
+    finally:
+        if tmp is not None:
+            os.unlink(tmp)
 
 
 def load_checkpoint(path: str):
@@ -51,9 +68,12 @@ def load_checkpoint(path: str):
     sg = np.asarray(z["sigma"])
     state = {"lp": z["lp"], "mu": z["mu"],
              "sigma": float(sg) if sg.ndim == 0 else sg}
-    meta_path = path + ".json"
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    if "meta_json" in z:                 # authoritative: same atomic file
+        meta = json.loads(str(z["meta_json"]))
+    else:                                # older checkpoints: the sidecar
+        meta_path = path + ".json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
     return state, meta

@@ -13,8 +13,16 @@ import math
 
 import numpy as np
 
-_MAX_ITER = 500
 _EPS = 3e-14
+
+
+def _max_iter(a: float) -> int:
+    """Both expansions need O(sqrt(a)) terms near the distribution bulk
+    (x ~ a); a fixed 500-term budget silently returned wrong values for
+    large df (e.g. P(5e5, 5e5) = 0.342 instead of 0.5003). Size the
+    budget to the argument and RAISE on non-convergence instead of
+    returning garbage."""
+    return max(500, int(20.0 * math.sqrt(a)) + 100)
 
 
 def _gamma_series(a: float, x: float) -> float:
@@ -22,13 +30,13 @@ def _gamma_series(a: float, x: float) -> float:
     ap = a
     s = 1.0 / a
     delta = s
-    for _ in range(_MAX_ITER):
+    for _ in range(_max_iter(a)):
         ap += 1.0
         delta *= x / ap
         s += delta
         if abs(delta) < abs(s) * _EPS:
-            break
-    return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+            return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    raise RuntimeError(f"gamma series did not converge (a={a}, x={x})")
 
 
 def _gamma_cf(a: float, x: float) -> float:
@@ -38,7 +46,7 @@ def _gamma_cf(a: float, x: float) -> float:
     c = 1.0 / tiny
     d = 1.0 / b
     h = d
-    for i in range(1, _MAX_ITER):
+    for i in range(1, _max_iter(a)):
         an = -i * (i - a)
         b += 2.0
         d = an * d + b
@@ -51,8 +59,9 @@ def _gamma_cf(a: float, x: float) -> float:
         delta = d * c
         h *= delta
         if abs(delta - 1.0) < _EPS:
-            break
-    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+            return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    raise RuntimeError(
+        f"gamma continued fraction did not converge (a={a}, x={x})")
 
 
 def gammainc_lower(a: float, x: float) -> float:

@@ -100,3 +100,18 @@ def test_remove_small_drops_subnoise():
     mu = np.column_stack([big, tiny, np.zeros(K)])
     keep = template_ops.remove_small(mu, sigma=0.3)
     np.testing.assert_array_equal(keep, [0])
+
+
+def test_chi2_cdf_large_df_accuracy():
+    """The gamma series/CF need O(sqrt(df)) terms near x ~ df; a fixed
+    500-term budget silently returned 0.342 for P(5e5 | df=5e5). The
+    budget now scales with df (scipy.special.gammainc reference values)."""
+    from scipy.special import gammainc
+
+    from hmmspikesorter_tpu.utils.stats import chi2_cdf, chi2_sf
+
+    for df in (30, 3000, 22656, 500000):
+        ref = float(gammainc(df / 2, df / 2))
+        assert abs(chi2_cdf(df, df) - ref) < 1e-9, df
+    # sf is the tail complement used by the merge/small tests
+    assert abs(chi2_sf(120.0, 59) - (1.0 - chi2_cdf(120.0, 59))) < 1e-15
