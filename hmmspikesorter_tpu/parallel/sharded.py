@@ -28,7 +28,7 @@ size 1). tp/pp/ep have no analog here — the largest live tensor is
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -131,6 +131,18 @@ def sharded_blocked_viterbi(y, in_idx, in_w, state_mu, sigma, mesh: Mesh,
     em_steps = em_steps.reshape(-1, em.shape[1])
     mask = mask.reshape(-1)
 
+    x_steps, ll, x0 = _sharded_decode_fn(mesh, L, axis)(
+        v0, em_steps, mask, in_idx, in_w)
+    x = jnp.concatenate([x0[None], x_steps[: T - 1]])
+    return x, ll
+
+
+@lru_cache(maxsize=32)
+def _sharded_decode_fn(mesh: Mesh, L: int, axis: str):
+    """One jitted shard_map program per (mesh, L, axis): jit caches key on
+    the callable's identity, so rebuilding the closure per call (the old
+    pattern) retraced AND recompiled the whole sharded program on every
+    invocation — timed loops measured compilation, not throughput."""
     fn = partial(_local_blocked_decode, L=L, axis_name=axis)
     mapped = jax.shard_map(
         fn, mesh=mesh,
@@ -138,9 +150,7 @@ def sharded_blocked_viterbi(y, in_idx, in_w, state_mu, sigma, mesh: Mesh,
         out_specs=(P(axis), P(), P()),
         check_vma=False,
     )
-    x_steps, ll, x0 = jax.jit(mapped)(v0, em_steps, mask, in_idx, in_w)
-    x = jnp.concatenate([x0[None], x_steps[: T - 1]])
-    return x, ll
+    return jax.jit(mapped)
 
 
 def batched_decode_sharded(y_batch, in_idx, in_w, state_mu, sigma, mesh: Mesh,
@@ -150,12 +160,18 @@ def batched_decode_sharded(y_batch, in_idx, in_w, state_mu, sigma, mesh: Mesh,
     Pure data parallelism — vmap under jit with a sharded batch axis; XLA
     inserts no collectives.
     """
-    from ..core.viterbi import viterbi_decode
-
     y_batch = jnp.asarray(y_batch, state_mu.dtype)
     spec = NamedSharding(mesh, P(axis, None))
     y_batch = jax.device_put(y_batch, spec)
+    return _batched_decode_fn(mesh, axis)(y_batch, in_idx, in_w, state_mu,
+                                          sigma)
 
-    fn = jax.vmap(lambda yy: viterbi_decode(yy, in_idx, in_w, state_mu, sigma))
-    return jax.jit(fn, out_shardings=(spec, NamedSharding(mesh, P(axis))))(
-        y_batch)
+
+@lru_cache(maxsize=32)
+def _batched_decode_fn(mesh: Mesh, axis: str):
+    """One jitted program per (mesh, axis) — see _sharded_decode_fn."""
+    from ..core.viterbi import viterbi_decode
+
+    spec = NamedSharding(mesh, P(axis, None))
+    fn = jax.vmap(viterbi_decode, in_axes=(0, None, None, None, None))
+    return jax.jit(fn, out_shardings=(spec, NamedSharding(mesh, P(axis))))
