@@ -93,17 +93,20 @@ def main():
                                            H=H, overlaps=True)[0])
     assert (x_tpu == x_dense.astype(np.int32)).all(), \
         "event-transfer reconstruction diverged from dense labels"
-    # throughput: pipelined one deep — dispatch the next decode, then
-    # reconstruct the previous blob's labels while the device works; every
-    # iteration produces the full (T,) label vector on the host
-    R = 4
+    # throughput: pipelined two deep — keep two decodes in flight and
+    # reconstruct the oldest blob's labels while the device works; every
+    # iteration produces the full (T,) label vector on the host. Depth 2
+    # (vs 1) hides the blob fetch + ~3.5 ms host reconstruction behind the
+    # ~37 ms device program (measured: 43.1 -> 38.4 ms/iter,
+    # scripts/probe_headline.py)
+    R = 6
     t0 = time.perf_counter()
-    prev = run_ev()
-    for _ in range(R - 1):
-        nxt = run_ev()
-        labels_of(prev)
-        prev = nxt
-    labels_of(prev)
+    q = [run_ev(), run_ev()]
+    for _ in range(R - 2):
+        q.append(run_ev())
+        labels_of(q.pop(0))
+    for b in q:
+        labels_of(b)
     tpu_sps = R * T / (time.perf_counter() - t0)
 
     # --- CPU baseline (reference loop semantics, -O3, single thread);
