@@ -18,7 +18,12 @@ Contract matches the reference CLI (src/hmmsort.jl:36-118):
 * MAT output dict {mlseq, ll, waveforms, lp, sigma} (hmmsort.jl:94-101),
   where mlseq is the *unrolled* per-neuron state matrix with the
   reference's 1-based ring-position convention (state 1 = silent);
-* exit code 23 when input files don't exist (hmmsort.jl:110-113).
+* exit code 23 when input files don't exist (hmmsort.jl:110-113);
+* `--train` (extension, default off) learns the templates from the
+  recording itself via the reference training protocol before decoding
+  (the reference CLI is decode-only and requires an upstream template
+  tool); `--save-templates` exports them in the reference's template-file
+  format for reuse.
 
 Layout note: Julia/MATLAB read HDF5 datasets column-major; h5py reads the
 same bytes row-major, so a Julia (K, nchan, N) dataset appears here as
@@ -103,6 +108,27 @@ def load_template_file_mc(inputfile: str, max_templates: int = MAX_TEMPLATES):
                                   allow_overlaps=True)
 
 
+def save_template_file(path: str, mu, sigma, lp) -> None:
+    """Write learned templates as a {spikeForms, cinv, p} HDF5 file
+    round-trippable through load_template_file / load_template_file_mc
+    (and readable by Julia/MATLAB consumers of the reference's template
+    format, src/hmmsort.jl:39-57).
+
+    mu: (K, N) single-channel or (K, N, C) multi-channel templates;
+    sigma: scalar or (C,) noise std; lp: (N,) onset log-probs.
+    Julia reads a (K, C, N) column-major dataset; writing the h5py
+    row-major transpose (N, C, K) produces exactly those bytes."""
+    import h5py
+
+    mu = np.asarray(mu, np.float64)
+    wf = mu[:, None, :] if mu.ndim == 2 else mu.transpose(0, 2, 1)
+    sig = np.ravel(np.asarray(sigma, np.float64))
+    with h5py.File(path, "w") as ff:
+        ff["spikeForms"] = np.ascontiguousarray(wf.T)   # (N, C, K)
+        ff["cinv"] = 1.0 / (sig * sig)
+        ff["p"] = np.exp(np.asarray(lp, np.float64))
+
+
 def load_data_file(datafile: str, *, channels=1,
                    keep_int: bool = False) -> np.ndarray:
     """Read the voltage trace (reference hmmsort.jl:66-88).
@@ -141,11 +167,15 @@ def load_data_file(datafile: str, *, channels=1,
     return np.asarray(data, dtype=np.float64)
 
 
-def sort_data(inputfile: str, datafile: str, outputfile: str, *,
+def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
               dosave: bool = True, max_templates: int | None = None,
               chunksize: int | None = None, progress=None,
               engine: str | None = None, channels=None,
-              multichannel: bool | None = None, config=None) -> dict:
+              multichannel: bool | None = None, config=None,
+              train: bool = False, n_templates: int | None = None,
+              K: int | None = None, nsteps: int | None = None,
+              train_samples: int | None = None,
+              save_templates: str | None = None, rng=None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
@@ -169,6 +199,28 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
     keeps the reference keys; waveforms is (K, N, C) and sigma a (C,)
     vector. Mutually exclusive with channels="all" (which decodes each
     channel independently).
+
+    train=True (beyond the reference CLI, which is decode-only and needs
+    an upstream template tool) learns the templates from the recording
+    itself via the reference training protocol (EM -> merge/prune ->
+    EM/2, train/em.train_model) before decoding:
+
+      * no inputfile -> train from scratch (`n_templates` random inits,
+        `nsteps` EM steps — the package-API defaults when None);
+      * inputfile given -> warm start: load its templates and refit them
+        with `nsteps` EM steps (reference fit!, src/fit.jl:49-52);
+      * `train_samples` > 0 trains on the first that many samples (EM cost
+        is linear in T; the decode always covers the full recording);
+      * `save_templates` writes the learned {spikeForms, cinv, p} HDF5,
+        reusable as the inputfile of a plain decode run;
+      * works with multichannel=True (joint MC training,
+        train/em_mc.train_model_mc) and channels="all" (independent
+        per-channel models; output arrays become per-channel cells since
+        channels may keep different template counts).
+
+    If training prunes every template the decode degenerates to the
+    all-silent null model (same contract as the reference's missing-
+    spikeForms bail, hmmsort.jl:40-45, but with a valid output file).
 
     A config.Config supplies defaults for anything not passed explicitly.
     """
@@ -199,20 +251,55 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
 
     if multichannel:
         from .models.multichannel import (fit_spiking_model_mc,
-                                          fit_spiking_model_mc_fast)
+                                          fit_spiking_model_mc_fast,
+                                          refit_template_model_mc)
 
-        print("Loading templates...")
-        tmc = load_template_file_mc(inputfile, max_templates)
-        if tmc is None:
-            return {}
-        print("Creating template model...")
-        print("Loading data...")
-        data = load_data_file(datafile, channels="all")   # (C, T)
-        if data.shape[0] < tmc.n_channels:
-            raise ValueError(
-                f"recording has {data.shape[0]} channels but the templates "
-                f"have {tmc.n_channels}")
-        yc = np.ascontiguousarray(data[: tmc.n_channels].T)  # (T, C)
+        if train:
+            print("Loading data...")
+            data = load_data_file(datafile, channels="all")   # (C, T)
+            yc_full = np.ascontiguousarray(data.T)            # (T, C)
+            y_tr = (yc_full[:train_samples] if train_samples
+                    else yc_full)
+            if inputfile is not None:
+                tmc = load_template_file_mc(inputfile, max_templates)
+                if tmc is None:
+                    return {}
+                print("Refitting templates (warm start)...")
+                tmc = refit_template_model_mc(
+                    tmc, y_tr, nsteps if nsteps is not None else 10)
+            else:
+                from .train.em_mc import train_model_mc
+
+                print("Training templates...")
+                tmc, _, _ = train_model_mc(
+                    y_tr,
+                    n_templates if n_templates is not None else 3,
+                    K if K is not None else
+                    (60 if config is None else config.model.K),
+                    nsteps if nsteps is not None else 10, rng=rng)
+            tmc.allow_overlaps = True           # CLI decode convention
+            if tmc.n_neurons > max_templates:
+                print("The number of templates exceeds the maximum. "
+                      "Bailing out...")
+                return {}
+            if save_templates:
+                save_template_file(save_templates, tmc.mu, tmc.sigmas,
+                                   tmc.lp)
+                print(f"Templates saved to {save_templates}")
+            yc = yc_full
+        else:
+            print("Loading templates...")
+            tmc = load_template_file_mc(inputfile, max_templates)
+            if tmc is None:
+                return {}
+            print("Creating template model...")
+            print("Loading data...")
+            data = load_data_file(datafile, channels="all")   # (C, T)
+            if data.shape[0] < tmc.n_channels:
+                raise ValueError(
+                    f"recording has {data.shape[0]} channels but the "
+                    f"templates have {tmc.n_channels}")
+            yc = np.ascontiguousarray(data[: tmc.n_channels].T)  # (T, C)
         guard_inputs(yc.T, tmc.sigmas)
         print("Fitting model...")
         if engine == "fast":
@@ -241,19 +328,99 @@ def sort_data(inputfile: str, datafile: str, outputfile: str, *,
             print(f"Done! Results saved to {outputfile}")
         return output
 
-    print("Loading templates...")
-    tm = load_template_file(inputfile, max_templates)
-    if tm is None:
-        return {}
-    print("Creating template model...")
-    print("Loading data...")
-    # the fast engine casts integer recordings in-graph (exact) — keep
-    # int16 data raw so the device upload is half the bytes
-    data = load_data_file(datafile, channels=channels,
-                          keep_int=(engine == "fast" and channels != "all"))
+    if train:
+        from .models.api import refit_template_model
 
-    guard_inputs(data, tm.sigma)       # fail fast on NaN data / bad sigma
-    #                                    (integer data skips the NaN scan)
+        tm0 = None
+        if inputfile is not None:
+            tm0 = load_template_file(inputfile, max_templates)
+            if tm0 is None:
+                return {}
+        print("Loading data...")
+        data = load_data_file(datafile, channels=channels)
+        rows = data if channels == "all" else data[None]
+        guard_inputs(data, 1.0)        # NaN scan before training
+        tms = []
+        for c, row in enumerate(rows):
+            y_tr = row[:train_samples] if train_samples else row
+            if tm0 is not None:
+                print(f"Refitting templates (warm start)"
+                      f"{f' [channel {c}]' if channels == 'all' else ''}...")
+                m = refit_template_model(
+                    tm0, y_tr, nsteps if nsteps is not None else 10)
+            else:
+                from .models.api import fit_template_model
+
+                print(f"Training templates"
+                      f"{f' [channel {c}]' if channels == 'all' else ''}...")
+                m = fit_template_model(y_tr, n_templates, K, nsteps,
+                                       rng=rng, config=config)
+            m.allow_overlaps = True     # CLI decode convention
+            if m.n_neurons > max_templates:
+                print("The number of templates exceeds the maximum. "
+                      "Bailing out...")
+                return {}
+            tms.append(m)
+        if save_templates:
+            if channels == "all":
+                root, dot, ext = save_templates.rpartition(".")
+                for c, m in enumerate(tms):
+                    path = (f"{root}_ch{c:02d}.{ext}" if dot
+                            else f"{save_templates}_ch{c:02d}")
+                    save_template_file(path, m.mu, m.sigma, m.lp)
+                print(f"Per-channel templates saved next to "
+                      f"{save_templates}")
+            else:
+                save_template_file(save_templates, tms[0].mu,
+                                   tms[0].sigma, tms[0].lp)
+                print(f"Templates saved to {save_templates}")
+        if channels == "all":
+            # per-channel models can keep different template counts, so
+            # the output entries are per-channel cells (object arrays)
+            models = [
+                (fit_spiking_model_fast(m, row, streaming=True,
+                                        config=config)
+                 if engine == "fast" else
+                 fit_spiking_model(m, row, chunksize=chunksize,
+                                   progress=progress))
+                for m, row in zip(tms, rows)]
+            cell = np.empty(len(models), dtype=object)
+            for c, (m, mod) in enumerate(zip(tms, models)):
+                cell[c] = unroll_mlseq(mod.ml_seq,
+                                       m.state_space.states) + 1
+            wf_cell = np.empty(len(tms), dtype=object)
+            lp_cell = np.empty(len(tms), dtype=object)
+            for c, m in enumerate(tms):
+                wf_cell[c] = m.mu
+                lp_cell[c] = m.lp
+            output = {
+                "mlseq": cell,
+                "ll": np.array([mod.ll for mod in models]),
+                "waveforms": wf_cell,
+                "lp": lp_cell,
+                "sigma": np.array([m.sigma for m in tms]),
+            }
+            if dosave:
+                scipy.io.savemat(outputfile, output)
+                print(f"Done! Results saved to {outputfile}")
+            return output
+        tm = tms[0]
+        data = rows[0]
+    else:
+        print("Loading templates...")
+        tm = load_template_file(inputfile, max_templates)
+        if tm is None:
+            return {}
+        print("Creating template model...")
+        print("Loading data...")
+        # the fast engine casts integer recordings in-graph (exact) — keep
+        # int16 data raw so the device upload is half the bytes
+        data = load_data_file(datafile, channels=channels,
+                              keep_int=(engine == "fast"
+                                        and channels != "all"))
+
+        guard_inputs(data, tm.sigma)   # fail fast on NaN data / bad sigma
+        #                                (integer data skips the NaN scan)
     print("Fitting model...")
     if channels == "all":
         if engine == "fast":
@@ -317,9 +484,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="hmmsort",
         description="HMM spike sorting (TPU-native): decode a recording "
-                    "with known templates")
-    p.add_argument("--inputfile", required=True,
-                   help="File containing templates to be used for sorting")
+                    "with known templates, or learn them first "
+                    "with --train")
+    p.add_argument("--inputfile",
+                   help="File containing templates to be used for sorting "
+                        "(required unless --train; with --train it warm-"
+                        "starts the refit instead)")
     p.add_argument("--datafile", required=True,
                    help="Data file containing data to be sorted")
     p.add_argument("--outputfile", required=True,
@@ -346,11 +516,39 @@ def main(argv=None) -> int:
                         "using every channel of spikeForms (the reference "
                         "uses channel 1 only); mutually exclusive with "
                         "--channels all")
+    p.add_argument("--train", action="store_true",
+                   help="learn the templates from the recording itself "
+                        "(reference training protocol: EM -> merge/prune "
+                        "-> EM/2) before decoding — no upstream template "
+                        "tool needed; with --inputfile, warm-starts from "
+                        "its templates instead")
+    p.add_argument("--ntemplates", type=int, default=None,
+                   help="initial template count for --train from scratch "
+                        "(default 3, the reference train_model default; "
+                        "merge/prune decides the final count)")
+    p.add_argument("--K", type=int, default=None,
+                   help="template length in samples for --train from "
+                        "scratch (default 60, the reference train_model "
+                        "default; ignored with an --inputfile warm start)")
+    p.add_argument("--nsteps", type=int, default=None,
+                   help="EM iterations for --train (default 10)")
+    p.add_argument("--train-samples", type=int, default=None,
+                   help="train on only the first this-many samples "
+                        "(default: the whole recording); the decode always "
+                        "covers the full recording")
+    p.add_argument("--save-templates", default=None,
+                   help="also write the learned templates as a "
+                        "{spikeForms, cinv, p} HDF5 file reusable as "
+                        "--inputfile of a plain decode run")
     args = p.parse_args(argv)
 
     import os
 
-    if not (os.path.isfile(args.inputfile) and os.path.isfile(args.datafile)):
+    if args.inputfile is None and not args.train:
+        print("Both inputfile and data file must exist")
+        return 23                               # reference hmmsort.jl:113
+    if not ((args.inputfile is None or os.path.isfile(args.inputfile))
+            and os.path.isfile(args.datafile)):
         print("Both inputfile and data file must exist")
         return 23                               # reference hmmsort.jl:113
     from .config import Config, DecodeConfig
@@ -361,7 +559,10 @@ def main(argv=None) -> int:
                                                else "all"),
                                      multichannel=args.multichannel,
                                      transfer=args.transfer))
-    sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg)
+    sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg,
+              train=args.train, n_templates=args.ntemplates, K=args.K,
+              nsteps=args.nsteps, train_samples=args.train_samples,
+              save_templates=args.save_templates)
     return 0
 
 

@@ -238,7 +238,10 @@ def _decoder_for(templates: HMMTemplateModel):
         from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
         from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
 
-        if not templates.allow_overlaps:
+        # N < 2 has no pairs: the overlap space IS the non-overlap space
+        # (types.jl:65-92 enumerates zero pair columns), so the nov
+        # engine is exact there and the pair engines need not handle it
+        if not templates.allow_overlaps or templates.n_neurons < 2:
             engine = ring_viterbi_nov
         elif templates.n_neurons == 2:
             engine = ring_viterbi_ov2

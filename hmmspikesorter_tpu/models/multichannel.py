@@ -92,7 +92,8 @@ def _mc_engine_for(templates: HMMTemplateModelMC):
                                       ring_viterbi_ov2_mc,
                                       ring_viterbi_ovn_mc)
 
-    if not templates.allow_overlaps:
+    # N < 2 has no pairs: overlap space == non-overlap space, nov is exact
+    if not templates.allow_overlaps or templates.n_neurons < 2:
         return ring_viterbi_nov_mc
     if templates.n_neurons == 2:
         return ring_viterbi_ov2_mc

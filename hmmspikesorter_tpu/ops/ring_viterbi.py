@@ -381,13 +381,15 @@ def ring_block_decoder(lp, mu, sigma, *, overlaps: bool,
                              "overlap topology")
         name = "pallas"
     elif block_engine == "pallas_ovn":
-        if not overlaps:
+        if not overlaps or N < 2:
             raise ValueError("pallas_ovn block engine requires an overlap "
-                             "topology")
+                             "topology with N >= 2")
         name = "pallas_ovn"
-    elif overlaps:
+    elif overlaps and N >= 2:
         name = "ov2" if N == 2 else "ovn"
     else:
+        # non-overlap — or N < 2, whose overlap space has no pair
+        # columns and equals the non-overlap space exactly
         name = "nov"
     return lambda yw, sil: _block_decode_batched(yw, sil, lp, mu, sigma,
                                                  engine_name=name)

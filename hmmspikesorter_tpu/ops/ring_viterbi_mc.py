@@ -384,19 +384,21 @@ def mc_block_decoder(lp, mu, sigmas, *, overlaps: bool, W: int | None = None,
         engine = "ring"
     else:
         engine = block_engine
-    if engine == "pallas_ovn" and not overlaps:
+    if engine == "pallas_ovn" and (not overlaps or N < 2):
         # mirror ring_viterbi.ring_block_decoder / _mc_prepare: an
         # explicitly forced kernel must never silently downgrade
         raise ValueError("block_engine='pallas_ovn' requires an overlap "
-                         "topology (overlaps=True)")
-    if overlaps and (N >= 3 or engine == "pallas_ovn"):
+                         "topology (overlaps=True) with N >= 2")
+    if overlaps and N >= 2 and (N >= 3 or engine == "pallas_ovn"):
         name = "ovn" if engine != "pallas_ovn" else "pallas_ovn"
         cx = jnp.asarray(np.stack([tables.c2[p] for p in sorted(tables.c2)]),
                          dtype)
-    elif overlaps:
+    elif overlaps and N == 2:
         name = "ov2"
         cx = jnp.asarray(tables.x2[(0, 1)], dtype)
     else:
+        # non-overlap — or N < 2, whose overlap space has no pair
+        # columns and equals the non-overlap space exactly
         name = "nov"
         cx = jnp.zeros((0,), dtype)
     zscale = jnp.asarray(tables.zscale, dtype)

@@ -395,7 +395,8 @@ def _ring_overlap_save_impl(y, lp, mu, sigma, *, L, H, overlaps,
     from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
     from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
 
-    if not overlaps:
+    # N < 2: overlap space == non-overlap space (no pair columns)
+    if not overlaps or mu.shape[1] < 2:
         engine = ring_viterbi_nov
     elif mu.shape[1] == 2:
         engine = ring_viterbi_ov2
@@ -590,7 +591,7 @@ def _ring_overlap_save_batched_impl(ys, lp, mu, sigma, *, L, H, overlaps,
         xb = ovn_decode_pallas_mb(y_flat, lp, mu, sigma,
                                   silent_mask=sil_flat)
     else:
-        if not overlaps:
+        if not overlaps or Nn < 2:     # N < 2: no pair columns, nov exact
             engine = ring_viterbi_nov
         elif Nn == 2:
             engine = ring_viterbi_ov2
@@ -688,12 +689,13 @@ def _mc_prepare(yc, lp, mu, sigmas, *, L, H, overlaps, block_engine):
     es, d = mc_streams(yc, tables)                       # (T,), (T, N, K-1)
     dtype = es.dtype
     c1 = jnp.asarray(tables.c1, dtype)
-    if overlaps and (N >= 3 or block_engine == "pallas_ovn"):
+    if overlaps and N >= 2 and (N >= 3 or block_engine == "pallas_ovn"):
         cx = jnp.asarray(np.stack([tables.c2[p]          # ovn direct form
                                    for p in sorted(tables.c2)]), dtype)
-    elif overlaps:
+    elif overlaps and N == 2:
         cx = jnp.asarray(tables.x2[(0, 1)], dtype)       # ov2 cross form
     else:
+        # non-overlap — or N < 2, whose overlap space has no pair columns
         cx = jnp.zeros((0,), dtype)
     return es, d, jnp.asarray(lp, dtype), c1, cx, block_engine
 
@@ -712,7 +714,7 @@ def _mc_overlap_save_impl(es, d, lp, c1, cx, *, L, H, overlaps,
          if overlaps else 1 + N * Km1)
     out_dtype = jnp.int16 if S <= 32767 else jnp.int32
 
-    if not overlaps:
+    if not overlaps or N < 2:          # N < 2: no pair columns, nov exact
         dec = lambda e, dd, s0: _nov_mc_scan(e, dd, lp, c1,
                                              silent_start=s0,
                                              with_ll=False)[0]

@@ -41,7 +41,7 @@ def make_window_decoder(lp, mu, sigma, *, overlaps: bool):
     lp = jnp.asarray(lp)
     mu = jnp.asarray(mu)
     N = mu.shape[1]
-    if not overlaps:
+    if not overlaps or N < 2:          # N < 2: no pair columns, nov exact
         engine = ring_viterbi_nov
     elif N == 2:
         engine = ring_viterbi_ov2

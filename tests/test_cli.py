@@ -262,3 +262,122 @@ def test_load_data_matlab_v73_style_fixture(tmp_path):
         f.write(b"MATLAB 7.3 MAT-file" + b" " * 97 + bytes([0, 2]) + b"IM")
     data = cli.load_data_file(dfile)
     np.testing.assert_allclose(data, chan1)
+
+
+def _write_train_inputs(tmp_path, K=12, T=12000, sigma=0.3, two_chan=False):
+    """Synthetic recording rich enough for from-scratch EM (the sparser
+    _write_inputs signal starves EM of spikes and everything prunes)."""
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.2, 0.5, 0.3)], axis=1)
+    pp = np.array([0.01, 0.006])
+    rng = np.random.default_rng(6)
+    y, _ = create_signal(T, sigma, pp, temps, rng=rng)
+    dfile = str(tmp_path / "train_data.h5")
+    with h5py.File(dfile, "w") as f:
+        if two_chan:
+            y2 = sigma * rng.standard_normal(T)        # pure-noise channel
+            f["rh/data/analogData"] = np.stack([y, y2])
+        else:
+            f["rh/data/analogData"] = y
+    tfile = str(tmp_path / "train_templates.h5")
+    with h5py.File(tfile, "w") as f:
+        f["spikeForms"] = temps.T[:, None, :]
+        f["cinv"] = np.array([[1.0 / sigma**2]])
+        f["p"] = pp
+    return tfile, dfile, temps, pp, y
+
+
+def test_sort_data_train_from_scratch(tmp_path):
+    """--train: learn templates from the recording (no inputfile), decode,
+    and export a reusable {spikeForms, cinv, p} template file."""
+    _, dfile, temps, pp, y = _write_train_inputs(tmp_path)
+    ofile = str(tmp_path / "trained.mat")
+    sfile = str(tmp_path / "learned.h5")
+    out = cli.sort_data(None, dfile, ofile, train=True, n_templates=4,
+                        K=12, nsteps=4, chunksize=4000,
+                        save_templates=sfile,
+                        rng=np.random.default_rng(7))
+    assert set(out) == {"mlseq", "ll", "waveforms", "lp", "sigma"}
+    n_surv = out["waveforms"].shape[1]
+    assert n_surv == 2                      # merge/prune lands on the truth
+    assert out["mlseq"].shape == (n_surv, len(y))
+    assert out["mlseq"].min() >= 1
+    # the exported template file round-trips through the standard loader
+    tm = cli.load_template_file(sfile)
+    assert tm is not None
+    assert tm.n_neurons == n_surv
+    np.testing.assert_allclose(tm.mu, out["waveforms"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(tm.lp, out["lp"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(tm.sigma, out["sigma"], rtol=1e-12)
+    # and decoding with the exported file reproduces the trained decode
+    out2 = cli.sort_data(sfile, dfile, str(tmp_path / "redec.mat"),
+                         chunksize=4000)
+    np.testing.assert_array_equal(out2["mlseq"], out["mlseq"])
+
+
+def test_sort_data_train_warm_start(tmp_path):
+    """--train with an inputfile refits its templates (reference fit!)
+    instead of random re-initialization."""
+    tfile, dfile, temps, pp, y = _write_train_inputs(tmp_path)
+    out = cli.sort_data(tfile, dfile, str(tmp_path / "warm.mat"),
+                        train=True, nsteps=2, chunksize=4000)
+    assert out["waveforms"].shape == temps.shape       # refit keeps N
+    assert not np.allclose(out["waveforms"], temps)    # EM moved them
+    assert out["mlseq"].shape == (temps.shape[1], len(y))
+
+
+def test_sort_data_train_subset_and_fast_engine(tmp_path):
+    """train_samples trains on a prefix; the fast engine then decodes the
+    full recording with the learned templates."""
+    _, dfile, temps, pp, y = _write_train_inputs(tmp_path)
+    out = cli.sort_data(None, dfile, str(tmp_path / "sub.mat"),
+                        train=True, n_templates=3, K=12, nsteps=4,
+                        train_samples=8000, engine="fast",
+                        rng=np.random.default_rng(3))
+    n_surv = out["waveforms"].shape[1]
+    assert 1 <= n_surv <= 3
+    assert out["mlseq"].shape == (n_surv, len(y))
+    assert np.isfinite(out["ll"])
+
+
+def test_cli_train_flag_no_inputfile(tmp_path):
+    """main() accepts --train without --inputfile (and still exits 23
+    without either)."""
+    _, dfile, *_ = _write_train_inputs(tmp_path, T=6000)
+    ofile = str(tmp_path / "cli_train.mat")
+    rc = cli.main(["--datafile", dfile, "--outputfile", ofile, "--train",
+                   "--ntemplates", "2", "--K", "12", "--nsteps", "2",
+                   "--chunksize", "3000"])
+    assert rc == 0
+    back = scipy.io.loadmat(ofile, squeeze_me=True)
+    assert "mlseq" in back
+    assert cli.main(["--datafile", dfile,
+                     "--outputfile", str(tmp_path / "no.mat")]) == 23
+
+
+def test_sort_data_train_multichannel(tmp_path):
+    """--train --multichannel: joint MC training then joint decode."""
+    _, dfile, temps, pp, y = _write_train_inputs(tmp_path, T=8000,
+                                                 two_chan=True)
+    out = cli.sort_data(None, dfile, str(tmp_path / "mc_train.mat"),
+                        train=True, multichannel=True, n_templates=2,
+                        K=12, nsteps=2, rng=np.random.default_rng(5))
+    assert set(out) == {"mlseq", "ll", "waveforms", "lp", "sigma"}
+    assert out["waveforms"].ndim == 3                   # (K, N, C)
+    assert out["sigma"].shape == (2,)
+    assert len(out["mlseq"]) == out["waveforms"].shape[1]
+
+
+def test_sort_data_train_channels_all(tmp_path):
+    """--train --channels all: independent per-channel models (possibly
+    different template counts) -> per-channel cell output."""
+    _, dfile, temps, pp, y = _write_train_inputs(tmp_path, two_chan=True)
+    out = cli.sort_data(None, dfile, str(tmp_path / "all_train.mat"),
+                        train=True, n_templates=2, K=12, nsteps=2,
+                        chunksize=4000, channels="all",
+                        rng=np.random.default_rng(13))
+    assert len(out["mlseq"]) == 2
+    assert out["ll"].shape == (2,)
+    for c in range(2):
+        n_c = out["waveforms"][c].shape[1]
+        assert out["mlseq"][c].shape == (n_c, len(y))
