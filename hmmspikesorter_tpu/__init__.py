@@ -2,12 +2,15 @@
 
 Public surface:
     from hmmspikesorter_tpu import api        # fit / decode / predict / bic
+    from hmmspikesorter_tpu import posterior  # onset marginals, per-spike
+                                              # confidence (beyond reference)
     from hmmspikesorter_tpu import extraction # spike times, MAT unit export
     python -m hmmspikesorter_tpu.cli          # batch sorting CLI
 """
 
 from .models import api  # noqa: F401
 from .models import multichannel  # noqa: F401
+from .core import posterior  # noqa: F401
 from .io import extraction  # noqa: F401
 from .config import (Config, DecodeConfig, MeshConfig, ModelConfig,  # noqa: F401
                      TrainConfig)

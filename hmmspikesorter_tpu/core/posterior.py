@@ -1,0 +1,459 @@
+"""State posteriors and per-spike confidence from forward-backward.
+
+Beyond-reference capability: the reference computes alpha/beta only as EM
+internals (src/baumwelch.jl:25-98) and never exposes posterior quantities;
+spike-sorting practice, however, wants a per-spike quality score (how much
+posterior mass actually supports each decoded onset) next to the MAP
+labels. This module provides
+
+  * ``state_log_posteriors`` — the full (T, S) log gamma = alpha + beta -
+    logZ (small recordings / tests);
+  * ``onset_posteriors`` — the (T, N) marginal P(neuron n onsets at t),
+    computed with a checkpointed two-pass block algorithm so the (T, S)
+    gamma is never materialized: the forward pass stores one (S,) alpha
+    checkpoint per block, the backward pass rematerializes each block's
+    alphas from its checkpoint while streaming beta right-to-left, and
+    the block's posterior mass is immediately projected onto the
+    per-neuron onset indicator with one (block, S) x (S, N) matmul (MXU
+    work; memory is O(block * S), not O(T * S));
+  * ``spike_confidence`` — per decoded spike: the posterior onset mass in
+    a +/-w window around the decoded onset (same-neuron onsets are >= K
+    apart, so windows with w <= (K-1)//2 never overlap).
+
+Forward/backward semantics mirror core/forward_backward.py exactly
+(emission-only forward init — the reference's dead-pi quirk,
+baumwelch.jl:31-36 — and beta[T-1] = 0): the blocked result is
+bit-identical to the materialized one in the same dtype (tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logmath import logsumexp_rows
+from .emission import emission_logprob, state_means
+
+
+def onset_projection(states) -> np.ndarray:
+    """(S, N) float indicator: state s has neuron n at ring phase 1 (the
+    onset sample — the timestamp extract_spiketimes aligns)."""
+    states = np.asarray(states)
+    return (states == 1).T.astype(np.float64)
+
+
+def state_log_posteriors(y, in_idx, in_w, out_idx, out_w, state_mu, sigma):
+    """(T, S) log gamma — full materialization; prefer onset_posteriors
+    for long recordings."""
+    from .forward_backward import backward, forward
+
+    alpha = forward(y, in_idx, in_w, state_mu, sigma)
+    beta = backward(y, out_idx, out_w, state_mu, sigma)
+    logz = logsumexp_rows(alpha[-1], axis=-1)
+    return alpha + beta - logz
+
+
+@partial(jax.jit, static_argnames=("first",))
+def _alpha_block(a_entry, em_blk, in_idx, in_w, *, first: bool):
+    """Alphas for one block. first=True: emission-only init at t=0."""
+    def step(carry, em_t):
+        a = em_t + logsumexp_rows(carry[in_idx] + in_w, axis=1)
+        return a, a
+
+    if first:
+        a0 = em_blk[0]
+        a_last, rest = jax.lax.scan(step, a0, em_blk[1:])
+        return a_last, jnp.concatenate([a0[None], rest], axis=0)
+    a_last, a_all = jax.lax.scan(step, a_entry, em_blk)
+    return a_last, a_all
+
+
+@jax.jit
+def _beta_block(b_exit, em_next_blk, out_idx, out_w):
+    """Betas for steps t whose next-emissions are em_next_blk (reverse
+    scan); b_exit is beta at the step after the block."""
+    def step(carry, em_next):
+        contrib = (carry + em_next)[out_idx] + out_w
+        b = logsumexp_rows(contrib, axis=1)
+        return b, b
+
+    b_first, b_all = jax.lax.scan(step, b_exit, em_next_blk, reverse=True)
+    return b_first, b_all
+
+
+@jax.jit
+def _project_block(a_all, b_all, logz, proj):
+    """exp(gamma) @ proj for one block: (block, S) x (S, M) -> (block, M)."""
+    return jnp.exp(a_all + b_all - logz) @ proj
+
+
+# --------------------------------------------------------------------------
+# Ring-structured (gather-free) log-plus blocks — the TPU fast path.
+#
+# The gather-table scans above work on any topology but lower to
+# scalar-core gathers on TPU and compile slowly at overlap sizes; the ring
+# topology makes forward AND backward structural (the same argument as
+# ops/ring_viterbi.py, with logsumexp in place of max). Engines:
+# non-overlap any N, and the N=2 pairwise-overlap space (the production
+# CLI decode topology). N >= 3 overlap falls back to the gather engine.
+# Flat state order matches core/state_space exactly, so the (S, M)
+# projection applies unchanged.
+# --------------------------------------------------------------------------
+
+
+def _ring_consts(mu, sigma, lp, dtype):
+    mu = jnp.asarray(mu, dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    from ..utils.logmath import HALF_LOG_2PI
+
+    log_sigma = jnp.log(sigma)
+    inv_2s2 = 1.0 / (2.0 * sigma * sigma)
+    econst = -HALF_LOG_2PI - log_sigma
+    return mu, lp, lpz, econst, inv_2s2
+
+
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _nov_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
+                  reverse: bool):
+    """One block of the non-overlap log-plus recursion (any N).
+
+    reverse=False: alphas for the block given the entry alpha (flat);
+    reverse=True: betas for steps t in the block given the exit beta and
+    y_blk = the NEXT emissions' samples y[t+1] per step.
+    Returns (carry_out_flat, rows (blk, S) flat in state order).
+    """
+    dtype = mu.dtype
+    y_blk = y_blk.astype(dtype)
+    K, N = mu.shape
+    Km1 = K - 1
+    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
+    silent_mean = jnp.sum(mu[0])
+    body_mean = mu[1:].T + (silent_mean - mu[0])[:, None]   # (N, K-1)
+
+    def em(v):
+        ds = v - silent_mean
+        db = v - body_mean
+        return (econst - ds * ds * inv_2s2,
+                econst - db * db * inv_2s2)
+
+    def unflat(f):
+        return f[0], f[1:].reshape(N, Km1)
+
+    def flat(vs, vb):
+        return jnp.concatenate([vs[None], vb.reshape(-1)])
+
+    diag_mask = jnp.where(jnp.eye(N, dtype=bool),
+                          -jnp.inf, 0.0).astype(dtype)
+
+    if not reverse:
+        def fstep(carry, y_t):
+            vs, vb = unflat(carry)
+            es, ebm = em(y_t)
+            new_vs = jnp.logaddexp(
+                vs + N * lpz,
+                logsumexp_rows(vb[:, -1] + (N - 1) * lpz, axis=0)) + es
+            oc = jnp.concatenate(
+                [(vs + lp + (N - 1) * lpz)[None, :],
+                 vb[:, -1][:, None] + lp[None, :] + (N - 2) * lpz
+                 + diag_mask], axis=0)
+            on = logsumexp_rows(oc, axis=0)                 # (N,)
+            new_vb = jnp.concatenate(
+                [on[:, None], vb[:, :-1] + (N - 1) * lpz], axis=1) + ebm
+            out = flat(new_vs, new_vb)
+            return out, out
+
+        if first:
+            es0, eb0 = em(y_blk[0])
+            a0 = flat(es0, eb0)
+            c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
+            return c, jnp.concatenate([a0[None], rows], axis=0)
+        return jax.lax.scan(fstep, carry_flat, y_blk)
+
+    def bstep(carry, y_next):
+        bs, bb = unflat(carry)
+        es, ebm = em(y_next)
+        BS = bs + es
+        BB = bb + ebm                                       # (N, K-1)
+        new_bs = jnp.logaddexp(
+            BS + N * lpz,
+            logsumexp_rows(BB[:, 0] + lp + (N - 1) * lpz, axis=0))
+        # sgl(n, k<K-1) -> sgl(n, k+1); sgl(n, K-1) -> silent | onset m!=n
+        exit_terms = jnp.logaddexp(
+            BS + (N - 1) * lpz,
+            logsumexp_rows(BB[:, 0][None, :] + lp[None, :]
+                           + (N - 2) * lpz + diag_mask, axis=1))  # (N,)
+        new_bb = jnp.concatenate(
+            [BB[:, 1:] + (N - 1) * lpz, exit_terms[:, None]], axis=1)
+        out = flat(new_bs, new_bb)
+        return out, out
+
+    return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
+
+
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
+                  reverse: bool):
+    """One block of the N=2 pairwise-overlap log-plus recursion.
+
+    Same contract as _nov_fb_block. Structural cases mirror
+    ops/ring_viterbi.ring_viterbi_ov2 (forward) and their exact edge
+    transposition (backward); flat order [silent | sgl0 | sgl1 | pair
+    k1-major] is the state_space enumeration.
+    """
+    dtype = mu.dtype
+    y_blk = y_blk.astype(dtype)
+    K = mu.shape[0]
+    Km1 = K - 1
+    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
+    lp0, lp1 = lp[0], lp[1]
+    silent_mean = mu[0, 0] + mu[0, 1]
+    b0_mean = mu[1:, 0] + mu[0, 1]
+    b1_mean = mu[1:, 1] + mu[0, 0]
+    pair_mean = mu[1:, 0][:, None] + mu[1:, 1][None, :]
+
+    def em(v):
+        def g(m):
+            d = v - m
+            return econst - d * d * inv_2s2
+
+        return g(silent_mean), g(b0_mean), g(b1_mean), g(pair_mean)
+
+    def unflat(f):
+        return (f[0], f[1:1 + Km1], f[1 + Km1:1 + 2 * Km1],
+                f[1 + 2 * Km1:].reshape(Km1, Km1))
+
+    def flat(vs, v0, v1, vp):
+        return jnp.concatenate([vs[None], v0, v1, vp.reshape(-1)])
+
+    if not reverse:
+        def fstep(carry, y_t):
+            vs, v0, v1, vp = unflat(carry)
+            es, e0, e1, ep = em(y_t)
+            new_vs = logsumexp_rows(
+                jnp.stack([vs + 2 * lpz, v0[-1] + lpz, v1[-1] + lpz,
+                           vp[-1, -1]]), axis=0) + es
+            on0 = jnp.logaddexp(vs + lp0 + lpz, v1[-1] + lp0)
+            on1 = jnp.logaddexp(vs + lp1 + lpz, v0[-1] + lp1)
+            r0 = jnp.logaddexp(v0[:-1] + lpz, vp[:-1, -1])
+            r1 = jnp.logaddexp(v1[:-1] + lpz, vp[-1, :-1])
+            new_v0 = jnp.concatenate([on0[None], r0]) + e0
+            new_v1 = jnp.concatenate([on1[None], r1]) + e1
+            top = jnp.concatenate([(vs + lp0 + lp1)[None], v1[:-1] + lp0])
+            left = v0[:-1] + lp1
+            new_vp = jnp.concatenate(
+                [top[None, :],
+                 jnp.concatenate([left[:, None], vp[:-1, :-1]], axis=1)],
+                axis=0) + ep
+            out = flat(new_vs, new_v0, new_v1, new_vp)
+            return out, out
+
+        if first:
+            es0, e00, e10, ep0 = em(y_blk[0])
+            a0 = flat(es0, e00, e10, ep0)
+            c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
+            return c, jnp.concatenate([a0[None], rows], axis=0)
+        return jax.lax.scan(fstep, carry_flat, y_blk)
+
+    def bstep(carry, y_next):
+        bs, b0, b1, bp = unflat(carry)
+        es, e0, e1, ep = em(y_next)
+        BS = bs + es
+        B0 = b0 + e0
+        B1 = b1 + e1
+        BP = bp + ep
+        # silent -> silent | onset0 | onset1 | pair corner
+        new_bs = logsumexp_rows(
+            jnp.stack([BS + 2 * lpz, B0[0] + lp0 + lpz, B1[0] + lp1 + lpz,
+                       BP[0, 0] + lp0 + lp1]), axis=0)
+        # sgl(0,k): k<K-1 -> sgl(0,k+1)+lpz | pair(k+1,1)+lp1;
+        #           k=K-1 -> silent+lpz | sgl(1,1)+lp1
+        body0 = jnp.logaddexp(B0[1:] + lpz, BP[1:, 0] + lp1)
+        end0 = jnp.logaddexp(BS + lpz, B1[0] + lp1)
+        new_b0 = jnp.concatenate([body0, end0[None]])
+        body1 = jnp.logaddexp(B1[1:] + lpz, BP[0, 1:] + lp0)
+        end1 = jnp.logaddexp(BS + lpz, B0[0] + lp0)
+        new_b1 = jnp.concatenate([body1, end1[None]])
+        # pair(k1,k2): interior -> diagonal; last col -> sgl(0,k1+1);
+        # last row -> sgl(1,k2+1); corner -> silent (all weight 0)
+        interior = BP[1:, 1:]
+        lastcol = B0[1:][:, None]                       # (K-2, 1)
+        lastrow = jnp.concatenate([B1[1:], BS[None]])   # (K-1,)
+        new_bp = jnp.concatenate(
+            [jnp.concatenate([interior, lastcol], axis=1),
+             lastrow[None, :]], axis=0)
+        out = flat(new_bs, new_b0, new_b1, new_bp)
+        return out, out
+
+    return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
+
+
+def _ring_fb_block_fn(templates):
+    """Pick the structural log-plus block engine for the topology, or
+    None when only the gather engine applies (N >= 3 overlap)."""
+    if not templates.allow_overlaps or templates.n_neurons < 2:
+        return _nov_fb_block
+    if templates.n_neurons == 2:
+        return _ov2_fb_block
+    return None
+
+
+def onset_posteriors(templates, y, *, block: int = 8192,
+                     proj=None, _force_gather: bool = False) -> np.ndarray:
+    """(T, N) marginal posterior that neuron n onsets at sample t, under
+    the model's decode topology (allow_overlaps included).
+
+    templates: models.api.HMMTemplateModel (or anything exposing
+    state_space/mu/sigma/lp). proj overrides the (S, M) projection —
+    e.g. ``(states > 0).T`` for "actively spiking" marginals instead of
+    onsets; default onset_projection. _force_gather bypasses the
+    structural engines (test anchor).
+    """
+    y = np.asarray(y)
+    if y.ndim != 1:
+        raise NotImplementedError(
+            "posteriors are single-channel for now: pass a (T,) trace "
+            "(multi-channel evidence needs the factorized MC emission)")
+    ss = templates.state_space
+    dtype = jnp.zeros(0).dtype                       # default jax float
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj = jnp.asarray(proj, dtype)
+    y = jnp.asarray(y, dtype)
+    T = y.shape[0]
+    S = ss.nstates
+    block = max(2, min(block, T))
+    starts = list(range(0, T, block))
+    entries = [None] * len(starts)                   # alpha checkpoint
+    out = [None] * len(starts)
+
+    fbfn = None if _force_gather else _ring_fb_block_fn(templates)
+    if fbfn is not None:
+        # structural (gather-free) path — the TPU fast engines.
+        # Between blocks the carry is re-centered at 0 and the shift kept
+        # as a host float64 offset: log-scores drift by ~|log p(y_t)| per
+        # sample, so an unnormalized f32 alpha at T = 2^17 sits at ~1e5
+        # magnitude and the mantissa can no longer resolve the O(1)
+        # structure gamma depends on (measured: posterior onset mass 35%
+        # low). Offsets cancel exactly in gamma = alpha + beta - logZ.
+        lp_d = jnp.asarray(templates.lp, dtype)
+        mu_d = jnp.asarray(templates.mu, dtype)
+        sg_d = jnp.asarray(templates.sigma, dtype)
+        off_a = [0.0] * len(starts)                  # alpha offset at entry
+        a_carry = jnp.zeros((S,), dtype)
+        off = 0.0
+        for i, s in enumerate(starts):
+            e = min(s + block, T)
+            entries[i] = a_carry
+            off_a[i] = off
+            a_carry, _ = fbfn(a_carry, y[s:e], lp_d, mu_d, sg_d,
+                              first=(i == 0), reverse=False)
+            shift = float(jnp.max(a_carry))
+            a_carry = a_carry - dtype.type(shift)
+            off += shift
+        logz = float(logsumexp_rows(a_carry, axis=-1)) + off
+        b_carry = jnp.zeros((S,), dtype)             # beta[T-1] = 0
+        off_b = 0.0
+        for i in range(len(starts) - 1, -1, -1):
+            s = starts[i]
+            e = min(s + block, T)
+            _, a_all = fbfn(entries[i], y[s:e], lp_d, mu_d, sg_d,
+                            first=(i == 0), reverse=False)
+            if e == T:
+                b_carry, b_rest = fbfn(b_carry, y[s + 1:T], lp_d, mu_d,
+                                       sg_d, first=False, reverse=True)
+                b_all = jnp.concatenate(
+                    [b_rest, jnp.zeros((1, S), dtype)], axis=0)
+            else:
+                b_carry, b_all = fbfn(b_carry, y[s + 1:e + 1], lp_d, mu_d,
+                                      sg_d, first=False, reverse=True)
+            logz_blk = dtype.type(logz - off_a[i] - off_b)
+            out[i] = _project_block(a_all, b_all, logz_blk, proj)
+            shift = float(jnp.max(b_carry))
+            b_carry = b_carry - dtype.type(shift)
+            off_b += shift
+        return np.concatenate([np.asarray(o) for o in out], axis=0)
+
+    # generic gather-table path (any topology; N >= 3 overlap lands here)
+    in_idx, in_w = ss.in_table(templates.lp)
+    out_idx, out_w = ss.out_table(templates.lp)
+    smu = state_means(jnp.asarray(ss.states),
+                      jnp.asarray(templates.mu, dtype))
+    sigma = jnp.asarray(templates.sigma, dtype)
+    in_idx = jnp.asarray(in_idx)
+    in_w = jnp.asarray(in_w, dtype)
+    out_idx = jnp.asarray(out_idx)
+    out_w = jnp.asarray(out_w, dtype)
+
+    # pass 1 — forward: one (S,) alpha checkpoint per block entry
+    a_carry = jnp.full((S,), 0.0, dtype)
+    for i, s in enumerate(starts):
+        e = min(s + block, T)
+        entries[i] = a_carry
+        em_blk = emission_logprob(y[s:e], smu, sigma)
+        a_carry, _ = _alpha_block(a_carry, em_blk, in_idx, in_w,
+                                  first=(i == 0))
+    logz = logsumexp_rows(a_carry, axis=-1)
+
+    # pass 2 — backward: stream beta right-to-left, rematerialize each
+    # block's alphas from its checkpoint, project immediately
+    b_carry = jnp.zeros((S,), dtype)                 # beta[T-1] = 0
+    for i in range(len(starts) - 1, -1, -1):
+        s = starts[i]
+        e = min(s + block, T)
+        em_blk = emission_logprob(y[s:e], smu, sigma)
+        _, a_all = _alpha_block(entries[i], em_blk, in_idx, in_w,
+                                first=(i == 0))
+        if e == T:
+            # beta[T-1] = 0; remaining betas from next-emissions inside
+            b_carry, b_rest = _beta_block(b_carry, em_blk[1:], out_idx,
+                                          out_w)
+            b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)],
+                                    axis=0)
+        else:
+            em_next = emission_logprob(y[s + 1:e + 1], smu, sigma)
+            b_carry, b_all = _beta_block(b_carry, em_next, out_idx, out_w)
+        out[i] = _project_block(a_all, b_all, logz, proj)
+    return np.concatenate([np.asarray(o) for o in out], axis=0)
+
+
+def spike_confidence(model, *, half_width: int | None = None,
+                     block: int = 8192):
+    """Posterior support for each decoded spike.
+
+    For every decoded onset t0 of neuron n (model.spike_onsets when the
+    decode used transfer="events", else recovered from the labels), the
+    confidence is the posterior onset mass sum_{|t-t0| <= w} P(neuron n
+    onsets at t) — how much of the forward-backward probability actually
+    backs the MAP decision. w defaults to (K-1)//2, the widest window
+    that can never cover two same-neuron onsets (they are >= K apart).
+
+    Returns a list of N float arrays aligned with the onset lists. The
+    value is a posterior MASS, not a probability: stray onset mass inside
+    the window (e.g. sub-threshold posterior bumps the MAP rejected) can
+    push a clean spike's score slightly past 1.
+    """
+    tm = model.template_model
+    K = tm.K
+    N = tm.n_neurons
+    w = (K - 1) // 2 if half_width is None else int(half_width)
+    onsets = getattr(model, "spike_onsets", None)
+    if onsets is None:
+        from .events import _onsets_dense
+
+        onsets = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
+                               overlaps=tm.allow_overlaps)
+    p = onset_posteriors(tm, model.y, block=block)   # (T, N)
+    T = p.shape[0]
+    out = []
+    for n in range(N):
+        cs = np.concatenate([[0.0], np.cumsum(p[:, n])])
+        pos = np.asarray(onsets[n], np.int64)
+        lo = np.clip(pos - w, 0, T)
+        hi = np.clip(pos + w + 1, 0, T)
+        out.append(cs[hi] - cs[lo])
+    return out
