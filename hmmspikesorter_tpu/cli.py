@@ -167,6 +167,18 @@ def load_data_file(datafile: str, *, channels=1,
     return np.asarray(data, dtype=np.float64)
 
 
+def _emit_output(output: dict, outputfile: str, dosave: bool) -> dict:
+    """Shared result epilogue: optionally write the MAT file, return the
+    reference output dict ({mlseq, ll, waveforms, lp, sigma},
+    hmmsort.jl:94-101 contract) — one place for every sort_data branch."""
+    if dosave:
+        import scipy.io
+
+        scipy.io.savemat(outputfile, output)
+        print(f"Done! Results saved to {outputfile}")
+    return output
+
+
 def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
               dosave: bool = True, max_templates: int | None = None,
               chunksize: int | None = None, progress=None,
@@ -224,8 +236,6 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
 
     A config.Config supplies defaults for anything not passed explicitly.
     """
-    import scipy.io
-
     from .config import UNSET, _section, pick
     from .io.extraction import unroll_mlseq
     from .models.api import (fit_spiking_model, fit_spiking_model_fast,
@@ -257,13 +267,23 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         if train:
             print("Loading data...")
             data = load_data_file(datafile, channels="all")   # (C, T)
-            yc_full = np.ascontiguousarray(data.T)            # (T, C)
-            y_tr = (yc_full[:train_samples] if train_samples
-                    else yc_full)
+            guard_inputs(data, 1.0)    # fail fast on NaN before the EM run
             if inputfile is not None:
                 tmc = load_template_file_mc(inputfile, max_templates)
                 if tmc is None:
                     return {}
+                # same channel contract as the decode-only path: the
+                # recording must cover the template channels; extra
+                # channels are dropped before training AND decode
+                if data.shape[0] < tmc.n_channels:
+                    raise ValueError(
+                        f"recording has {data.shape[0]} channels but the "
+                        f"templates have {tmc.n_channels}")
+                data = data[: tmc.n_channels]
+            yc_full = np.ascontiguousarray(data.T)            # (T, C)
+            y_tr = (yc_full[:train_samples] if train_samples
+                    else yc_full)
+            if inputfile is not None:
                 print("Refitting templates (warm start)...")
                 tmc = refit_template_model_mc(
                     tmc, y_tr, nsteps if nsteps is not None else 10)
@@ -323,10 +343,7 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
             "lp": tmc.lp,
             "sigma": tmc.sigmas,
         }
-        if dosave:
-            scipy.io.savemat(outputfile, output)
-            print(f"Done! Results saved to {outputfile}")
-        return output
+        return _emit_output(output, outputfile, dosave)
 
     if train:
         from .models.api import refit_template_model
@@ -363,11 +380,12 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
             tms.append(m)
         if save_templates:
             if channels == "all":
-                root, dot, ext = save_templates.rpartition(".")
+                import os.path
+
+                root, ext = os.path.splitext(save_templates)
                 for c, m in enumerate(tms):
-                    path = (f"{root}_ch{c:02d}.{ext}" if dot
-                            else f"{save_templates}_ch{c:02d}")
-                    save_template_file(path, m.mu, m.sigma, m.lp)
+                    save_template_file(f"{root}_ch{c:02d}{ext}",
+                                       m.mu, m.sigma, m.lp)
                 print(f"Per-channel templates saved next to "
                       f"{save_templates}")
             else:
@@ -400,10 +418,7 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                 "lp": lp_cell,
                 "sigma": np.array([m.sigma for m in tms]),
             }
-            if dosave:
-                scipy.io.savemat(outputfile, output)
-                print(f"Done! Results saved to {outputfile}")
-            return output
+            return _emit_output(output, outputfile, dosave)
         tm = tms[0]
         data = rows[0]
     else:
@@ -453,10 +468,7 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         "lp": tm.lp,
         "sigma": tm.sigma,
     }
-    if dosave:
-        scipy.io.savemat(outputfile, output)
-        print(f"Done! Results saved to {outputfile}")
-    return output
+    return _emit_output(output, outputfile, dosave)
 
 
 def _enable_compilation_cache():

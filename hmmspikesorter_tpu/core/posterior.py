@@ -120,76 +120,45 @@ def _ring_consts(mu, sigma, lp, dtype):
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _nov_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
                   reverse: bool):
-    """One block of the non-overlap log-plus recursion (any N).
+    """One block of the non-overlap log-plus recursion (any N), wrapping
+    ops/ring_fb's structural step functions (single source of truth for
+    the non-overlap transition structure).
 
     reverse=False: alphas for the block given the entry alpha (flat);
     reverse=True: betas for steps t in the block given the exit beta and
     y_blk = the NEXT emissions' samples y[t+1] per step.
     Returns (carry_out_flat, rows (blk, S) flat in state order).
     """
+    from ..ops.ring_fb import (_bwd_step, _emission_fns, _flat, _fwd_step,
+                               _unflat, _weights)
+
     dtype = mu.dtype
     y_blk = y_blk.astype(dtype)
     K, N = mu.shape
-    Km1 = K - 1
-    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
-    silent_mean = jnp.sum(mu[0])
-    body_mean = mu[1:].T + (silent_mean - mu[0])[:, None]   # (N, K-1)
-
-    def em(v):
-        ds = v - silent_mean
-        db = v - body_mean
-        return (econst - ds * ds * inv_2s2,
-                econst - db * db * inv_2s2)
-
-    def unflat(f):
-        return f[0], f[1:].reshape(N, Km1)
-
-    def flat(vs, vb):
-        return jnp.concatenate([vs[None], vb.reshape(-1)])
-
-    diag_mask = jnp.where(jnp.eye(N, dtype=bool),
-                          -jnp.inf, 0.0).astype(dtype)
+    lp = jnp.asarray(lp, dtype)
+    w = _weights(lp, dtype)
+    em = _emission_fns(mu, sigma)
 
     if not reverse:
         def fstep(carry, y_t):
-            vs, vb = unflat(carry)
+            vs, vb = _unflat(carry, N, K - 1)
             es, ebm = em(y_t)
-            new_vs = jnp.logaddexp(
-                vs + N * lpz,
-                logsumexp_rows(vb[:, -1] + (N - 1) * lpz, axis=0)) + es
-            oc = jnp.concatenate(
-                [(vs + lp + (N - 1) * lpz)[None, :],
-                 vb[:, -1][:, None] + lp[None, :] + (N - 2) * lpz
-                 + diag_mask], axis=0)
-            on = logsumexp_rows(oc, axis=0)                 # (N,)
-            new_vb = jnp.concatenate(
-                [on[:, None], vb[:, :-1] + (N - 1) * lpz], axis=1) + ebm
-            out = flat(new_vs, new_vb)
+            vs, vb = _fwd_step(vs, vb, es, ebm, w)
+            out = _flat(vs, vb)
             return out, out
 
         if first:
             es0, eb0 = em(y_blk[0])
-            a0 = flat(es0, eb0)
+            a0 = _flat(es0, eb0)
             c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
             return c, jnp.concatenate([a0[None], rows], axis=0)
         return jax.lax.scan(fstep, carry_flat, y_blk)
 
     def bstep(carry, y_next):
-        bs, bb = unflat(carry)
+        bs, bb = _unflat(carry, N, K - 1)
         es, ebm = em(y_next)
-        BS = bs + es
-        BB = bb + ebm                                       # (N, K-1)
-        new_bs = jnp.logaddexp(
-            BS + N * lpz,
-            logsumexp_rows(BB[:, 0] + lp + (N - 1) * lpz, axis=0))
-        # sgl(n, k<K-1) -> sgl(n, k+1); sgl(n, K-1) -> silent | onset m!=n
-        exit_terms = jnp.logaddexp(
-            BS + (N - 1) * lpz,
-            logsumexp_rows(BB[:, 0][None, :] + lp[None, :]
-                           + (N - 2) * lpz + diag_mask, axis=1))  # (N,)
-        new_bb = jnp.concatenate(
-            [BB[:, 1:] + (N - 1) * lpz, exit_terms[:, None]], axis=1)
-        out = flat(new_bs, new_bb)
+        bs, bb = _bwd_step(bs, bb, es, ebm, w)
+        out = _flat(bs, bb)
         return out, out
 
     return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
@@ -389,19 +358,30 @@ def onset_posteriors(templates, y, *, block: int = 8192,
     out_idx = jnp.asarray(out_idx)
     out_w = jnp.asarray(out_w, dtype)
 
-    # pass 1 — forward: one (S,) alpha checkpoint per block entry
+    # pass 1 — forward: one (S,) alpha checkpoint per block entry, with
+    # the same inter-block re-centering as the structural path (f32
+    # log-scores drift past the mantissa's reach on long recordings)
+    off_a = [0.0] * len(starts)
     a_carry = jnp.full((S,), 0.0, dtype)
+    off = 0.0
     for i, s in enumerate(starts):
         e = min(s + block, T)
         entries[i] = a_carry
+        off_a[i] = off
         em_blk = emission_logprob(y[s:e], smu, sigma)
         a_carry, _ = _alpha_block(a_carry, em_blk, in_idx, in_w,
                                   first=(i == 0))
-    logz = logsumexp_rows(a_carry, axis=-1)
+        shift = float(jnp.max(a_carry))
+        a_carry = a_carry - dtype.type(shift)
+        off += shift
+    logz = float(logsumexp_rows(a_carry, axis=-1)) + off
 
     # pass 2 — backward: stream beta right-to-left, rematerialize each
-    # block's alphas from its checkpoint, project immediately
+    # block's alphas from its checkpoint, project immediately. The beta
+    # recursion consumes next-step emissions: reuse the block's own rows
+    # shifted by one and only compute the single row at y[e].
     b_carry = jnp.zeros((S,), dtype)                 # beta[T-1] = 0
+    off_b = 0.0
     for i in range(len(starts) - 1, -1, -1):
         s = starts[i]
         e = min(s + block, T)
@@ -415,9 +395,15 @@ def onset_posteriors(templates, y, *, block: int = 8192,
             b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)],
                                     axis=0)
         else:
-            em_next = emission_logprob(y[s + 1:e + 1], smu, sigma)
+            em_next = jnp.concatenate(
+                [em_blk[1:], emission_logprob(y[e:e + 1], smu, sigma)],
+                axis=0)
             b_carry, b_all = _beta_block(b_carry, em_next, out_idx, out_w)
-        out[i] = _project_block(a_all, b_all, logz, proj)
+        logz_blk = dtype.type(logz - off_a[i] - off_b)
+        out[i] = _project_block(a_all, b_all, logz_blk, proj)
+        shift = float(jnp.max(b_carry))
+        b_carry = b_carry - dtype.type(shift)
+        off_b += shift
     return np.concatenate([np.asarray(o) for o in out], axis=0)
 
 

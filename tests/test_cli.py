@@ -381,3 +381,48 @@ def test_sort_data_train_channels_all(tmp_path):
     for c in range(2):
         n_c = out["waveforms"][c].shape[1]
         assert out["mlseq"][c].shape == (n_c, len(y))
+
+
+def test_train_mc_warm_start_channel_mismatch(tmp_path):
+    """MC --train warm start keeps the decode-only channel contract: too
+    few recording channels raise; extra channels are dropped before
+    training and decode."""
+    import pytest
+
+    _, dfile, temps, pp, y = _write_train_inputs(tmp_path, T=4000,
+                                                 two_chan=True)
+    # a 3-channel template file vs the 2-channel recording
+    t3 = str(tmp_path / "t3.h5")
+    with h5py.File(t3, "w") as f:
+        f["spikeForms"] = np.stack([temps.T] * 3, axis=1)   # (N, 3, K)
+        f["cinv"] = np.full(3, 1.0 / 0.09)
+        f["p"] = pp
+    with pytest.raises(ValueError, match="channels"):
+        cli.sort_data(t3, dfile, str(tmp_path / "x.mat"), train=True,
+                      multichannel=True, nsteps=1)
+    # a 1-channel template file on the 2-channel recording: trains on the
+    # truncated channel set and succeeds
+    t1 = str(tmp_path / "t1.h5")
+    with h5py.File(t1, "w") as f:
+        f["spikeForms"] = temps.T[:, None, :]
+        f["cinv"] = np.array([1.0 / 0.09])
+        f["p"] = pp
+    out = cli.sort_data(t1, dfile, str(tmp_path / "y.mat"), train=True,
+                        multichannel=True, nsteps=1)
+    assert out["waveforms"].shape[2] == 1
+
+
+def test_save_templates_dotted_directory(tmp_path):
+    """--channels all per-channel template export must split the BASENAME
+    extension, not the last dot of the whole path."""
+    d = tmp_path / "run.2026"
+    d.mkdir()
+    _, dfile, *_ = _write_train_inputs(tmp_path, T=4000, two_chan=True)
+    sfile = str(d / "templates")                    # no extension at all
+    cli.sort_data(None, dfile, str(tmp_path / "o.mat"), train=True,
+                  n_templates=2, K=12, nsteps=1, chunksize=2000,
+                  channels="all", save_templates=sfile,
+                  rng=np.random.default_rng(1))
+    import os
+    assert os.path.exists(str(d / "templates_ch00"))
+    assert os.path.exists(str(d / "templates_ch01"))
