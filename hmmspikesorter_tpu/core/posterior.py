@@ -261,14 +261,277 @@ def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
     return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
 
 
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
+                  reverse: bool):
+    """One block of the any-N pairwise-overlap log-plus recursion.
+
+    Same contract as _nov_fb_block. The forward mirrors
+    ops/ring_viterbi_ovn._ovn_core's structural candidate assembly with
+    logsumexp in place of first-max; the backward is its exact edge
+    transposition, with the third-member handoffs selected through the
+    same one-hot-matmul pattern (for every (source, slot) exactly one of
+    the paired selections is active, so the additive 0 of the inactive
+    one is harmless — scores are finite). Flat order [silent | singles
+    n-major | pair grids i-major, k1-major] is the state_space
+    enumeration.
+    """
+    from ..ops.ring_viterbi_ovn import _pairs, _sel
+
+    dtype = mu.dtype
+    y_blk = y_blk.astype(dtype)
+    K, N = mu.shape
+    Km1 = K - 1
+    pairs = _pairs(N)
+    P = len(pairs)
+    pair_idx = {p: q for q, p in enumerate(pairs)}
+    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
+
+    mu0_sum = jnp.sum(mu[0])
+    sgl_mean = mu[1:].T + (mu0_sum - mu[0])[:, None]          # (N, K-1)
+    pair_mean = jnp.stack([
+        mu[1:, i][:, None] + mu[1:, j][None, :]
+        + (mu0_sum - mu[0, i] - mu[0, j])
+        for (i, j) in pairs])                                  # (P, ..)
+    silent_mean = mu0_sum
+
+    def em(v):
+        def g(m):
+            d = v - m
+            return econst - d * d * inv_2s2
+
+        return g(silent_mean), g(sgl_mean), g(pair_mean)
+
+    # ---- static tables (host NumPy; same construction as _ovn_core)
+    pairs_i = np.asarray([i for (i, _) in pairs])
+    pairs_j = np.asarray([j for (_, j) in pairs])
+    member = np.zeros((P, N), bool)
+    member[np.arange(P), pairs_i] = True
+    member[np.arange(P), pairs_j] = True
+    disjoint = ~(member @ member.T > 0)
+    nO = max(N - 2, 0)
+
+    def _onehot(idx, active, R):
+        m = (np.arange(P)[None, :] == idx.reshape(-1)[:, None]) \
+            & active.reshape(-1)[:, None]
+        return jnp.asarray(m, dtype).reshape(R, P)
+
+    # pairs containing n (fwd ring handoffs / bwd body handoffs)
+    Qn = np.zeros((N, max(N - 1, 1)), np.int64)
+    ISn = np.zeros((N, max(N - 1, 1)), bool)
+    for n in range(N):
+        c = 0
+        for q, (i, j) in enumerate(pairs):
+            if n in (i, j):
+                Qn[n, c] = q
+                ISn[n, c] = n == i
+                c += 1
+    OH_ring_i = _onehot(Qn, ISn, N * max(N - 1, 1))
+    OH_ring_j = _onehot(Qn, ~ISn, N * max(N - 1, 1))
+
+    # third-member maps (fwd row/col slots; bwd last-row/col handoffs):
+    # for pair q = (i, j), its c-th third member m (ascending, m not in q)
+    rowP = np.zeros((P, nO), np.int64)
+    rowI = np.zeros((P, nO), bool)
+    colP = np.zeros((P, nO), np.int64)
+    colI = np.zeros((P, nO), bool)
+    m_idx = np.zeros((P, nO), np.int64)
+    for q, (i, j) in enumerate(pairs):
+        for c, m in enumerate(m for m in range(N) if m not in (i, j)):
+            rowP[q, c] = pair_idx[(min(j, m), max(j, m))]
+            rowI[q, c] = j == min(j, m)
+            colP[q, c] = pair_idx[(min(i, m), max(i, m))]
+            colI[q, c] = i == min(i, m)
+            m_idx[q, c] = m
+    OH_row_i = _onehot(rowP, rowI, P * nO) if nO else None
+    OH_row_j = _onehot(rowP, ~rowI, P * nO) if nO else None
+    OH_col_i = _onehot(colP, colI, P * nO) if nO else None
+    OH_col_j = _onehot(colP, ~colI, P * nO) if nO else None
+    lp_m = lp[jnp.asarray(m_idx)] if nO else None          # (P, nO)
+
+    OH_imem = jnp.asarray(np.arange(N)[None, :] == pairs_i[:, None], dtype)
+    OH_jmem = jnp.asarray(np.arange(N)[None, :] == pairs_j[:, None], dtype)
+    mask_diag = jnp.asarray(
+        np.where(np.eye(N, dtype=bool), -np.inf, 0.0), dtype)
+    mask_inpair = jnp.asarray(np.where(member.T, -np.inf, 0.0), dtype)
+    mask_member = jnp.asarray(np.where(member, -np.inf, 0.0), dtype)
+    mask_nondis = jnp.asarray(np.where(~disjoint, -np.inf, 0.0), dtype)
+    lp_i = lp[jnp.asarray(pairs_i)]
+    lp_j = lp[jnp.asarray(pairs_j)]
+
+    SB = N * Km1
+
+    def unflat(f):
+        return (f[0], f[1:1 + SB].reshape(N, Km1),
+                f[1 + SB:].reshape(P, Km1, Km1))
+
+    def flat(vs, vb, vp):
+        return jnp.concatenate([vs[None], vb.reshape(-1), vp.reshape(-1)])
+
+    if not reverse:
+        def fstep(carry, y_t):
+            vs, vb, vp = unflat(carry)
+            es, eb, ep = em(y_t)
+            ends = vb[:, -1]
+            p_end = vp[:, -1, -1]
+            colend = vp[:, :-1, -1]                            # (P, K-2)
+            rowend = vp[:, -1, :-1]
+
+            new_vs = logsumexp_rows(jnp.concatenate([
+                (vs + N * lpz)[None],
+                ends + (N - 1) * lpz,
+                p_end + (N - 2) * lpz]), axis=0) + es
+
+            on = logsumexp_rows(jnp.concatenate([
+                (vs + lp + (N - 1) * lpz)[:, None],
+                ends[None, :] + lp[:, None] + (N - 2) * lpz + mask_diag,
+                p_end[None, :] + lp[:, None] + (N - 3) * lpz + mask_inpair,
+            ], axis=1), axis=1)                                # (N,)
+
+            pair_src = (_sel(OH_ring_i, colend)
+                        + _sel(OH_ring_j, rowend)).reshape(
+                            N, max(N - 1, 1), Km1 - 1)
+            ring = logsumexp_rows(jnp.concatenate(
+                [(vb[:, :-1] + (N - 1) * lpz)[:, None, :],
+                 pair_src + (N - 2) * lpz], axis=1), axis=1)   # (N, K-2)
+            new_vb = jnp.concatenate([on[:, None], ring], axis=1) + eb
+
+            lpij = lp_i + lp_j
+            corner = logsumexp_rows(jnp.concatenate([
+                (vs + lpij + (N - 2) * lpz)[:, None],
+                ends[None, :] + lpij[:, None] + (N - 3) * lpz
+                + mask_member,
+                p_end[None, :] + lpij[:, None] + (N - 4) * lpz
+                + mask_nondis,
+            ], axis=1), axis=1)                                # (P,)
+
+            slot0r = (_sel(OH_jmem, vb[:, :-1])
+                      + lp_i[:, None] + (N - 2) * lpz)[:, None, :]
+            if nO:
+                rsrc = (_sel(OH_row_i, colend)
+                        + _sel(OH_row_j, rowend)).reshape(P, nO, Km1 - 1)
+                rc = jnp.concatenate(
+                    [slot0r, rsrc + lp_i[:, None, None] + (N - 3) * lpz],
+                    axis=1)
+            else:
+                rc = slot0r
+            row_best = logsumexp_rows(rc, axis=1)              # (P, K-2)
+
+            slot0c = (_sel(OH_imem, vb[:, :-1])
+                      + lp_j[:, None] + (N - 2) * lpz)[:, None, :]
+            if nO:
+                csrc = (_sel(OH_col_i, colend)
+                        + _sel(OH_col_j, rowend)).reshape(P, nO, Km1 - 1)
+                kc = jnp.concatenate(
+                    [slot0c, csrc + lp_j[:, None, None] + (N - 3) * lpz],
+                    axis=1)
+            else:
+                kc = slot0c
+            col_best = logsumexp_rows(kc, axis=1)
+
+            interior = vp[:, :-1, :-1] + (N - 2) * lpz
+            top = jnp.concatenate([corner[:, None], row_best], axis=1)
+            rest = jnp.concatenate([col_best[:, :, None], interior],
+                                   axis=2)
+            new_vp = jnp.concatenate([top[:, None, :], rest], axis=1) + ep
+            out = flat(new_vs, new_vb, new_vp)
+            return out, out
+
+        if first:
+            es0, eb0, ep0 = em(y_blk[0])
+            a0 = flat(es0, eb0, ep0)
+            c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
+            return c, jnp.concatenate([a0[None], rows], axis=0)
+        return jax.lax.scan(fstep, carry_flat, y_blk)
+
+    def bstep(carry, y_next):
+        bs, bb, bp = unflat(carry)
+        es, eb, ep = em(y_next)
+        BS = bs + es
+        BB = bb + eb                                           # (N, K-1)
+        BP = bp + ep                                           # (P, ..)
+        onset0 = BB[:, 0] + lp                                 # (N,)
+        corner0 = BP[:, 0, 0] + lp_i + lp_j                    # (P,)
+
+        # silent -> self | onsets | pair corners
+        new_bs = logsumexp_rows(jnp.concatenate([
+            (BS + N * lpz)[None],
+            onset0 + (N - 1) * lpz,
+            corner0 + (N - 2) * lpz]), axis=0)
+
+        # single(n, k <= K-2) -> same ring | pair col/row entry with n
+        # continuing (transpose of the fwd col/row slot-0 candidates)
+        pair_back = (_sel(OH_ring_i, BP[:, 1:, 0] + lp_j[:, None])
+                     + _sel(OH_ring_j, BP[:, 0, 1:] + lp_i[:, None])
+                     ).reshape(N, max(N - 1, 1), Km1 - 1)
+        body = logsumexp_rows(jnp.concatenate(
+            [(BB[:, 1:] + (N - 1) * lpz)[:, None, :],
+             pair_back + (N - 2) * lpz], axis=1), axis=1)      # (N, K-2)
+
+        # single(n, K-1) -> silent | onset m != n | corner of pairs w/o n
+        end = logsumexp_rows(jnp.concatenate([
+            jnp.broadcast_to((BS + (N - 1) * lpz)[None, None], (N, 1)),
+            onset0[None, :] + (N - 2) * lpz + mask_diag,
+            corner0[None, :] + (N - 3) * lpz + mask_inpair,
+        ], axis=1), axis=1)                                    # (N,)
+        new_bb = jnp.concatenate([body, end[:, None]], axis=1)
+
+        # pair interiors -> diagonal
+        interior = BP[:, 1:, 1:] + (N - 2) * lpz               # (P, K-2, K-2)
+
+        # pair(q)@(k1, K-1), k1 <= K-2: j exits; i continues to single
+        # or joins a fresh onset partner (transpose of fwd ring/row/col
+        # third-member selections)
+        sgl_i = _sel(OH_imem, BB[:, 1:])                       # (P, K-2)
+        if nO:
+            colpart = (_sel(OH_col_i, BP[:, 1:, 0])
+                       + _sel(OH_col_j, BP[:, 0, 1:])).reshape(
+                           P, nO, Km1 - 1) + lp_m[:, :, None]
+            lastcol = logsumexp_rows(jnp.concatenate(
+                [(sgl_i + (N - 2) * lpz)[:, None, :],
+                 colpart + (N - 3) * lpz], axis=1), axis=1)
+        else:
+            lastcol = sgl_i + (N - 2) * lpz                    # (P, K-2)
+
+        # pair(q)@(K-1, k2), k2 <= K-2: i exits; j continues
+        sgl_j = _sel(OH_jmem, BB[:, 1:])
+        if nO:
+            rowpart = (_sel(OH_row_i, BP[:, 1:, 0])
+                       + _sel(OH_row_j, BP[:, 0, 1:])).reshape(
+                           P, nO, Km1 - 1) + lp_m[:, :, None]
+            lastrow = logsumexp_rows(jnp.concatenate(
+                [(sgl_j + (N - 2) * lpz)[:, None, :],
+                 rowpart + (N - 3) * lpz], axis=1), axis=1)
+        else:
+            lastrow = sgl_j + (N - 2) * lpz
+
+        # pair(q)@(K-1, K-1): both exit -> silent | onset n not in q |
+        # corner of disjoint pairs
+        pcorner = logsumexp_rows(jnp.concatenate([
+            jnp.broadcast_to((BS + (N - 2) * lpz)[None, None], (P, 1)),
+            onset0[None, :] + (N - 3) * lpz + mask_member,
+            corner0[None, :] + (N - 4) * lpz + mask_nondis,
+        ], axis=1), axis=1)                                    # (P,)
+
+        right = jnp.concatenate([lastcol[:, :, None],
+                                 pcorner[:, None, None]], axis=1)
+        new_bp = jnp.concatenate(
+            [jnp.concatenate([interior, lastrow[:, None, :]], axis=1),
+             right], axis=2)
+        out = flat(new_bs, new_bb, new_bp)
+        return out, out
+
+    return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
+
+
 def _ring_fb_block_fn(templates):
-    """Pick the structural log-plus block engine for the topology, or
-    None when only the gather engine applies (N >= 3 overlap)."""
+    """Pick the structural log-plus block engine for the topology (the
+    gather engine remains as the universal oracle/fallback)."""
     if not templates.allow_overlaps or templates.n_neurons < 2:
         return _nov_fb_block
     if templates.n_neurons == 2:
         return _ov2_fb_block
-    return None
+    return _ovn_fb_block
 
 
 def onset_posteriors(templates, y, *, block: int = 8192,

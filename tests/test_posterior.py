@@ -113,16 +113,17 @@ def test_active_projection_variant():
 
 
 @pytest.mark.parametrize("overlaps,n", [(False, 1), (False, 2), (False, 3),
-                                        (True, 2)])
+                                        (True, 2), (True, 3), (True, 4)])
 def test_ring_fb_engines_match_gather(overlaps, n):
-    """The structural log-plus engines (nov any-N, ov2) must reproduce the
-    gather-table FB marginals to float-roundoff on every covered
-    topology."""
+    """The structural log-plus engines (nov any-N, ov2, table-driven
+    any-N overlap) must reproduce the gather-table FB marginals to
+    float-roundoff on every covered topology."""
     K = 9
     temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
                       create_spike_template(K, 2.2, 0.5, 0.3),
-                      create_spike_template(K, 2.6, 0.6, 0.25)][:n], axis=1)
-    pp = np.array([0.012, 0.008, 0.01][:n])
+                      create_spike_template(K, 2.6, 0.6, 0.25),
+                      create_spike_template(K, 1.8, 0.7, 0.2)][:n], axis=1)
+    pp = np.array([0.012, 0.008, 0.01, 0.009][:n])
     y, _ = create_signal(1200, 0.3, pp, temps,
                          rng=np.random.default_rng(8))
     tm = api.HMMTemplateModel(temps, 0.3, np.log(pp),
@@ -132,18 +133,3 @@ def test_ring_fb_engines_match_gather(overlaps, n):
     p_gather = posterior.onset_posteriors(tm, y, block=500,
                                           _force_gather=True)
     np.testing.assert_allclose(p_ring, p_gather, rtol=1e-8, atol=1e-12)
-
-
-def test_ovn_overlap_falls_back_to_gather():
-    K = 9
-    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
-                      create_spike_template(K, 2.2, 0.5, 0.3),
-                      create_spike_template(K, 2.6, 0.6, 0.25)], axis=1)
-    tm = api.HMMTemplateModel(temps, 0.3, np.log([0.01, 0.008, 0.012]),
-                              allow_overlaps=True)
-    assert posterior._ring_fb_block_fn(tm) is None
-    y, _ = create_signal(600, 0.3, np.array([0.01, 0.008, 0.012]), temps,
-                         rng=np.random.default_rng(9))
-    p = posterior.onset_posteriors(tm, y, block=300)
-    assert p.shape == (600, 3)
-    assert np.isfinite(p).all() and (p >= 0).all()
