@@ -96,11 +96,14 @@ def _project_block(a_all, b_all, logz, proj):
 # The gather-table scans above work on any topology but lower to
 # scalar-core gathers on TPU and compile slowly at overlap sizes; the ring
 # topology makes forward AND backward structural (the same argument as
-# ops/ring_viterbi.py, with logsumexp in place of max). Engines:
-# non-overlap any N, and the N=2 pairwise-overlap space (the production
-# CLI decode topology). N >= 3 overlap falls back to the gather engine.
-# Flat state order matches core/state_space exactly, so the (S, M)
-# projection applies unchanged.
+# ops/ring_viterbi.py, with logsumexp in place of max). Engines cover
+# every topology: non-overlap any N, the specialized N=2 pair space, and
+# the table-driven any-N overlap space — each generic over the emission
+# model, so the single-channel (raw samples) and multi-channel
+# (factorized streams) front-ends share the recursions verbatim. The
+# gather engine above remains the universal oracle/fallback. Flat state
+# order matches core/state_space exactly, so the (S, M) projection
+# applies unchanged.
 # --------------------------------------------------------------------------
 
 
@@ -117,80 +120,95 @@ def _ring_consts(mu, sigma, lp, dtype):
     return mu, lp, lpz, econst, inv_2s2
 
 
-@partial(jax.jit, static_argnames=("first", "reverse"))
-def _nov_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
-                  reverse: bool):
-    """One block of the non-overlap log-plus recursion (any N), wrapping
-    ops/ring_fb's structural step functions (single source of truth for
-    the non-overlap transition structure).
+def _first_rest(inps):
+    """Split pytree scan inputs into (t=0 leaf slice, remaining slices)."""
+    return (jax.tree.map(lambda a: a[0], inps),
+            jax.tree.map(lambda a: a[1:], inps))
+
+
+def _nov_fb_scan(carry_flat, inps, em, w, N, Km1, *, first, reverse):
+    """Non-overlap log-plus block scan, generic over the emission model
+    (`em(inp_t) -> (es, ebm)`) — wraps ops/ring_fb's structural step
+    functions (single source of truth for the transition structure).
 
     reverse=False: alphas for the block given the entry alpha (flat);
     reverse=True: betas for steps t in the block given the exit beta and
-    y_blk = the NEXT emissions' samples y[t+1] per step.
+    inps = the NEXT step's emission inputs per step.
     Returns (carry_out_flat, rows (blk, S) flat in state order).
     """
-    from ..ops.ring_fb import (_bwd_step, _emission_fns, _flat, _fwd_step,
-                               _unflat, _weights)
-
-    dtype = mu.dtype
-    y_blk = y_blk.astype(dtype)
-    K, N = mu.shape
-    lp = jnp.asarray(lp, dtype)
-    w = _weights(lp, dtype)
-    em = _emission_fns(mu, sigma)
+    from ..ops.ring_fb import _bwd_step, _flat, _fwd_step, _unflat
 
     if not reverse:
-        def fstep(carry, y_t):
-            vs, vb = _unflat(carry, N, K - 1)
-            es, ebm = em(y_t)
+        def fstep(carry, inp):
+            vs, vb = _unflat(carry, N, Km1)
+            es, ebm = em(inp)
             vs, vb = _fwd_step(vs, vb, es, ebm, w)
             out = _flat(vs, vb)
             return out, out
 
         if first:
-            es0, eb0 = em(y_blk[0])
+            inp0, rest = _first_rest(inps)
+            es0, eb0 = em(inp0)
             a0 = _flat(es0, eb0)
-            c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
+            c, rows = jax.lax.scan(fstep, a0, rest)
             return c, jnp.concatenate([a0[None], rows], axis=0)
-        return jax.lax.scan(fstep, carry_flat, y_blk)
+        return jax.lax.scan(fstep, carry_flat, inps)
 
-    def bstep(carry, y_next):
-        bs, bb = _unflat(carry, N, K - 1)
-        es, ebm = em(y_next)
+    def bstep(carry, inp):
+        bs, bb = _unflat(carry, N, Km1)
+        es, ebm = em(inp)
         bs, bb = _bwd_step(bs, bb, es, ebm, w)
         out = _flat(bs, bb)
         return out, out
 
-    return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
+    return jax.lax.scan(bstep, carry_flat, inps, reverse=True)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
-def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
+def _nov_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
                   reverse: bool):
-    """One block of the N=2 pairwise-overlap log-plus recursion.
+    """Single-channel non-overlap block (raw-sample emission)."""
+    from ..ops.ring_fb import _emission_fns, _weights
 
-    Same contract as _nov_fb_block. Structural cases mirror
+    dtype = mu.dtype
+    K, N = mu.shape
+    lp = jnp.asarray(lp, dtype)
+    return _nov_fb_scan(carry_flat, y_blk.astype(dtype),
+                        _emission_fns(mu, sigma), _weights(lp, dtype),
+                        N, K - 1, first=first, reverse=reverse)
+
+
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _nov_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, *, first: bool,
+                     reverse: bool):
+    """Multi-channel non-overlap block, consuming the factorized stream
+    slices of core/emission_mc.mc_streams: eb = (es + d) - c1 (the
+    ring_viterbi_mc association)."""
+    from ..ops.ring_fb import _weights
+
+    dtype = es_blk.dtype
+    N, Km1 = d_blk.shape[1], d_blk.shape[2]
+    lp = jnp.asarray(lp, dtype)
+
+    def em(inp):
+        es_t, d_t = inp
+        return es_t, (es_t + d_t) - c1
+
+    return _nov_fb_scan(carry_flat, (es_blk, d_blk), em,
+                        _weights(lp, dtype), N, Km1,
+                        first=first, reverse=reverse)
+
+
+def _ov2_fb_scan(carry_flat, inps, em, lp, lpz, Km1, *, first, reverse):
+    """N=2 pairwise-overlap log-plus block scan, generic over the
+    emission model (`em(inp_t) -> (es, e0, e1, ep)`).
+
+    Same contract as _nov_fb_scan. Structural cases mirror
     ops/ring_viterbi.ring_viterbi_ov2 (forward) and their exact edge
     transposition (backward); flat order [silent | sgl0 | sgl1 | pair
     k1-major] is the state_space enumeration.
     """
-    dtype = mu.dtype
-    y_blk = y_blk.astype(dtype)
-    K = mu.shape[0]
-    Km1 = K - 1
-    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
     lp0, lp1 = lp[0], lp[1]
-    silent_mean = mu[0, 0] + mu[0, 1]
-    b0_mean = mu[1:, 0] + mu[0, 1]
-    b1_mean = mu[1:, 1] + mu[0, 0]
-    pair_mean = mu[1:, 0][:, None] + mu[1:, 1][None, :]
-
-    def em(v):
-        def g(m):
-            d = v - m
-            return econst - d * d * inv_2s2
-
-        return g(silent_mean), g(b0_mean), g(b1_mean), g(pair_mean)
 
     def unflat(f):
         return (f[0], f[1:1 + Km1], f[1 + Km1:1 + 2 * Km1],
@@ -222,11 +240,12 @@ def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
             return out, out
 
         if first:
-            es0, e00, e10, ep0 = em(y_blk[0])
+            inp0, rest = _first_rest(inps)
+            es0, e00, e10, ep0 = em(inp0)
             a0 = flat(es0, e00, e10, ep0)
-            c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
+            c, rows = jax.lax.scan(fstep, a0, rest)
             return c, jnp.concatenate([a0[None], rows], axis=0)
-        return jax.lax.scan(fstep, carry_flat, y_blk)
+        return jax.lax.scan(fstep, carry_flat, inps)
 
     def bstep(carry, y_next):
         bs, b0, b1, bp = unflat(carry)
@@ -258,15 +277,59 @@ def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
         out = flat(new_bs, new_b0, new_b1, new_bp)
         return out, out
 
-    return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
+    return jax.lax.scan(bstep, carry_flat, inps, reverse=True)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
-def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
+def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
                   reverse: bool):
-    """One block of the any-N pairwise-overlap log-plus recursion.
+    """Single-channel N=2 overlap block (raw-sample emission)."""
+    dtype = mu.dtype
+    Km1 = mu.shape[0] - 1
+    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
+    silent_mean = mu[0, 0] + mu[0, 1]
+    b0_mean = mu[1:, 0] + mu[0, 1]
+    b1_mean = mu[1:, 1] + mu[0, 0]
+    pair_mean = mu[1:, 0][:, None] + mu[1:, 1][None, :]
 
-    Same contract as _nov_fb_block. The forward mirrors
+    def em(v):
+        def g(m):
+            d = v - m
+            return econst - d * d * inv_2s2
+
+        return g(silent_mean), g(b0_mean), g(b1_mean), g(pair_mean)
+
+    return _ov2_fb_scan(carry_flat, y_blk.astype(dtype), em, lp, lpz, Km1,
+                        first=first, reverse=reverse)
+
+
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _ov2_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
+                     first: bool, reverse: bool):
+    """Multi-channel N=2 overlap block from the factorized streams:
+    eb = (es + d) - c1; ep = ((es + d0) + d1) - c2 (direct-form pair
+    table, the ring_viterbi_mc/ovn association)."""
+    dtype = es_blk.dtype
+    Km1 = d_blk.shape[2]
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+
+    def em(inp):
+        es_t, d_t = inp
+        eb = (es_t + d_t) - c1                          # (2, K-1)
+        ep = (es_t + d_t[0])[:, None] + d_t[1][None, :] - c2
+        return es_t, eb[0], eb[1], ep
+
+    return _ov2_fb_scan(carry_flat, (es_blk, d_blk), em, lp, lpz, Km1,
+                        first=first, reverse=reverse)
+
+
+def _ovn_fb_scan(carry_flat, inps, em, lp, N, Km1, dtype, *,
+                 first, reverse):
+    """Any-N pairwise-overlap log-plus block scan, generic over the
+    emission model (`em(inp_t) -> (es, eb (N, K-1), ep (P, K-1, K-1))`).
+
+    Same contract as _nov_fb_scan. The forward mirrors
     ops/ring_viterbi_ovn._ovn_core's structural candidate assembly with
     logsumexp in place of first-max; the backward is its exact edge
     transposition, with the third-member handoffs selected through the
@@ -278,29 +341,11 @@ def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
     """
     from ..ops.ring_viterbi_ovn import _pairs, _sel
 
-    dtype = mu.dtype
-    y_blk = y_blk.astype(dtype)
-    K, N = mu.shape
-    Km1 = K - 1
     pairs = _pairs(N)
     P = len(pairs)
     pair_idx = {p: q for q, p in enumerate(pairs)}
-    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
-
-    mu0_sum = jnp.sum(mu[0])
-    sgl_mean = mu[1:].T + (mu0_sum - mu[0])[:, None]          # (N, K-1)
-    pair_mean = jnp.stack([
-        mu[1:, i][:, None] + mu[1:, j][None, :]
-        + (mu0_sum - mu[0, i] - mu[0, j])
-        for (i, j) in pairs])                                  # (P, ..)
-    silent_mean = mu0_sum
-
-    def em(v):
-        def g(m):
-            d = v - m
-            return econst - d * d * inv_2s2
-
-        return g(silent_mean), g(sgl_mean), g(pair_mean)
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
 
     # ---- static tables (host NumPy; same construction as _ovn_core)
     pairs_i = np.asarray([i for (i, _) in pairs])
@@ -438,11 +483,12 @@ def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
             return out, out
 
         if first:
-            es0, eb0, ep0 = em(y_blk[0])
+            inp0, rest = _first_rest(inps)
+            es0, eb0, ep0 = em(inp0)
             a0 = flat(es0, eb0, ep0)
-            c, rows = jax.lax.scan(fstep, a0, y_blk[1:])
+            c, rows = jax.lax.scan(fstep, a0, rest)
             return c, jnp.concatenate([a0[None], rows], axis=0)
-        return jax.lax.scan(fstep, carry_flat, y_blk)
+        return jax.lax.scan(fstep, carry_flat, inps)
 
     def bstep(carry, y_next):
         bs, bb, bp = unflat(carry)
@@ -521,7 +567,61 @@ def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
         out = flat(new_bs, new_bb, new_bp)
         return out, out
 
-    return jax.lax.scan(bstep, carry_flat, y_blk, reverse=True)
+    return jax.lax.scan(bstep, carry_flat, inps, reverse=True)
+
+
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
+                  reverse: bool):
+    """Single-channel any-N overlap block (raw-sample emission)."""
+    from ..ops.ring_viterbi_ovn import _pairs
+
+    dtype = mu.dtype
+    K, N = mu.shape
+    pairs = _pairs(N)
+    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
+    mu0_sum = jnp.sum(mu[0])
+    sgl_mean = mu[1:].T + (mu0_sum - mu[0])[:, None]          # (N, K-1)
+    pair_mean = jnp.stack([
+        mu[1:, i][:, None] + mu[1:, j][None, :]
+        + (mu0_sum - mu[0, i] - mu[0, j])
+        for (i, j) in pairs])                                  # (P, ..)
+    silent_mean = mu0_sum
+
+    def em(v):
+        def g(m):
+            d = v - m
+            return econst - d * d * inv_2s2
+
+        return g(silent_mean), g(sgl_mean), g(pair_mean)
+
+    return _ovn_fb_scan(carry_flat, y_blk.astype(dtype), em, lp, N, K - 1,
+                        dtype, first=first, reverse=reverse)
+
+
+@partial(jax.jit, static_argnames=("first", "reverse"))
+def _ovn_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
+                     first: bool, reverse: bool):
+    """Multi-channel any-N overlap block from the factorized streams:
+    eb = (es + d) - c1; ep[q] = ((es + d_i) + d_j) - c2[q] (direct-form
+    pair tables, pairs i-major — the ovn MC association)."""
+    from ..ops.ring_viterbi_ovn import _pairs
+
+    dtype = es_blk.dtype
+    N, Km1 = d_blk.shape[1], d_blk.shape[2]
+    pairs = _pairs(N)
+    lp = jnp.asarray(lp, dtype)
+
+    def em(inp):
+        es_t, d_t = inp
+        eb = (es_t + d_t) - c1                              # (N, K-1)
+        ep = jnp.stack([
+            (es_t + d_t[i])[:, None] + d_t[j][None, :] - c2[q]
+            for q, (i, j) in enumerate(pairs)])             # (P, ..)
+        return es_t, eb, ep
+
+    return _ovn_fb_scan(carry_flat, (es_blk, d_blk), em, lp, N, Km1,
+                        dtype, first=first, reverse=reverse)
 
 
 def _ring_fb_block_fn(templates):
@@ -534,6 +634,52 @@ def _ring_fb_block_fn(templates):
     return _ovn_fb_block
 
 
+def _two_pass(run, T, S, block, proj, dtype) -> np.ndarray:
+    """Shared checkpointed two-pass driver over `run(carry, lo, hi,
+    first, reverse) -> (carry_out, rows)` block engines.
+
+    Between blocks the carry is re-centered at 0 and the shift kept as a
+    host float64 offset: log-scores drift by ~|log p(y_t)| per sample,
+    so an unnormalized f32 alpha at T = 2^17 sits at ~1e5 magnitude and
+    the mantissa can no longer resolve the O(1) structure gamma depends
+    on (measured: posterior onset mass 35% low). Offsets cancel exactly
+    in gamma = alpha + beta - logZ.
+    """
+    starts = list(range(0, T, block))
+    entries = [None] * len(starts)                   # alpha checkpoint
+    out = [None] * len(starts)
+    off_a = [0.0] * len(starts)                      # alpha offset at entry
+    a_carry = jnp.zeros((S,), dtype)
+    off = 0.0
+    for i, s in enumerate(starts):
+        e = min(s + block, T)
+        entries[i] = a_carry
+        off_a[i] = off
+        a_carry, _ = run(a_carry, s, e, i == 0, False)
+        shift = float(jnp.max(a_carry))
+        a_carry = a_carry - dtype.type(shift)
+        off += shift
+    logz = float(logsumexp_rows(a_carry, axis=-1)) + off
+    b_carry = jnp.zeros((S,), dtype)                 # beta[T-1] = 0
+    off_b = 0.0
+    for i in range(len(starts) - 1, -1, -1):
+        s = starts[i]
+        e = min(s + block, T)
+        _, a_all = run(entries[i], s, e, i == 0, False)
+        if e == T:
+            b_carry, b_rest = run(b_carry, s + 1, T, False, True)
+            b_all = jnp.concatenate(
+                [b_rest, jnp.zeros((1, S), dtype)], axis=0)
+        else:
+            b_carry, b_all = run(b_carry, s + 1, e + 1, False, True)
+        logz_blk = dtype.type(logz - off_a[i] - off_b)
+        out[i] = _project_block(a_all, b_all, logz_blk, proj)
+        shift = float(jnp.max(b_carry))
+        b_carry = b_carry - dtype.type(shift)
+        off_b += shift
+    return np.concatenate([np.asarray(o) for o in out], axis=0)
+
+
 def onset_posteriors(templates, y, *, block: int = 8192,
                      proj=None, _force_gather: bool = False) -> np.ndarray:
     """(T, N) marginal posterior that neuron n onsets at sample t, under
@@ -543,13 +689,14 @@ def onset_posteriors(templates, y, *, block: int = 8192,
     state_space/mu/sigma/lp). proj overrides the (S, M) projection —
     e.g. ``(states > 0).T`` for "actively spiking" marginals instead of
     onsets; default onset_projection. _force_gather bypasses the
-    structural engines (test anchor).
+    structural engines (test anchor). For multi-channel models use
+    onset_posteriors_mc.
     """
     y = np.asarray(y)
     if y.ndim != 1:
-        raise NotImplementedError(
-            "posteriors are single-channel for now: pass a (T,) trace "
-            "(multi-channel evidence needs the factorized MC emission)")
+        raise ValueError(
+            "onset_posteriors takes a (T,) trace; for multi-channel "
+            "(T, C) recordings use onset_posteriors_mc")
     ss = templates.state_space
     dtype = jnp.zeros(0).dtype                       # default jax float
     if proj is None:
@@ -565,50 +712,16 @@ def onset_posteriors(templates, y, *, block: int = 8192,
 
     fbfn = None if _force_gather else _ring_fb_block_fn(templates)
     if fbfn is not None:
-        # structural (gather-free) path — the TPU fast engines.
-        # Between blocks the carry is re-centered at 0 and the shift kept
-        # as a host float64 offset: log-scores drift by ~|log p(y_t)| per
-        # sample, so an unnormalized f32 alpha at T = 2^17 sits at ~1e5
-        # magnitude and the mantissa can no longer resolve the O(1)
-        # structure gamma depends on (measured: posterior onset mass 35%
-        # low). Offsets cancel exactly in gamma = alpha + beta - logZ.
+        # structural (gather-free) path — the TPU fast engines
         lp_d = jnp.asarray(templates.lp, dtype)
         mu_d = jnp.asarray(templates.mu, dtype)
         sg_d = jnp.asarray(templates.sigma, dtype)
-        off_a = [0.0] * len(starts)                  # alpha offset at entry
-        a_carry = jnp.zeros((S,), dtype)
-        off = 0.0
-        for i, s in enumerate(starts):
-            e = min(s + block, T)
-            entries[i] = a_carry
-            off_a[i] = off
-            a_carry, _ = fbfn(a_carry, y[s:e], lp_d, mu_d, sg_d,
-                              first=(i == 0), reverse=False)
-            shift = float(jnp.max(a_carry))
-            a_carry = a_carry - dtype.type(shift)
-            off += shift
-        logz = float(logsumexp_rows(a_carry, axis=-1)) + off
-        b_carry = jnp.zeros((S,), dtype)             # beta[T-1] = 0
-        off_b = 0.0
-        for i in range(len(starts) - 1, -1, -1):
-            s = starts[i]
-            e = min(s + block, T)
-            _, a_all = fbfn(entries[i], y[s:e], lp_d, mu_d, sg_d,
-                            first=(i == 0), reverse=False)
-            if e == T:
-                b_carry, b_rest = fbfn(b_carry, y[s + 1:T], lp_d, mu_d,
-                                       sg_d, first=False, reverse=True)
-                b_all = jnp.concatenate(
-                    [b_rest, jnp.zeros((1, S), dtype)], axis=0)
-            else:
-                b_carry, b_all = fbfn(b_carry, y[s + 1:e + 1], lp_d, mu_d,
-                                      sg_d, first=False, reverse=True)
-            logz_blk = dtype.type(logz - off_a[i] - off_b)
-            out[i] = _project_block(a_all, b_all, logz_blk, proj)
-            shift = float(jnp.max(b_carry))
-            b_carry = b_carry - dtype.type(shift)
-            off_b += shift
-        return np.concatenate([np.asarray(o) for o in out], axis=0)
+
+        def run(carry, lo, hi, first, reverse):
+            return fbfn(carry, y[lo:hi], lp_d, mu_d, sg_d,
+                        first=first, reverse=reverse)
+
+        return _two_pass(run, T, S, block, proj, dtype)
 
     # generic gather-table path (any topology; N >= 3 overlap lands here)
     in_idx, in_w = ss.in_table(templates.lp)
@@ -670,6 +783,58 @@ def onset_posteriors(templates, y, *, block: int = 8192,
     return np.concatenate([np.asarray(o) for o in out], axis=0)
 
 
+def _ring_fb_block_fn_mc(templates):
+    """MC mirror of _ring_fb_block_fn (structural engines cover every
+    topology; the dense-emission gather FB remains the test oracle)."""
+    if not templates.allow_overlaps or templates.n_neurons < 2:
+        return _nov_fb_block_mc
+    if templates.n_neurons == 2:
+        return _ov2_fb_block_mc
+    return _ovn_fb_block_mc
+
+
+def onset_posteriors_mc(templates, yc, *, block: int = 8192,
+                        proj=None) -> np.ndarray:
+    """Multi-channel onset marginals: (T, N) posterior that neuron n
+    onsets at t under the joint (T, C) model (models/multichannel
+    HMMTemplateModelMC). Same two-pass blocked algorithm as
+    onset_posteriors, over the factorized channel streams
+    (core/emission_mc.mc_streams — the channel axis collapses in one MXU
+    matmul before the recursion)."""
+    from .emission_mc import MCTables, mc_streams
+
+    yc = np.asarray(yc)
+    if yc.ndim != 2:
+        raise ValueError("onset_posteriors_mc takes a (T, C) recording")
+    ss = templates.state_space
+    dtype = jnp.zeros(0).dtype
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj = jnp.asarray(proj, dtype)
+    T = yc.shape[0]
+    S = ss.nstates
+    block = max(2, min(block, T))
+
+    tables = MCTables(templates.mu, templates.sigmas)
+    es, d = mc_streams(jnp.asarray(yc, dtype), tables, dtype=dtype)
+    lp_d = jnp.asarray(templates.lp, dtype)
+    c1 = jnp.asarray(tables.c1, dtype)
+    fbfn = _ring_fb_block_fn_mc(templates)
+    if fbfn is _nov_fb_block_mc:
+        extra = (c1,)
+    elif fbfn is _ov2_fb_block_mc:
+        extra = (c1, jnp.asarray(tables.c2[(0, 1)], dtype))
+    else:
+        extra = (c1, jnp.asarray(
+            np.stack([tables.c2[p] for p in sorted(tables.c2)]), dtype))
+
+    def run(carry, lo, hi, first, reverse):
+        return fbfn(carry, es[lo:hi], d[lo:hi], lp_d, *extra,
+                    first=first, reverse=reverse)
+
+    return _two_pass(run, T, S, block, proj, dtype)
+
+
 def spike_confidence(model, *, half_width: int | None = None,
                      block: int = 8192):
     """Posterior support for each decoded spike.
@@ -685,6 +850,9 @@ def spike_confidence(model, *, half_width: int | None = None,
     value is a posterior MASS, not a probability: stray onset mass inside
     the window (e.g. sub-threshold posterior bumps the MAP rejected) can
     push a clean spike's score slightly past 1.
+
+    Works on single-channel and multi-channel decodes (the model's
+    stored signal dimensionality selects the engine).
     """
     tm = model.template_model
     K = tm.K
@@ -696,7 +864,11 @@ def spike_confidence(model, *, half_width: int | None = None,
 
         onsets = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
                                overlaps=tm.allow_overlaps)
-    p = onset_posteriors(tm, model.y, block=block)   # (T, N)
+    y = np.asarray(model.y)
+    if y.ndim == 2:
+        p = onset_posteriors_mc(tm, y, block=block)  # (T, N)
+    else:
+        p = onset_posteriors(tm, y, block=block)     # (T, N)
     T = p.shape[0]
     out = []
     for n in range(N):

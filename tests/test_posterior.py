@@ -133,3 +133,95 @@ def test_ring_fb_engines_match_gather(overlaps, n):
     p_gather = posterior.onset_posteriors(tm, y, block=500,
                                           _force_gather=True)
     np.testing.assert_allclose(p_ring, p_gather, rtol=1e-8, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# multi-channel posteriors
+# ---------------------------------------------------------------------------
+
+
+def _dense_mc_gamma_oracle(yc, tmc):
+    """Materialized (T, S) gamma from the dense multi-channel emission —
+    the oracle the factorized-stream engines must reproduce."""
+    from scipy.special import logsumexp
+
+    ss = tmc.state_space
+    states = np.asarray(ss.states)                   # (N, S)
+    mu = np.asarray(tmc.mu, np.float64)              # (K, N, C)
+    sig = np.asarray(tmc.sigmas, np.float64)
+    T, C = yc.shape
+    S = ss.nstates
+    means = np.zeros((S, C))
+    for n in range(states.shape[0]):
+        means += mu[states[n], n, :]
+    const = np.sum(-0.5 * np.log(2 * np.pi) - np.log(sig))
+    em = const - (((yc[:, None, :] - means[None, :, :]) ** 2)
+                  / (2 * sig**2)).sum(axis=2)        # (T, S)
+    in_idx, in_w = ss.in_table(tmc.lp)
+    out_idx, out_w = ss.out_table(tmc.lp)
+    alpha = np.empty((T, S))
+    alpha[0] = em[0]
+    for t in range(1, T):
+        alpha[t] = em[t] + logsumexp(alpha[t - 1][in_idx] + in_w, axis=1)
+    beta = np.zeros((T, S))
+    for t in range(T - 2, -1, -1):
+        beta[t] = logsumexp((beta[t + 1] + em[t + 1])[out_idx] + out_w,
+                            axis=1)
+    return alpha + beta - logsumexp(alpha[-1])
+
+
+def _mc_case(T=800, K=9, n=2, overlaps=True, seed=5):
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.2, 0.5, 0.3),
+                      create_spike_template(K, 2.6, 0.6, 0.25)][:n], axis=1)
+    pp = np.array([0.012, 0.008, 0.01][:n])
+    rng = np.random.default_rng(seed)
+    y, truth = create_signal(T, 0.3, pp, temps, rng=rng)
+    y2 = 0.6 * y + 0.2 * rng.standard_normal(T)
+    yc = np.stack([y, y2], axis=1)                   # (T, 2)
+    mu = np.stack([temps, 0.6 * temps], axis=2)      # (K, n, 2)
+    tmc = HMMTemplateModelMC(mu=mu, sigmas=np.array([0.3, 0.2]),
+                             lp=np.log(pp), allow_overlaps=overlaps)
+    return yc, truth, tmc
+
+
+@pytest.mark.parametrize("overlaps,n", [(False, 2), (True, 2), (True, 3)])
+def test_mc_onset_posteriors_match_dense_oracle(overlaps, n):
+    yc, _, tmc = _mc_case(n=n, overlaps=overlaps)
+    lg = _dense_mc_gamma_oracle(yc, tmc)
+    proj = posterior.onset_projection(tmc.state_space.states)
+    dense = np.exp(lg) @ proj
+    blocked = posterior.onset_posteriors_mc(tmc, yc, block=300)
+    np.testing.assert_allclose(blocked, dense, rtol=1e-7, atol=1e-10)
+
+
+def test_mc_posteriors_c1_reduce_to_sc():
+    """A C=1 MC model must reproduce the single-channel marginals."""
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+
+    K = 9
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.2, 0.5, 0.3)], axis=1)
+    pp = np.array([0.012, 0.008])
+    y, _ = create_signal(900, 0.3, pp, temps, rng=np.random.default_rng(2))
+    tm = api.HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+    tmc = HMMTemplateModelMC(mu=temps[:, :, None],
+                             sigmas=np.array([0.3]),
+                             lp=np.log(pp), allow_overlaps=True)
+    p_sc = posterior.onset_posteriors(tm, y, block=400)
+    p_mc = posterior.onset_posteriors_mc(tmc, y[:, None], block=400)
+    np.testing.assert_allclose(p_mc, p_sc, rtol=1e-7, atol=1e-10)
+
+
+def test_mc_spike_confidence():
+    from hmmspikesorter_tpu.models.multichannel import fit_spiking_model_mc
+
+    yc, truth, tmc = _mc_case(T=4000)
+    model = fit_spiking_model_mc(tmc, yc)
+    confs = posterior.spike_confidence(model)
+    assert len(confs) == 2
+    for n in range(2):
+        if len(confs[n]):
+            assert np.median(confs[n]) > 0.5, (n, np.median(confs[n]))
