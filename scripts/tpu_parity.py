@@ -288,6 +288,32 @@ def main() -> int:
     record["mcem_pallas_ll_rel_diff"] = (
         abs(float(r_pl[4]) - float(r_ov[4])) / abs(float(r_ov[4])))
 
+    # --- 9. posterior/confidence lane (round 4): structural ov2 FB on
+    # the production overlap topology, f32 — the posterior expected onset
+    # count must track the decoded count, and decoded spikes must carry
+    # strong posterior support (CPU f64 exactness is covered by
+    # tests/test_posterior.py; this asserts the f32 TPU numerics, i.e.
+    # the inter-block re-centering doing its job at scale)
+    from hmmspikesorter_tpu.core.posterior import (onset_posteriors,
+                                                   spike_confidence)
+
+    Tp = 1 << 15
+    tm_p = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+    m_p = fit_spiking_model_fast(tm_p, jnp.asarray(y[:Tp], jnp.float32),
+                                 transfer="events")
+    p_on = onset_posteriors(tm_p, np.float32(y[:Tp]), block=8192)
+    dec_counts = np.array([len(o) for o in m_p.spike_onsets], float)
+    exp_counts = p_on.sum(axis=0)
+    record["posterior_expected_vs_decoded_counts"] = [
+        [round(float(e), 2), int(d)]
+        for e, d in zip(exp_counts, dec_counts)]
+    record["posterior_count_rel_err"] = float(
+        np.max(np.abs(exp_counts - dec_counts)
+               / np.maximum(dec_counts, 1.0)))
+    confs = spike_confidence(m_p, block=8192)
+    record["posterior_conf_median"] = [
+        round(float(np.median(c)), 4) if len(c) else None for c in confs]
+
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
