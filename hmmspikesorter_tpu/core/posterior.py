@@ -186,13 +186,15 @@ def _nov_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, *, first: bool,
     ring_viterbi_mc association)."""
     from ..ops.ring_fb import _weights
 
+    from ..ops.ring_viterbi_mc import mc_em_nov
+
     dtype = es_blk.dtype
     N, Km1 = d_blk.shape[1], d_blk.shape[2]
     lp = jnp.asarray(lp, dtype)
+    em_sd = mc_em_nov(c1)
 
     def em(inp):
-        es_t, d_t = inp
-        return es_t, (es_t + d_t) - c1
+        return em_sd(*inp)
 
     return _nov_fb_scan(carry_flat, (es_blk, d_blk), em,
                         _weights(lp, dtype), N, Km1,
@@ -304,21 +306,21 @@ def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
-def _ov2_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
+def _ov2_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, x2, *,
                      first: bool, reverse: bool):
-    """Multi-channel N=2 overlap block from the factorized streams:
-    eb = (es + d) - c1; ep = ((es + d0) + d1) - c2 (direct-form pair
-    table, the ring_viterbi_mc/ovn association)."""
+    """Multi-channel N=2 overlap block from the factorized streams —
+    the exact emission of the ov2 MC Viterbi scan
+    (ops/ring_viterbi_mc.mc_em_ov2, cross-form pair table x2)."""
+    from ..ops.ring_viterbi_mc import mc_em_ov2
+
     dtype = es_blk.dtype
     Km1 = d_blk.shape[2]
     lp = jnp.asarray(lp, dtype)
     lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    em_sd = mc_em_ov2(c1, x2)
 
     def em(inp):
-        es_t, d_t = inp
-        eb = (es_t + d_t) - c1                          # (2, K-1)
-        ep = (es_t + d_t[0])[:, None] + d_t[1][None, :] - c2
-        return es_t, eb[0], eb[1], ep
+        return em_sd(*inp)
 
     return _ov2_fb_scan(carry_flat, (es_blk, d_blk), em, lp, lpz, Km1,
                         first=first, reverse=reverse)
@@ -339,70 +341,28 @@ def _ovn_fb_scan(carry_flat, inps, em, lp, N, Km1, dtype, *,
     n-major | pair grids i-major, k1-major] is the state_space
     enumeration.
     """
-    from ..ops.ring_viterbi_ovn import _pairs, _sel
+    from ..ops.ring_viterbi_ovn import OvnTables, _pairs, _sel
 
     pairs = _pairs(N)
     P = len(pairs)
-    pair_idx = {p: q for q, p in enumerate(pairs)}
     lp = jnp.asarray(lp, dtype)
     lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
 
-    # ---- static tables (host NumPy; same construction as _ovn_core)
-    pairs_i = np.asarray([i for (i, _) in pairs])
-    pairs_j = np.asarray([j for (_, j) in pairs])
-    member = np.zeros((P, N), bool)
-    member[np.arange(P), pairs_i] = True
-    member[np.arange(P), pairs_j] = True
-    disjoint = ~(member @ member.T > 0)
-    nO = max(N - 2, 0)
-
-    def _onehot(idx, active, R):
-        m = (np.arange(P)[None, :] == idx.reshape(-1)[:, None]) \
-            & active.reshape(-1)[:, None]
-        return jnp.asarray(m, dtype).reshape(R, P)
-
-    # pairs containing n (fwd ring handoffs / bwd body handoffs)
-    Qn = np.zeros((N, max(N - 1, 1)), np.int64)
-    ISn = np.zeros((N, max(N - 1, 1)), bool)
-    for n in range(N):
-        c = 0
-        for q, (i, j) in enumerate(pairs):
-            if n in (i, j):
-                Qn[n, c] = q
-                ISn[n, c] = n == i
-                c += 1
-    OH_ring_i = _onehot(Qn, ISn, N * max(N - 1, 1))
-    OH_ring_j = _onehot(Qn, ~ISn, N * max(N - 1, 1))
-
-    # third-member maps (fwd row/col slots; bwd last-row/col handoffs):
-    # for pair q = (i, j), its c-th third member m (ascending, m not in q)
-    rowP = np.zeros((P, nO), np.int64)
-    rowI = np.zeros((P, nO), bool)
-    colP = np.zeros((P, nO), np.int64)
-    colI = np.zeros((P, nO), bool)
-    m_idx = np.zeros((P, nO), np.int64)
-    for q, (i, j) in enumerate(pairs):
-        for c, m in enumerate(m for m in range(N) if m not in (i, j)):
-            rowP[q, c] = pair_idx[(min(j, m), max(j, m))]
-            rowI[q, c] = j == min(j, m)
-            colP[q, c] = pair_idx[(min(i, m), max(i, m))]
-            colI[q, c] = i == min(i, m)
-            m_idx[q, c] = m
-    OH_row_i = _onehot(rowP, rowI, P * nO) if nO else None
-    OH_row_j = _onehot(rowP, ~rowI, P * nO) if nO else None
-    OH_col_i = _onehot(colP, colI, P * nO) if nO else None
-    OH_col_j = _onehot(colP, ~colI, P * nO) if nO else None
-    lp_m = lp[jnp.asarray(m_idx)] if nO else None          # (P, nO)
-
-    OH_imem = jnp.asarray(np.arange(N)[None, :] == pairs_i[:, None], dtype)
-    OH_jmem = jnp.asarray(np.arange(N)[None, :] == pairs_j[:, None], dtype)
-    mask_diag = jnp.asarray(
-        np.where(np.eye(N, dtype=bool), -np.inf, 0.0), dtype)
-    mask_inpair = jnp.asarray(np.where(member.T, -np.inf, 0.0), dtype)
-    mask_member = jnp.asarray(np.where(member, -np.inf, 0.0), dtype)
-    mask_nondis = jnp.asarray(np.where(~disjoint, -np.inf, 0.0), dtype)
-    lp_i = lp[jnp.asarray(pairs_i)]
-    lp_j = lp[jnp.asarray(pairs_j)]
+    # static topology tables — the Viterbi core's own (one home for the
+    # overlap-topology encoding; see ops/ring_viterbi_ovn.OvnTables)
+    tab = OvnTables(N, dtype)
+    nO = tab.nO
+    OH_ring_i, OH_ring_j = tab.OH_ring_i, tab.OH_ring_j
+    OH_row_i, OH_row_j = tab.OH_row_i, tab.OH_row_j
+    OH_col_i, OH_col_j = tab.OH_col_i, tab.OH_col_j
+    OH_imem, OH_jmem = tab.OH_imem, tab.OH_jmem
+    mask_diag, mask_inpair = tab.mask_diag, tab.mask_inpair
+    mask_member, mask_nondis = tab.mask_member, tab.mask_nondis
+    lp_i = lp[jnp.asarray(tab.pairs_i)]
+    lp_j = lp[jnp.asarray(tab.pairs_j)]
+    # third-member onset weights for the backward handoffs (lp of the
+    # freshly-onsetting member m)
+    lp_m = lp[jnp.asarray(tab.m_idx)] if nO else None      # (P, nO)
 
     SB = N * Km1
 
@@ -574,27 +534,13 @@ def _ovn_fb_scan(carry_flat, inps, em, lp, N, Km1, dtype, *,
 def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
                   reverse: bool):
     """Single-channel any-N overlap block (raw-sample emission)."""
-    from ..ops.ring_viterbi_ovn import _pairs
+    from ..ops.ring_viterbi_ovn import sc_em_ovn
 
     dtype = mu.dtype
     K, N = mu.shape
-    pairs = _pairs(N)
-    mu, lp, lpz, econst, inv_2s2 = _ring_consts(mu, sigma, lp, dtype)
-    mu0_sum = jnp.sum(mu[0])
-    sgl_mean = mu[1:].T + (mu0_sum - mu[0])[:, None]          # (N, K-1)
-    pair_mean = jnp.stack([
-        mu[1:, i][:, None] + mu[1:, j][None, :]
-        + (mu0_sum - mu[0, i] - mu[0, j])
-        for (i, j) in pairs])                                  # (P, ..)
-    silent_mean = mu0_sum
-
-    def em(v):
-        def g(m):
-            d = v - m
-            return econst - d * d * inv_2s2
-
-        return g(silent_mean), g(sgl_mean), g(pair_mean)
-
+    mu = jnp.asarray(mu, dtype)
+    lp = jnp.asarray(lp, dtype)
+    em = sc_em_ovn(mu, sigma)
     return _ovn_fb_scan(carry_flat, y_blk.astype(dtype), em, lp, N, K - 1,
                         dtype, first=first, reverse=reverse)
 
@@ -605,20 +551,16 @@ def _ovn_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
     """Multi-channel any-N overlap block from the factorized streams:
     eb = (es + d) - c1; ep[q] = ((es + d_i) + d_j) - c2[q] (direct-form
     pair tables, pairs i-major — the ovn MC association)."""
+    from ..ops.ring_viterbi_mc import mc_em_ovn
     from ..ops.ring_viterbi_ovn import _pairs
 
     dtype = es_blk.dtype
     N, Km1 = d_blk.shape[1], d_blk.shape[2]
-    pairs = _pairs(N)
     lp = jnp.asarray(lp, dtype)
+    em_sd = mc_em_ovn(c1, c2, _pairs(N))
 
     def em(inp):
-        es_t, d_t = inp
-        eb = (es_t + d_t) - c1                              # (N, K-1)
-        ep = jnp.stack([
-            (es_t + d_t[i])[:, None] + d_t[j][None, :] - c2[q]
-            for q, (i, j) in enumerate(pairs)])             # (P, ..)
-        return es_t, eb, ep
+        return em_sd(*inp)
 
     return _ovn_fb_scan(carry_flat, (es_blk, d_blk), em, lp, N, Km1,
                         dtype, first=first, reverse=reverse)
@@ -706,9 +648,6 @@ def onset_posteriors(templates, y, *, block: int = 8192,
     T = y.shape[0]
     S = ss.nstates
     block = max(2, min(block, T))
-    starts = list(range(0, T, block))
-    entries = [None] * len(starts)                   # alpha checkpoint
-    out = [None] * len(starts)
 
     fbfn = None if _force_gather else _ring_fb_block_fn(templates)
     if fbfn is not None:
@@ -723,7 +662,12 @@ def onset_posteriors(templates, y, *, block: int = 8192,
 
         return _two_pass(run, T, S, block, proj, dtype)
 
-    # generic gather-table path (any topology; N >= 3 overlap lands here)
+    # generic gather-table path — any topology, kept as the universal
+    # test oracle (_force_gather); the structural engines above cover
+    # every production topology
+    starts = list(range(0, T, block))
+    entries = [None] * len(starts)                   # alpha checkpoint
+    out = [None] * len(starts)
     in_idx, in_w = ss.in_table(templates.lp)
     out_idx, out_w = ss.out_table(templates.lp)
     smu = state_means(jnp.asarray(ss.states),
@@ -799,8 +743,10 @@ def onset_posteriors_mc(templates, yc, *, block: int = 8192,
     onsets at t under the joint (T, C) model (models/multichannel
     HMMTemplateModelMC). Same two-pass blocked algorithm as
     onset_posteriors, over the factorized channel streams
-    (core/emission_mc.mc_streams — the channel axis collapses in one MXU
-    matmul before the recursion)."""
+    (core/emission_mc.mc_streams). The streams are pointwise in t, so
+    they are computed per block from the yc slice (one small
+    (block, C) x (C, N*(K-1)) matmul per pass) — memory stays
+    O(block * S) instead of holding a (T, N, K-1) stream tensor live."""
     from .emission_mc import MCTables, mc_streams
 
     yc = np.asarray(yc)
@@ -816,20 +762,21 @@ def onset_posteriors_mc(templates, yc, *, block: int = 8192,
     block = max(2, min(block, T))
 
     tables = MCTables(templates.mu, templates.sigmas)
-    es, d = mc_streams(jnp.asarray(yc, dtype), tables, dtype=dtype)
+    yc_d = jnp.asarray(yc, dtype)
     lp_d = jnp.asarray(templates.lp, dtype)
     c1 = jnp.asarray(tables.c1, dtype)
     fbfn = _ring_fb_block_fn_mc(templates)
     if fbfn is _nov_fb_block_mc:
         extra = (c1,)
     elif fbfn is _ov2_fb_block_mc:
-        extra = (c1, jnp.asarray(tables.c2[(0, 1)], dtype))
+        extra = (c1, jnp.asarray(tables.x2[(0, 1)], dtype))
     else:
         extra = (c1, jnp.asarray(
             np.stack([tables.c2[p] for p in sorted(tables.c2)]), dtype))
 
     def run(carry, lo, hi, first, reverse):
-        return fbfn(carry, es[lo:hi], d[lo:hi], lp_d, *extra,
+        es_blk, d_blk = mc_streams(yc_d[lo:hi], tables, dtype=dtype)
+        return fbfn(carry, es_blk, d_blk, lp_d, *extra,
                     first=first, reverse=reverse)
 
     return _two_pass(run, T, S, block, proj, dtype)

@@ -40,6 +40,39 @@ def _prep(yc, lp, mu, sigmas, dtype=None):
     return tables, es, d, dtype
 
 
+def mc_em_nov(c1):
+    """Non-overlap stream emission: eb = (es + d) - c1. Shared by the
+    Viterbi scan below and the posterior FB engine (core/posterior.py) so
+    the factorized-emission association has one home per topology."""
+    def em(es_t, d_t):
+        return es_t, es_t + d_t - c1                    # scalar, (N, Km1)
+
+    return em
+
+
+def mc_em_ov2(c1, x2):
+    """N=2 overlap stream emission (cross-form pair table x2)."""
+    def em(es_t, d_t):
+        e0 = es_t + d_t[0] - c1[0]                      # (Km1,)
+        e1 = es_t + d_t[1] - c1[1]
+        ep = e0[:, None] + e1[None, :] - es_t + x2      # (Km1, Km1)
+        return es_t, e0, e1, ep
+
+    return em
+
+
+def mc_em_ovn(c1, c2, pairs):
+    """Any-N overlap stream emission (direct-form pair tables c2,
+    pairs i-major)."""
+    def em(es_t, d_t):
+        eb = es_t + d_t - c1                            # (N, Km1)
+        ep = jnp.stack([es_t + d_t[i][:, None] + d_t[j][None, :]
+                        for (i, j) in pairs]) - c2      # (P, Km1, Km1)
+        return es_t, eb, ep
+
+    return em
+
+
 @partial(jax.jit, static_argnames=("with_ll",))
 def _nov_mc_scan(es, d, lp, c1, *, silent_start=True, with_ll=True):
     """Non-overlap-space decode from MC streams. es: (T,), d: (T, N, Km1),
@@ -49,8 +82,7 @@ def _nov_mc_scan(es, d, lp, c1, *, silent_start=True, with_ll=True):
     lp = jnp.asarray(lp, dtype)
     lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
 
-    def em(es_t, d_t):
-        return es_t, es_t + d_t - c1                    # scalar, (N, Km1)
+    em = mc_em_nov(c1)
 
     es0, eb0 = em(es[0], d[0])
     vs = jnp.where(silent_start, jnp.asarray(0.0, dtype), es0)
@@ -153,11 +185,7 @@ def _ov2_mc_scan(es, d, lp, c1, x2, *, silent_start=True, with_ll=True):
     lp0, lp1 = lp[0], lp[1]
     lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
 
-    def em(es_t, d_t):
-        e0 = es_t + d_t[0] - c1[0]                      # (Km1,)
-        e1 = es_t + d_t[1] - c1[1]
-        ep = e0[:, None] + e1[None, :] - es_t + x2      # (Km1, Km1)
-        return es_t, e0, e1, ep
+    em = mc_em_ov2(c1, x2)
 
     es0, e00, e10, ep0 = em(es[0], d[0])
     vs = jnp.where(silent_start, jnp.asarray(0.0, dtype), es0)
@@ -290,12 +318,10 @@ def _ovn_mc_scan(es, d, lp, c1, c2, *, silent_start=True, with_ll=True):
     K = Km1 + 1
     pairs = _pairs(N)
 
+    em_sd = mc_em_ovn(c1, c2, pairs)
+
     def em(inp):
-        es_t, d_t = inp
-        eb = es_t + d_t - c1                              # (N, Km1)
-        ep = jnp.stack([es_t + d_t[i][:, None] + d_t[j][None, :]
-                        for (i, j) in pairs]) - c2        # (P, Km1, Km1)
-        return es_t, eb, ep
+        return em_sd(*inp)
 
     return _ovn_core(em, (es[0], d[0]), (es[1:], d[1:]), lp, K, N, dtype,
                      silent_start=silent_start, with_ll=with_ll)

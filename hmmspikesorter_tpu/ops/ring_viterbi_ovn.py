@@ -64,16 +64,12 @@ def _sel(oh, x):
     return jnp.matmul(oh, x, precision=jax.lax.Precision.HIGHEST)
 
 
-@partial(jax.jit, static_argnames=("with_ll",))
-def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
-    """Viterbi decode on the pairwise-overlap space, any N. Returns (x, ll).
-
-    y: (T,); lp: (N,); mu: (K, N); sigma: scalar.
-    """
+def sc_em_ovn(mu, sigma):
+    """Single-channel overlap-space emission `em(y_t) -> (es, eb, ep)`
+    from raw samples — the mean construction the Viterbi engine and the
+    posterior FB engine (core/posterior.py) share verbatim."""
     dtype = mu.dtype
-    y = y.astype(dtype)
-    K, N = mu.shape
-    pairs = _pairs(N)
+    pairs = _pairs(mu.shape[1])
     sigma = jnp.asarray(sigma, dtype)
     log_sigma = jnp.log(sigma)
     inv_2s2 = 1.0 / (2.0 * sigma * sigma)
@@ -94,8 +90,98 @@ def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
 
         return g(silent_mean), g(sgl_mean), g(pair_mean)
 
+    return em
+
+
+@partial(jax.jit, static_argnames=("with_ll",))
+def ring_viterbi_ovn(y, lp, mu, sigma, *, silent_start=True, with_ll=True):
+    """Viterbi decode on the pairwise-overlap space, any N. Returns (x, ll).
+
+    y: (T,); lp: (N,); mu: (K, N); sigma: scalar.
+    """
+    dtype = mu.dtype
+    y = y.astype(dtype)
+    K, N = mu.shape
+    em = sc_em_ovn(mu, sigma)
     return _ovn_core(em, y[0], y[1:], lp, K, N, dtype,
                      silent_start=silent_start, with_ll=with_ll)
+
+
+class OvnTables:
+    """Static topology tables of the pairwise-overlap space — membership
+    masks, pairs-containing-n and third-member maps, and their one-hot
+    selection matrices. Shared by the Viterbi core below and the
+    posterior FB engine (core/posterior.py), so the overlap-topology
+    encoding has exactly one home."""
+
+    def __init__(self, N: int, dtype):
+        import numpy as np
+
+        pairs = _pairs(N)
+        P = len(pairs)
+        pair_idx = {p: q for q, p in enumerate(pairs)}
+        self.pairs, self.P, self.pair_idx = pairs, P, pair_idx
+
+        pairs_i = np.asarray([i for (i, _) in pairs])
+        pairs_j = np.asarray([j for (_, j) in pairs])
+        self.pairs_i, self.pairs_j = pairs_i, pairs_j
+        member = np.zeros((P, N), bool)
+        member[np.arange(P), pairs_i] = True
+        member[np.arange(P), pairs_j] = True
+        disjoint = ~(member @ member.T > 0)                # (P, P)
+        # pairs containing n, ascending q, and whether n is the i-slot
+        Qn = np.zeros((N, max(N - 1, 1)), np.int64)
+        ISn = np.zeros((N, max(N - 1, 1)), bool)
+        for n in range(N):
+            c = 0
+            for q, (i, j) in enumerate(pairs):
+                if n in (i, j):
+                    Qn[n, c] = q
+                    ISn[n, c] = n == i
+                    c += 1
+        # third-member maps: target pair q with member adv advancing and
+        # third m exiting; source pair r contains (adv, m) with adv in
+        # the i-slot iff adv < m
+        nO = max(N - 2, 0)
+        self.nO = nO
+        rowP = np.zeros((P, nO), np.int64)
+        rowI = np.zeros((P, nO), bool)
+        colP = np.zeros((P, nO), np.int64)
+        colI = np.zeros((P, nO), bool)
+        m_idx = np.zeros((P, nO), np.int64)
+        for q, (i, j) in enumerate(pairs):
+            for c, m in enumerate(m for m in range(N) if m not in (i, j)):
+                rowP[q, c] = pair_idx[(min(j, m), max(j, m))]
+                rowI[q, c] = j == min(j, m)
+                colP[q, c] = pair_idx[(min(i, m), max(i, m))]
+                colI[q, c] = i == min(i, m)
+                m_idx[q, c] = m
+        self.m_idx = m_idx                # third member identities (P, nO)
+
+        def _onehot(idx, active):
+            """(R, P) exact-selection matrix (finite inputs: 0*x = 0)."""
+            m = (np.arange(P)[None, :] == idx.reshape(-1)[:, None]) \
+                & active.reshape(-1)[:, None]
+            return jnp.asarray(m, dtype)
+
+        self.OH_ring_i = _onehot(Qn, ISn)                  # (N*(N-1), P)
+        self.OH_ring_j = _onehot(Qn, ~ISn)
+        self.OH_row_i = _onehot(rowP, rowI)                # (P*(N-2), P)
+        self.OH_row_j = _onehot(rowP, ~rowI)
+        self.OH_col_i = _onehot(colP, colI)
+        self.OH_col_j = _onehot(colP, ~colI)
+        self.OH_jmem = jnp.asarray(
+            np.arange(N)[None, :] == pairs_j[:, None], dtype)   # (P, N)
+        self.OH_imem = jnp.asarray(
+            np.arange(N)[None, :] == pairs_i[:, None], dtype)
+        self.mask_diag = jnp.asarray(
+            np.where(np.eye(N, dtype=bool), -np.inf, 0.0), dtype)
+        self.mask_inpair = jnp.asarray(
+            np.where(member.T, -np.inf, 0.0), dtype)
+        self.mask_member = jnp.asarray(
+            np.where(member, -np.inf, 0.0), dtype)
+        self.mask_nondis = jnp.asarray(
+            np.where(~disjoint, -np.inf, 0.0), dtype)
 
 
 def _ovn_core(em, inp0, inps, lp, K, N, dtype, *, silent_start, with_ll):
@@ -109,7 +195,6 @@ def _ovn_core(em, inp0, inps, lp, K, N, dtype, *, silent_start, with_ll):
     Km1 = K - 1
     pairs = _pairs(N)
     P = len(pairs)
-    pair_idx = {p: q for q, p in enumerate(pairs)}
     lp = jnp.asarray(lp, dtype)
     lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
 
@@ -118,62 +203,17 @@ def _ovn_core(em, inp0, inps, lp, K, N, dtype, *, silent_start, with_ll):
     PAIR = [1 + N * Km1 + q * Km1 * Km1 for q in range(P)]
     S = 1 + N * Km1 + P * Km1 * Km1
 
-    # ---- static membership tables (host NumPy; tiny)
-    import numpy as np
-
-    pairs_i = np.asarray([i for (i, _) in pairs])
-    pairs_j = np.asarray([j for (_, j) in pairs])
-    member = np.zeros((P, N), bool)
-    member[np.arange(P), pairs_i] = True
-    member[np.arange(P), pairs_j] = True
-    disjoint = ~(member @ member.T > 0)                    # (P, P)
-    # pairs containing n, ascending q, and whether n is the i-slot
-    Qn = np.zeros((N, max(N - 1, 1)), np.int64)
-    ISn = np.zeros((N, max(N - 1, 1)), bool)
-    for n in range(N):
-        c = 0
-        for q, (i, j) in enumerate(pairs):
-            if n in (i, j):
-                Qn[n, c] = q
-                ISn[n, c] = n == i
-                c += 1
-    # third-member maps: target pair q with member adv advancing and third
-    # m exiting; source pair r contains (adv, m) with adv in the i-slot iff
-    # adv < m (same construction as the backtrace tables below)
-    nO = max(N - 2, 0)
-    rowP = np.zeros((P, nO), np.int64)
-    rowI = np.zeros((P, nO), bool)
-    colP = np.zeros((P, nO), np.int64)
-    colI = np.zeros((P, nO), bool)
-    for q, (i, j) in enumerate(pairs):
-        for c, m in enumerate(m for m in range(N) if m not in (i, j)):
-            rowP[q, c] = pair_idx[(min(j, m), max(j, m))]
-            rowI[q, c] = j == min(j, m)
-            colP[q, c] = pair_idx[(min(i, m), max(i, m))]
-            colI[q, c] = i == min(i, m)
-
-    def _onehot(idx, active):
-        """(R, P) exact-selection matrix (inputs are finite, so 0*x = 0)."""
-        m = (np.arange(P)[None, :] == idx.reshape(-1)[:, None]) \
-            & active.reshape(-1)[:, None]
-        return jnp.asarray(m, dtype)
-
-    OH_ring_i = _onehot(Qn, ISn)                           # (N*(N-1), P)
-    OH_ring_j = _onehot(Qn, ~ISn)
-    OH_row_i = _onehot(rowP, rowI)                         # (P*(N-2), P)
-    OH_row_j = _onehot(rowP, ~rowI)
-    OH_col_i = _onehot(colP, colI)
-    OH_col_j = _onehot(colP, ~colI)
-    OH_jmem = jnp.asarray(
-        np.arange(N)[None, :] == pairs_j[:, None], dtype)  # (P, N)
-    OH_imem = jnp.asarray(np.arange(N)[None, :] == pairs_i[:, None], dtype)
-    mask_diag = jnp.asarray(np.where(np.eye(N, dtype=bool), -np.inf, 0.0),
-                            dtype)                         # (N, N)
-    mask_inpair = jnp.asarray(np.where(member.T, -np.inf, 0.0), dtype)
-    mask_member = jnp.asarray(np.where(member, -np.inf, 0.0), dtype)
-    mask_nondis = jnp.asarray(np.where(~disjoint, -np.inf, 0.0), dtype)
-    lp_i = lp[jnp.asarray(pairs_i)]                        # (P,)
-    lp_j = lp[jnp.asarray(pairs_j)]
+    tab = OvnTables(N, dtype)
+    pair_idx = tab.pair_idx
+    nO = tab.nO
+    OH_ring_i, OH_ring_j = tab.OH_ring_i, tab.OH_ring_j
+    OH_row_i, OH_row_j = tab.OH_row_i, tab.OH_row_j
+    OH_col_i, OH_col_j = tab.OH_col_i, tab.OH_col_j
+    OH_jmem, OH_imem = tab.OH_jmem, tab.OH_imem
+    mask_diag, mask_inpair = tab.mask_diag, tab.mask_inpair
+    mask_member, mask_nondis = tab.mask_member, tab.mask_nondis
+    lp_i = lp[jnp.asarray(tab.pairs_i)]                    # (P,)
+    lp_j = lp[jnp.asarray(tab.pairs_j)]
 
     def maxplus_step(carry, inp_t, want_bp):
         vs, vb, vp = carry            # scalar, (N, K-1), (P, K-1, K-1)
