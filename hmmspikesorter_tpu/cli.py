@@ -23,7 +23,11 @@ Contract matches the reference CLI (src/hmmsort.jl:36-118):
   recording itself via the reference training protocol before decoding
   (the reference CLI is decode-only and requires an upstream template
   tool); `--save-templates` exports them in the reference's template-file
-  format for reuse.
+  format for reuse;
+* `--confidence` (extension, default off) adds per-spike posterior
+  confidence scores to the MAT output (key `confidence`, one array per
+  neuron aligned with its decoded spikes — forward-backward onset mass,
+  core/posterior.py).
 
 Layout note: Julia/MATLAB read HDF5 datasets column-major; h5py reads the
 same bytes row-major, so a Julia (K, nchan, N) dataset appears here as
@@ -167,6 +171,18 @@ def load_data_file(datafile: str, *, channels=1,
     return np.asarray(data, dtype=np.float64)
 
 
+def _confidence_cell(model) -> np.ndarray:
+    """Per-neuron per-spike posterior confidence as a MAT cell array
+    (core/posterior.spike_confidence; SC and MC models alike)."""
+    from .core.posterior import spike_confidence
+
+    confs = spike_confidence(model)
+    cell = np.empty(len(confs), dtype=object)
+    for n, c in enumerate(confs):
+        cell[n] = np.asarray(c, np.float64)
+    return cell
+
+
 def _emit_output(output: dict, outputfile: str, dosave: bool) -> dict:
     """Shared result epilogue: optionally write the MAT file, return the
     reference output dict ({mlseq, ll, waveforms, lp, sigma},
@@ -187,7 +203,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
               train: bool = False, n_templates: int | None = None,
               K: int | None = None, nsteps: int | None = None,
               train_samples: int | None = None,
-              save_templates: str | None = None, rng=None) -> dict:
+              save_templates: str | None = None, rng=None,
+              confidence: bool | None = None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
@@ -252,6 +269,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                     dc("channels"), 1)
     multichannel = bool(pick(UNSET if multichannel is None else multichannel,
                              dc("multichannel"), False))
+    confidence = bool(pick(UNSET if confidence is None else confidence,
+                           dc("confidence"), False))
     if multichannel and channels == "all":
         raise ValueError("multichannel (joint decode) and channels='all' "
                          "(independent per-channel decode) are mutually "
@@ -343,6 +362,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
             "lp": tmc.lp,
             "sigma": tmc.sigmas,
         }
+        if confidence:
+            output["confidence"] = _confidence_cell(model)
         return _emit_output(output, outputfile, dosave)
 
     if train:
@@ -418,6 +439,11 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                 "lp": lp_cell,
                 "sigma": np.array([m.sigma for m in tms]),
             }
+            if confidence:
+                cc = np.empty(len(models), dtype=object)
+                for c2i, mod in enumerate(models):
+                    cc[c2i] = _confidence_cell(mod)
+                output["confidence"] = cc
             return _emit_output(output, outputfile, dosave)
         tm = tms[0]
         data = rows[0]
@@ -468,6 +494,14 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         "lp": tm.lp,
         "sigma": tm.sigma,
     }
+    if confidence:
+        if channels == "all":
+            cc = np.empty(len(models), dtype=object)
+            for c2i, mod in enumerate(models):
+                cc[c2i] = _confidence_cell(mod)
+            output["confidence"] = cc
+        else:
+            output["confidence"] = _confidence_cell(model)
     return _emit_output(output, outputfile, dosave)
 
 
@@ -548,6 +582,11 @@ def main(argv=None) -> int:
                    help="train on only the first this-many samples "
                         "(default: the whole recording); the decode always "
                         "covers the full recording")
+    p.add_argument("--confidence", action="store_true",
+                   help="add per-spike posterior confidence scores to the "
+                        "MAT output (key 'confidence': one array per "
+                        "neuron, aligned with its decoded spikes; "
+                        "forward-backward onset mass, core/posterior)")
     p.add_argument("--save-templates", default=None,
                    help="also write the learned templates as a "
                         "{spikeForms, cinv, p} HDF5 file reusable as "
@@ -570,7 +609,8 @@ def main(argv=None) -> int:
                                      channels=(1 if args.channels == "1"
                                                else "all"),
                                      multichannel=args.multichannel,
-                                     transfer=args.transfer))
+                                     transfer=args.transfer,
+                                     confidence=args.confidence))
     sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg,
               train=args.train, n_templates=args.ntemplates, K=args.K,
               nsteps=args.nsteps, train_samples=args.train_samples,

@@ -103,6 +103,8 @@ class DecodeConfig:
     multichannel: bool = False       # joint multi-channel decode (all
     #                                  spikeForms channels; beyond reference)
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
+    confidence: bool = False         # add per-spike posterior confidence
+    #                                  to the CLI output (core/posterior)
 
 
 @dataclasses.dataclass
