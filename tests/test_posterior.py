@@ -225,3 +225,40 @@ def test_mc_spike_confidence():
     for n in range(2):
         if len(confs[n]):
             assert np.median(confs[n]) > 0.5, (n, np.median(confs[n]))
+
+
+def test_posterior_randomized_exactness_sweep():
+    """Random (K, N, overlaps, T, block) draws: the structural log-plus
+    engines must reproduce the gather-table FB marginals on every drawn
+    topology, and gammas projected onto the all-states indicator must
+    normalize to 1 (blocked two-pass included)."""
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        K = int(rng.integers(6, 13))
+        N = int(rng.integers(1, 4))
+        overlaps = bool(rng.integers(0, 2))
+        T = int(rng.integers(300, 1400))
+        block = int(rng.integers(60, 500))
+        sigma = float(0.15 + 0.3 * rng.random())
+        pp = 10.0 ** (-rng.uniform(1.5, 2.3, N))
+        temps = np.stack(
+            [create_spike_template(K, 2.0 + rng.random() * 2,
+                                   0.3 + 0.5 * rng.random(),
+                                   0.15 + 0.15 * rng.random())
+             for _ in range(N)], axis=1)
+        y, _ = create_signal(T, sigma, pp, temps,
+                             rng=np.random.default_rng(900 + trial))
+        tm = api.HMMTemplateModel(temps, sigma, np.log(pp),
+                                  allow_overlaps=overlaps)
+        msg = (f"trial {trial}: T={T} K={K} N={N} overlaps={overlaps} "
+               f"block={block}")
+        p_ring = posterior.onset_posteriors(tm, y, block=block)
+        p_gather = posterior.onset_posteriors(tm, y, block=block,
+                                              _force_gather=True)
+        np.testing.assert_allclose(p_ring, p_gather, rtol=1e-8,
+                                   atol=1e-12, err_msg=msg)
+        # normalization through the blocked machinery: project onto the
+        # all-ones indicator -> every row must sum to 1
+        ones = np.ones((tm.state_space.nstates, 1))
+        tot = posterior.onset_posteriors(tm, y, block=block, proj=ones)
+        np.testing.assert_allclose(tot[:, 0], 1.0, rtol=1e-8, err_msg=msg)
