@@ -16,6 +16,11 @@ labels. This module provides
     the block's posterior mass is immediately projected onto the
     per-neuron onset indicator with one (block, S) x (S, N) matmul (MXU
     work; memory is O(block * S), not O(T * S));
+  * ``onset_posteriors_windowed`` — the fast parallel mode: halo
+    windows processed concurrently (the posterior mirror of the decode's
+    overlap-save parallelization), per-t renormalized; mixing-limited
+    accuracy (~exact for H of a few K on silence-dominated signals) and
+    ~16x the exact two-pass on TPU;
   * ``spike_confidence`` — per decoded spike: the posterior onset mass in
     a +/-w window around the decoded onset (same-neuron onsets are >= K
     apart, so windows with w <= (K-1)//2 never overlap).
@@ -727,6 +732,117 @@ def onset_posteriors(templates, y, *, block: int = 8192,
     return np.concatenate([np.asarray(o) for o in out], axis=0)
 
 
+_SC_FB = {"nov": _nov_fb_block, "ov2": _ov2_fb_block,
+          "ovn": _ovn_fb_block}
+
+
+def _sc_engine_name(templates) -> str:
+    if not templates.allow_overlaps or templates.n_neurons < 2:
+        return "nov"
+    return "ov2" if templates.n_neurons == 2 else "ovn"
+
+
+@partial(jax.jit, static_argnames=("engine",))
+def _windowed_gamma_sc(y_win, lp, mu, sigma, proj, *, engine: str):
+    """Per-window FB + per-t-normalized projected gamma, vmapped over
+    halo windows. Each window cold-starts (emission-only alpha at its
+    first sample, beta = 0 at its last) — exact at the true signal
+    edges, forgetting-limited elsewhere; per-t renormalization absorbs
+    the window-local scale so only the O(decay^H) boundary mixing error
+    remains in the core region."""
+    fb = _SC_FB[engine]
+    S = proj.shape[0]
+    dtype = mu.dtype
+
+    def one(yw):
+        _, a_all = fb(jnp.zeros((S,), dtype), yw, lp, mu, sigma,
+                      first=True, reverse=False)
+        _, b_rest = fb(jnp.zeros((S,), dtype), yw[1:], lp, mu, sigma,
+                       first=False, reverse=True)
+        b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)], axis=0)
+        g = a_all + b_all
+        g = g - logsumexp_rows(g, axis=1)[:, None]
+        return jnp.exp(g) @ proj
+
+    return jax.vmap(one)(y_win)
+
+
+def _window_starts(T, L, H, B, W):
+    """Global start position of each halo window (the _build_windows /
+    _edge_rows clamping rules)."""
+    starts = [b * L - H for b in range(B)]
+    starts[0] = 0
+    starts[B - 1] = T - W
+    if B >= 3 and (B - 1) * L + H > T:
+        starts[B - 2] = T - W
+    return starts
+
+
+def onset_posteriors_windowed(templates, y, *, L: int = 4096,
+                              H: int | None = None, proj=None,
+                              batch_windows: int | None = None
+                              ) -> np.ndarray:
+    """Fast approximate onset marginals: halo-windowed forward-backward
+    over overlap-save blocks, windows processed in PARALLEL (vmap) —
+    the posterior mirror of the decode's overlap-save parallelization.
+
+    Each window's FB cold-starts at its edges; the halo H absorbs the
+    boundary effect geometrically (the chain's return-to-silence mixing),
+    so the core region's marginals match the exact two-pass to high
+    accuracy for H of a few K (validated in tests; tighten H upward for
+    pathological never-silent signals). Exact at the true signal edges.
+
+    Use onset_posteriors for the exact (sequential) computation;
+    spike_confidence(model, windowed=True) consumes this path.
+    """
+    y = np.asarray(y)
+    if y.ndim != 1:
+        raise ValueError("onset_posteriors_windowed takes a (T,) trace")
+    ss = templates.state_space
+    dtype = jnp.zeros(0).dtype
+    if H is None:
+        H = max(4 * templates.K, 64)
+    T = y.shape[0]
+    W = L + 2 * H
+    B = -(-T // L)                  # ceil: the last core is [<B-1>*L, T)
+    if L < 2 * H or B < 2 or T < W:
+        return onset_posteriors(templates, y, proj=proj)
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj_d = jnp.asarray(proj, dtype)
+    S = ss.nstates
+    M = proj_d.shape[1]
+
+    from ..parallel.overlap_save import _build_windows
+
+    y_win, _ = _build_windows(jnp.asarray(y, dtype), T=T, L=L, H=H,
+                              B=B, W=W)
+    starts = _window_starts(T, L, H, B, W)
+    lp_d = jnp.asarray(templates.lp, dtype)
+    mu_d = jnp.asarray(templates.mu, dtype)
+    sg_d = jnp.asarray(templates.sigma, dtype)
+    engine = _sc_engine_name(templates)
+    if batch_windows is None:
+        # two (W, S) float planes live per window in flight; ~2 GB keeps
+        # well inside v5e HBM and sits at the measured throughput knee
+        # (T=2^20, S=3600: bw 3 -> 152k, 8 -> 348k, 16 -> 446k, 32 ->
+        # 464k samples/s)
+        batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
+
+    out = np.empty((T, M), np.float64)
+    for i in range(0, B, batch_windows):
+        gb = np.asarray(_windowed_gamma_sc(
+            y_win[i:i + batch_windows], lp_d, mu_d, sg_d, proj_d,
+            engine=engine))
+        for k in range(gb.shape[0]):
+            b = i + k
+            s0 = b * L
+            e0 = T if b == B - 1 else s0 + L
+            lo = s0 - starts[b]
+            out[s0:e0] = gb[k, lo:lo + (e0 - s0)]
+    return out
+
+
 def _ring_fb_block_fn_mc(templates):
     """MC mirror of _ring_fb_block_fn (structural engines cover every
     topology; the dense-emission gather FB remains the test oracle)."""
@@ -782,8 +898,97 @@ def onset_posteriors_mc(templates, yc, *, block: int = 8192,
     return _two_pass(run, T, S, block, proj, dtype)
 
 
+_MC_FB = {"nov": _nov_fb_block_mc, "ov2": _ov2_fb_block_mc,
+          "ovn": _ovn_fb_block_mc}
+
+
+@partial(jax.jit, static_argnames=("engine",))
+def _windowed_gamma_mc(es_win, d_win, lp, tables, proj, *, engine: str):
+    """MC mirror of _windowed_gamma_sc over the factorized stream
+    windows; `tables` is the engine's static energy-table tuple."""
+    fb = _MC_FB[engine]
+    S = proj.shape[0]
+    dtype = es_win.dtype
+
+    def one(ew, dw):
+        _, a_all = fb(jnp.zeros((S,), dtype), ew, dw, lp, *tables,
+                      first=True, reverse=False)
+        _, b_rest = fb(jnp.zeros((S,), dtype), ew[1:], dw[1:], lp,
+                       *tables, first=False, reverse=True)
+        b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)], axis=0)
+        g = a_all + b_all
+        g = g - logsumexp_rows(g, axis=1)[:, None]
+        return jnp.exp(g) @ proj
+
+    return jax.vmap(one)(es_win, d_win)
+
+
+def onset_posteriors_windowed_mc(templates, yc, *, L: int = 4096,
+                                 H: int | None = None, proj=None,
+                                 batch_windows: int | None = None
+                                 ) -> np.ndarray:
+    """Multi-channel mirror of onset_posteriors_windowed: the joint
+    (T, C) recording's halo windows processed in parallel over the
+    factorized channel streams (computed per window batch — streams are
+    pointwise in t, so windowing commutes with the projection)."""
+    from ..parallel.overlap_save import _build_windows_arrays
+    from .emission_mc import MCTables, mc_streams
+
+    yc = np.asarray(yc)
+    if yc.ndim != 2:
+        raise ValueError("onset_posteriors_windowed_mc takes (T, C)")
+    ss = templates.state_space
+    dtype = jnp.zeros(0).dtype
+    if H is None:
+        H = max(4 * templates.K, 64)
+    T, C = yc.shape
+    W = L + 2 * H
+    B = -(-T // L)
+    if L < 2 * H or B < 2 or T < W:
+        return onset_posteriors_mc(templates, yc, proj=proj)
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj_d = jnp.asarray(proj, dtype)
+    S = ss.nstates
+    M = proj_d.shape[1]
+
+    tables = MCTables(templates.mu, templates.sigmas)
+    lp_d = jnp.asarray(templates.lp, dtype)
+    c1 = jnp.asarray(tables.c1, dtype)
+    engine = _sc_engine_name(templates)
+    if engine == "nov":
+        extra = (c1,)
+    elif engine == "ov2":
+        extra = (c1, jnp.asarray(tables.x2[(0, 1)], dtype))
+    else:
+        extra = (c1, jnp.asarray(
+            np.stack([tables.c2[p] for p in sorted(tables.c2)]), dtype))
+
+    # halo windows of the raw channels: (C, B, W) -> (B, W, C)
+    yw = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B,
+                          W=W))(jnp.asarray(yc.T, dtype))
+    yw = jnp.transpose(yw, (1, 2, 0))
+    starts = _window_starts(T, L, H, B, W)
+    if batch_windows is None:
+        batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
+
+    out = np.empty((T, M), np.float64)
+    for i in range(0, B, batch_windows):
+        es_w, d_w = mc_streams(yw[i:i + batch_windows], tables,
+                               dtype=dtype)
+        gb = np.asarray(_windowed_gamma_mc(es_w, d_w, lp_d, extra,
+                                           proj_d, engine=engine))
+        for k in range(gb.shape[0]):
+            b = i + k
+            s0 = b * L
+            e0 = T if b == B - 1 else s0 + L
+            lo = s0 - starts[b]
+            out[s0:e0] = gb[k, lo:lo + (e0 - s0)]
+    return out
+
+
 def spike_confidence(model, *, half_width: int | None = None,
-                     block: int = 8192):
+                     block: int = 8192, windowed: bool = False):
     """Posterior support for each decoded spike.
 
     For every decoded onset t0 of neuron n (model.spike_onsets when the
@@ -813,7 +1018,12 @@ def spike_confidence(model, *, half_width: int | None = None,
                                overlaps=tm.allow_overlaps)
     y = np.asarray(model.y)
     if y.ndim == 2:
-        p = onset_posteriors_mc(tm, y, block=block)  # (T, N)
+        p = (onset_posteriors_windowed_mc(tm, y) if windowed
+             else onset_posteriors_mc(tm, y, block=block))
+    elif windowed:
+        # halo-parallel fast mode (mixing-limited accuracy; exact at the
+        # signal edges) — the production choice for long recordings
+        p = onset_posteriors_windowed(tm, y)
     else:
         p = onset_posteriors(tm, y, block=block)     # (T, N)
     T = p.shape[0]

@@ -262,3 +262,41 @@ def test_posterior_randomized_exactness_sweep():
         ones = np.ones((tm.state_space.nstates, 1))
         tot = posterior.onset_posteriors(tm, y, block=block, proj=ones)
         np.testing.assert_allclose(tot[:, 0], 1.0, rtol=1e-8, err_msg=msg)
+
+
+@pytest.mark.parametrize("overlaps,n", [(False, 2), (True, 2), (True, 3)])
+def test_windowed_posteriors_match_exact(overlaps, n):
+    """The halo-windowed parallel mode must match the exact two-pass to
+    mixing-limited accuracy (H of a few K on silence-dominated signals),
+    ragged tails included."""
+    K = 9
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 2.2, 0.5, 0.3),
+                      create_spike_template(K, 2.6, 0.6, 0.25)][:n], axis=1)
+    pp = np.array([0.012, 0.008, 0.01][:n])
+    T = 3000 + 137                                   # ragged tail
+    y, _ = create_signal(T, 0.3, pp, temps, rng=np.random.default_rng(3))
+    tm = api.HMMTemplateModel(temps, 0.3, np.log(pp),
+                              allow_overlaps=overlaps)
+    exact = posterior.onset_posteriors(tm, y, block=700)
+    win = posterior.onset_posteriors_windowed(tm, y, L=512, H=64,
+                                              batch_windows=3)
+    assert win.shape == exact.shape
+    assert np.max(np.abs(win - exact)) < 1e-6, np.max(np.abs(win - exact))
+
+
+def test_windowed_posteriors_short_signal_falls_back():
+    y, _, tm = _case(T=900)
+    exact = posterior.onset_posteriors(tm, y)
+    win = posterior.onset_posteriors_windowed(tm, y, L=2048, H=128)
+    np.testing.assert_allclose(win, exact, rtol=1e-12)
+
+
+@pytest.mark.parametrize("overlaps,n", [(False, 2), (True, 2), (True, 3)])
+def test_windowed_mc_posteriors_match_exact(overlaps, n):
+    yc, _, tmc = _mc_case(T=3000 + 89, n=n, overlaps=overlaps)
+    exact = posterior.onset_posteriors_mc(tmc, yc, block=700)
+    win = posterior.onset_posteriors_windowed_mc(tmc, yc, L=512, H=64,
+                                                 batch_windows=3)
+    assert win.shape == exact.shape
+    assert np.max(np.abs(win - exact)) < 1e-6, np.max(np.abs(win - exact))
