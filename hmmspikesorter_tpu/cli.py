@@ -183,6 +183,14 @@ def _confidence_cell(model) -> np.ndarray:
     return cell
 
 
+def _confidence_cells(models) -> np.ndarray:
+    """Per-channel cell of per-neuron confidence cells."""
+    cc = np.empty(len(models), dtype=object)
+    for i, mod in enumerate(models):
+        cc[i] = _confidence_cell(mod)
+    return cc
+
+
 def _emit_output(output: dict, outputfile: str, dosave: bool) -> dict:
     """Shared result epilogue: optionally write the MAT file, return the
     reference output dict ({mlseq, ll, waveforms, lp, sigma},
@@ -440,10 +448,7 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                 "sigma": np.array([m.sigma for m in tms]),
             }
             if confidence:
-                cc = np.empty(len(models), dtype=object)
-                for c2i, mod in enumerate(models):
-                    cc[c2i] = _confidence_cell(mod)
-                output["confidence"] = cc
+                output["confidence"] = _confidence_cells(models)
             return _emit_output(output, outputfile, dosave)
         tm = tms[0]
         data = rows[0]
@@ -495,13 +500,9 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         "sigma": tm.sigma,
     }
     if confidence:
-        if channels == "all":
-            cc = np.empty(len(models), dtype=object)
-            for c2i, mod in enumerate(models):
-                cc[c2i] = _confidence_cell(mod)
-            output["confidence"] = cc
-        else:
-            output["confidence"] = _confidence_cell(model)
+        output["confidence"] = (_confidence_cells(models)
+                                if channels == "all"
+                                else _confidence_cell(model))
     return _emit_output(output, outputfile, dosave)
 
 

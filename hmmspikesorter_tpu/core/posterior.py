@@ -768,14 +768,14 @@ def _windowed_gamma_sc(y_win, lp, mu, sigma, proj, *, engine: str):
 
 
 def _window_starts(T, L, H, B, W):
-    """Global start position of each halo window (the _build_windows /
-    _edge_rows clamping rules)."""
-    starts = [b * L - H for b in range(B)]
-    starts[0] = 0
-    starts[B - 1] = T - W
-    if B >= 3 and (B - 1) * L + H > T:
-        starts[B - 2] = T - W
-    return starts
+    """Global start position of each halo window, derived from
+    parallel/overlap_save._edge_rows so the clamping rule has one home
+    (uniform row b starts at b*L - H; an edge row's realign shift IS its
+    offset from the uniform start)."""
+    from ..parallel.overlap_save import _edge_rows
+
+    shifts = _edge_rows(T, L, H, B, W)
+    return [b * L - H + shifts.get(b, 0) for b in range(B)]
 
 
 def onset_posteriors_windowed(templates, y, *, L: int = 4096,
@@ -831,10 +831,16 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
 
     out = np.empty((T, M), np.float64)
     for i in range(0, B, batch_windows):
-        gb = np.asarray(_windowed_gamma_sc(
-            y_win[i:i + batch_windows], lp_d, mu_d, sg_d, proj_d,
-            engine=engine))
-        for k in range(gb.shape[0]):
+        nw = min(batch_windows, B - i)
+        yb = y_win[i:i + nw]
+        if nw < batch_windows:
+            # pad the ragged tail batch to the one compiled shape
+            # (windows are independent; padded outputs are discarded)
+            yb = jnp.concatenate(
+                [yb, jnp.zeros((batch_windows - nw, W), yb.dtype)])
+        gb = np.asarray(_windowed_gamma_sc(yb, lp_d, mu_d, sg_d, proj_d,
+                                           engine=engine))
+        for k in range(nw):
             b = i + k
             s0 = b * L
             e0 = T if b == B - 1 else s0 + L
@@ -974,11 +980,15 @@ def onset_posteriors_windowed_mc(templates, yc, *, L: int = 4096,
 
     out = np.empty((T, M), np.float64)
     for i in range(0, B, batch_windows):
-        es_w, d_w = mc_streams(yw[i:i + batch_windows], tables,
-                               dtype=dtype)
+        nw = min(batch_windows, B - i)
+        yb = yw[i:i + nw]
+        if nw < batch_windows:
+            yb = jnp.concatenate(
+                [yb, jnp.zeros((batch_windows - nw, W, C), yb.dtype)])
+        es_w, d_w = mc_streams(yb, tables, dtype=dtype)
         gb = np.asarray(_windowed_gamma_mc(es_w, d_w, lp_d, extra,
                                            proj_d, engine=engine))
-        for k in range(gb.shape[0]):
+        for k in range(nw):
             b = i + k
             s0 = b * L
             e0 = T if b == B - 1 else s0 + L

@@ -431,13 +431,11 @@ def test_save_templates_dotted_directory(tmp_path):
 def test_sort_data_confidence_output(tmp_path):
     """--confidence: the MAT output gains per-neuron per-spike posterior
     scores aligned with the decoded onsets."""
-    tfile, dfile, temps, pp, y = _write_train_inputs(tmp_path, T=6000)
+    tfile, dfile, *_ = _write_train_inputs(tmp_path, T=6000)
     ofile = str(tmp_path / "conf.mat")
     out = cli.sort_data(tfile, dfile, ofile, engine="fast",
                         confidence=True)
     assert "confidence" in out
-    from hmmspikesorter_tpu.core.events import _onsets_dense
-
     # mlseq is the unrolled 1-based convention; onsets where ring hits 2
     for n in range(2):
         n_spikes = int(np.sum((out["mlseq"][n][1:] == 2)
@@ -453,9 +451,13 @@ def test_sort_data_confidence_output(tmp_path):
 def test_sort_data_confidence_multichannel(tmp_path):
     _, dfile, temps, pp, y = _write_train_inputs(tmp_path, T=5000,
                                                  two_chan=True)
+    import pytest
+
     out = cli.sort_data(None, dfile, str(tmp_path / "mcc.mat"),
                         train=True, multichannel=True, n_templates=2,
                         K=12, nsteps=2, confidence=True,
                         rng=np.random.default_rng(5))
-    if out.get("confidence") is not None and len(out["mlseq"]):
-        assert len(out["confidence"]) == out["waveforms"].shape[1]
+    if out == {}:                      # training bailed (>max templates)
+        pytest.skip("training bailed; nothing to assert")
+    assert "confidence" in out
+    assert len(out["confidence"]) == out["waveforms"].shape[1]
