@@ -31,7 +31,9 @@ def main():
         tm = api.HMMTemplateModel(temps, sigma, np.log(pp),
                                   allow_overlaps=True)
         model = api.fit_spiking_model_fast(tm, y, transfer="events")
-        confs = posterior.spike_confidence(model)
+        # windowed=True is the fast parallel mode (halo windows decoded
+        # concurrently; ~16x the exact two-pass on TPU, <1e-6 from it)
+        confs = posterior.spike_confidence(model, windowed=True)
         print(f"sigma={sigma}:")
         for n in range(2):
             c = np.asarray(confs[n])

@@ -313,6 +313,12 @@ def main() -> int:
     confs = spike_confidence(m_p, block=8192)
     record["posterior_conf_median"] = [
         round(float(np.median(c)), 4) if len(c) else None for c in confs]
+    # windowed fast mode vs the exact two-pass, on hardware f32
+    from hmmspikesorter_tpu.core.posterior import onset_posteriors_windowed
+
+    p_win = onset_posteriors_windowed(tm_p, np.float32(y[:Tp]), L=4096)
+    record["posterior_windowed_max_abs_diff"] = float(
+        np.max(np.abs(p_win - p_on)))
 
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
