@@ -102,18 +102,54 @@ def extract_spiketimes_from_onsets(onsets, mu, x0: int = 0, *,
 
 
 def extract_units(model: HMMSpikingModel, channel: int,
-                  *, sampling_rate: float = DEFAULT_SAMPLING_RATE) -> dict:
+                  *, sampling_rate: float = DEFAULT_SAMPLING_RATE,
+                  with_confidence: bool = False,
+                  confidence_kwargs: dict | None = None) -> dict:
     """Unit dicts keyed by the reference's filename pattern
-    (src/extraction.jl:26-36)."""
+    (src/extraction.jl:26-36).
+
+    with_confidence=True (beyond reference) adds a per-spike posterior
+    'confidence' array to each unit payload (core/posterior
+    .spike_confidence), aligned with the timestamps via each spike's
+    onset (a spike already in progress at sample 0 has a trough but no
+    in-recording onset — its confidence is NaN; a final spike whose
+    trough falls past the recording end has no timestamp and its
+    confidence is dropped). confidence_kwargs forwards e.g.
+    windowed=True for the fast parallel engine."""
+    tm = model.template_model
     pidx = extract_spiketimes(model)
+    confs = onsets = None
+    if with_confidence:
+        from ..core.events import _onsets_dense
+        from ..core.posterior import spike_confidence
+
+        confs = spike_confidence(model, **(confidence_kwargs or {}))
+        onsets = getattr(model, "spike_onsets", None)
+        if onsets is None:                 # the list spike_confidence used
+            onsets = _onsets_dense(np.asarray(model.ml_seq),
+                                   N=tm.n_neurons, K=tm.K,
+                                   overlaps=tm.allow_overlaps)
     units = {}
     for i, ts in enumerate(pidx):
         name = "g%03dc%02d_spiketrain.mat" % (channel, i + 1)
         units[name] = {
             "timestamps": ts,
             "sampling_rate": sampling_rate,
-            "waveform": model.template_model.mu[:, i],
+            "waveform": tm.mu[:, i],
         }
+        if confs is not None:
+            # timestamp = onset + trough - 1 (extract_spiketimes
+            # contract); match each timestamp back to its onset
+            on_exp = np.asarray(ts, np.int64) - (_trough_index(tm.mu, i)
+                                                 - 1)
+            src = np.asarray(onsets[i], np.int64)
+            conf_ts = np.full(len(ts), np.nan)
+            if len(src):
+                pos = np.searchsorted(src, on_exp)
+                ok = (pos < len(src)) & (
+                    src[np.minimum(pos, len(src) - 1)] == on_exp)
+                conf_ts[ok] = np.asarray(confs[i])[pos[ok]]
+            units[name]["confidence"] = conf_ts
     return units
 
 

@@ -300,3 +300,30 @@ def test_windowed_mc_posteriors_match_exact(overlaps, n):
                                                  batch_windows=3)
     assert win.shape == exact.shape
     assert np.max(np.abs(win - exact)) < 1e-6, np.max(np.abs(win - exact))
+
+
+def test_extract_units_with_confidence(tmp_path):
+    """Unit files gain per-spike confidence aligned with the timestamps
+    (onset-matched; NaN for a spike already in progress at sample 0)."""
+    from hmmspikesorter_tpu.io import extraction
+
+    y, truth, tm = _case(T=4000)
+    model = api.fit_spiking_model_fast(tm, y, L=1024, H=64,
+                                       transfer="events")
+    units = extraction.extract_units(model, 1, with_confidence=True)
+    confs = posterior.spike_confidence(model)
+    for i, (name, payload) in enumerate(sorted(units.items())):
+        ts = np.atleast_1d(payload["timestamps"])
+        c = np.atleast_1d(payload["confidence"])
+        assert len(c) == len(ts)
+        finite = np.isfinite(c)
+        # every matched confidence comes from the spike_confidence list
+        assert set(np.round(c[finite], 12)).issubset(
+            set(np.round(np.asarray(confs[i]), 12)))
+        if finite.any():
+            assert np.median(c[finite]) > 0.5
+    # roundtrip through the MAT files
+    extraction.save_units(units, str(tmp_path / "sorted"))
+    back = extraction.load_unit(
+        str(tmp_path / "sorted" / sorted(units)[0]))
+    assert "confidence" in back
