@@ -91,8 +91,11 @@ def _beta_block(b_exit, em_next_blk, out_idx, out_w):
 
 @jax.jit
 def _project_block(a_all, b_all, logz, proj):
-    """exp(gamma) @ proj for one block: (block, S) x (S, M) -> (block, M)."""
-    return jnp.exp(a_all + b_all - logz) @ proj
+    """exp(gamma) @ proj for one block: (block, S) x (S, M) -> (block, M).
+    Pinned to HIGHEST precision — the TPU default rounds f32 operands to
+    bf16 on the MXU (same rule as ring_viterbi_ovn._sel)."""
+    return jnp.matmul(jnp.exp(a_all + b_all - logz), proj,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # --------------------------------------------------------------------------
@@ -571,14 +574,22 @@ def _ovn_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
                         dtype, first=first, reverse=reverse)
 
 
-def _ring_fb_block_fn(templates):
-    """Pick the structural log-plus block engine for the topology (the
-    gather engine remains as the universal oracle/fallback)."""
+def _sc_engine_name(templates) -> str:
+    """The one topology -> engine rule (N < 2 overlap spaces have no
+    pair columns and ARE the non-overlap space)."""
     if not templates.allow_overlaps or templates.n_neurons < 2:
-        return _nov_fb_block
-    if templates.n_neurons == 2:
-        return _ov2_fb_block
-    return _ovn_fb_block
+        return "nov"
+    return "ov2" if templates.n_neurons == 2 else "ovn"
+
+
+_SC_FB = {"nov": _nov_fb_block, "ov2": _ov2_fb_block,
+          "ovn": _ovn_fb_block}
+
+
+def _ring_fb_block_fn(templates):
+    """Structural log-plus block engine for the topology (the gather
+    engine remains as the universal oracle/fallback)."""
+    return _SC_FB[_sc_engine_name(templates)]
 
 
 def _two_pass(run, T, S, block, proj, dtype) -> np.ndarray:
@@ -669,10 +680,10 @@ def onset_posteriors(templates, y, *, block: int = 8192,
 
     # generic gather-table path — any topology, kept as the universal
     # test oracle (_force_gather); the structural engines above cover
-    # every production topology
-    starts = list(range(0, T, block))
-    entries = [None] * len(starts)                   # alpha checkpoint
-    out = [None] * len(starts)
+    # every production topology. Shares the _two_pass driver (checkpoint,
+    # re-centering, last-block beta splice) with them; each pass simply
+    # recomputes the block's (block, S) emission table — fine on a
+    # non-production path.
     in_idx, in_w = ss.in_table(templates.lp)
     out_idx, out_w = ss.out_table(templates.lp)
     smu = state_means(jnp.asarray(ss.states),
@@ -683,63 +694,26 @@ def onset_posteriors(templates, y, *, block: int = 8192,
     out_idx = jnp.asarray(out_idx)
     out_w = jnp.asarray(out_w, dtype)
 
-    # pass 1 — forward: one (S,) alpha checkpoint per block entry, with
-    # the same inter-block re-centering as the structural path (f32
-    # log-scores drift past the mantissa's reach on long recordings)
-    off_a = [0.0] * len(starts)
-    a_carry = jnp.full((S,), 0.0, dtype)
-    off = 0.0
-    for i, s in enumerate(starts):
-        e = min(s + block, T)
-        entries[i] = a_carry
-        off_a[i] = off
-        em_blk = emission_logprob(y[s:e], smu, sigma)
-        a_carry, _ = _alpha_block(a_carry, em_blk, in_idx, in_w,
-                                  first=(i == 0))
-        shift = float(jnp.max(a_carry))
-        a_carry = a_carry - dtype.type(shift)
-        off += shift
-    logz = float(logsumexp_rows(a_carry, axis=-1)) + off
+    def run(carry, lo, hi, first, reverse):
+        em_blk = emission_logprob(y[lo:hi], smu, sigma)
+        if not reverse:
+            return _alpha_block(carry, em_blk, in_idx, in_w, first=first)
+        return _beta_block(carry, em_blk, out_idx, out_w)
 
-    # pass 2 — backward: stream beta right-to-left, rematerialize each
-    # block's alphas from its checkpoint, project immediately. The beta
-    # recursion consumes next-step emissions: reuse the block's own rows
-    # shifted by one and only compute the single row at y[e].
-    b_carry = jnp.zeros((S,), dtype)                 # beta[T-1] = 0
-    off_b = 0.0
-    for i in range(len(starts) - 1, -1, -1):
-        s = starts[i]
-        e = min(s + block, T)
-        em_blk = emission_logprob(y[s:e], smu, sigma)
-        _, a_all = _alpha_block(entries[i], em_blk, in_idx, in_w,
-                                first=(i == 0))
-        if e == T:
-            # beta[T-1] = 0; remaining betas from next-emissions inside
-            b_carry, b_rest = _beta_block(b_carry, em_blk[1:], out_idx,
-                                          out_w)
-            b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)],
-                                    axis=0)
-        else:
-            em_next = jnp.concatenate(
-                [em_blk[1:], emission_logprob(y[e:e + 1], smu, sigma)],
-                axis=0)
-            b_carry, b_all = _beta_block(b_carry, em_next, out_idx, out_w)
-        logz_blk = dtype.type(logz - off_a[i] - off_b)
-        out[i] = _project_block(a_all, b_all, logz_blk, proj)
-        shift = float(jnp.max(b_carry))
-        b_carry = b_carry - dtype.type(shift)
-        off_b += shift
-    return np.concatenate([np.asarray(o) for o in out], axis=0)
+    return _two_pass(run, T, S, block, proj, dtype)
 
 
-_SC_FB = {"nov": _nov_fb_block, "ov2": _ov2_fb_block,
-          "ovn": _ovn_fb_block}
-
-
-def _sc_engine_name(templates) -> str:
-    if not templates.allow_overlaps or templates.n_neurons < 2:
-        return "nov"
-    return "ov2" if templates.n_neurons == 2 else "ovn"
+def _check_window_f32(W, dtype):
+    """The windowed engines run each halo window's FB as one cold-started
+    scan with NO inter-block re-centering (unlike _two_pass), so the f32
+    carry drifts ~|log p(y_t)| (~1.5) per sample *inside* the window.
+    Past W ~ 1e5 the drifted magnitude eats the mantissa headroom the
+    O(1) gamma structure needs; refuse rather than silently degrade."""
+    if dtype == jnp.float32 and W > 131072:
+        raise ValueError(
+            f"window W={W} is too long for f32 windowed posteriors (the "
+            "in-window log-score drift outruns the f32 mantissa); lower "
+            "L/H, enable f64, or use the exact onset_posteriors path")
 
 
 @partial(jax.jit, static_argnames=("engine",))
@@ -762,7 +736,8 @@ def _windowed_gamma_sc(y_win, lp, mu, sigma, proj, *, engine: str):
         b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)], axis=0)
         g = a_all + b_all
         g = g - logsumexp_rows(g, axis=1)[:, None]
-        return jnp.exp(g) @ proj
+        return jnp.matmul(jnp.exp(g), proj,
+                          precision=jax.lax.Precision.HIGHEST)
 
     return jax.vmap(one)(y_win)
 
@@ -805,8 +780,9 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
     T = y.shape[0]
     W = L + 2 * H
     B = -(-T // L)                  # ceil: the last core is [<B-1>*L, T)
-    if L < 2 * H or B < 2 or T < W:
+    if H < 1 or L < 2 * H or B < 2 or T < W:
         return onset_posteriors(templates, y, proj=proj)
+    _check_window_f32(W, dtype)
     if proj is None:
         proj = onset_projection(ss.states)
     proj_d = jnp.asarray(proj, dtype)
@@ -828,6 +804,7 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
         # (T=2^20, S=3600: bw 3 -> 152k, 8 -> 348k, 16 -> 446k, 32 ->
         # 464k samples/s)
         batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
+    batch_windows = min(batch_windows, B)   # never pad past the real work
 
     out = np.empty((T, M), np.float64)
     for i in range(0, B, batch_windows):
@@ -852,11 +829,19 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
 def _ring_fb_block_fn_mc(templates):
     """MC mirror of _ring_fb_block_fn (structural engines cover every
     topology; the dense-emission gather FB remains the test oracle)."""
-    if not templates.allow_overlaps or templates.n_neurons < 2:
-        return _nov_fb_block_mc
-    if templates.n_neurons == 2:
-        return _ov2_fb_block_mc
-    return _ovn_fb_block_mc
+    return _MC_FB[_sc_engine_name(templates)]
+
+
+def _mc_extra_tables(engine: str, tables, dtype):
+    """The engine's static energy-table tuple (shared by the exact and
+    windowed MC drivers)."""
+    c1 = jnp.asarray(tables.c1, dtype)
+    if engine == "nov":
+        return (c1,)
+    if engine == "ov2":
+        return (c1, jnp.asarray(tables.x2[(0, 1)], dtype))
+    return (c1, jnp.asarray(
+        np.stack([tables.c2[p] for p in sorted(tables.c2)]), dtype))
 
 
 def onset_posteriors_mc(templates, yc, *, block: int = 8192,
@@ -886,15 +871,8 @@ def onset_posteriors_mc(templates, yc, *, block: int = 8192,
     tables = MCTables(templates.mu, templates.sigmas)
     yc_d = jnp.asarray(yc, dtype)
     lp_d = jnp.asarray(templates.lp, dtype)
-    c1 = jnp.asarray(tables.c1, dtype)
     fbfn = _ring_fb_block_fn_mc(templates)
-    if fbfn is _nov_fb_block_mc:
-        extra = (c1,)
-    elif fbfn is _ov2_fb_block_mc:
-        extra = (c1, jnp.asarray(tables.x2[(0, 1)], dtype))
-    else:
-        extra = (c1, jnp.asarray(
-            np.stack([tables.c2[p] for p in sorted(tables.c2)]), dtype))
+    extra = _mc_extra_tables(_sc_engine_name(templates), tables, dtype)
 
     def run(carry, lo, hi, first, reverse):
         es_blk, d_blk = mc_streams(yc_d[lo:hi], tables, dtype=dtype)
@@ -924,7 +902,8 @@ def _windowed_gamma_mc(es_win, d_win, lp, tables, proj, *, engine: str):
         b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)], axis=0)
         g = a_all + b_all
         g = g - logsumexp_rows(g, axis=1)[:, None]
-        return jnp.exp(g) @ proj
+        return jnp.matmul(jnp.exp(g), proj,
+                          precision=jax.lax.Precision.HIGHEST)
 
     return jax.vmap(one)(es_win, d_win)
 
@@ -950,8 +929,9 @@ def onset_posteriors_windowed_mc(templates, yc, *, L: int = 4096,
     T, C = yc.shape
     W = L + 2 * H
     B = -(-T // L)
-    if L < 2 * H or B < 2 or T < W:
+    if H < 1 or L < 2 * H or B < 2 or T < W:
         return onset_posteriors_mc(templates, yc, proj=proj)
+    _check_window_f32(W, dtype)
     if proj is None:
         proj = onset_projection(ss.states)
     proj_d = jnp.asarray(proj, dtype)
@@ -960,15 +940,8 @@ def onset_posteriors_windowed_mc(templates, yc, *, L: int = 4096,
 
     tables = MCTables(templates.mu, templates.sigmas)
     lp_d = jnp.asarray(templates.lp, dtype)
-    c1 = jnp.asarray(tables.c1, dtype)
     engine = _sc_engine_name(templates)
-    if engine == "nov":
-        extra = (c1,)
-    elif engine == "ov2":
-        extra = (c1, jnp.asarray(tables.x2[(0, 1)], dtype))
-    else:
-        extra = (c1, jnp.asarray(
-            np.stack([tables.c2[p] for p in sorted(tables.c2)]), dtype))
+    extra = _mc_extra_tables(engine, tables, dtype)
 
     # halo windows of the raw channels: (C, B, W) -> (B, W, C)
     yw = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B,
@@ -977,6 +950,7 @@ def onset_posteriors_windowed_mc(templates, yc, *, L: int = 4096,
     starts = _window_starts(T, L, H, B, W)
     if batch_windows is None:
         batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
+    batch_windows = min(batch_windows, B)   # never pad past the real work
 
     out = np.empty((T, M), np.float64)
     for i in range(0, B, batch_windows):
