@@ -12,6 +12,7 @@ from .models import api  # noqa: F401
 from .models import multichannel  # noqa: F401
 from .core import posterior  # noqa: F401
 from .io import extraction  # noqa: F401
+from .train import adaptive  # noqa: F401  (drift tracking, beyond reference)
 from .config import (Config, DecodeConfig, MeshConfig, ModelConfig,  # noqa: F401
                      TrainConfig)
 

@@ -122,3 +122,56 @@ def create_signal_fast(T: int, sigma: float, pp, templates, *, rng=None):
         S[t : t + n] += templates[:n, c]
         truth[c, t : t + n] = np.arange(1, n + 1)
     return S, truth
+
+
+def create_drifting_signal(T: int, sigma: float, pp, templates, *,
+                           scale_start=1.0, scale_end=1.0, rng=None):
+    """Synthetic signal with slowly drifting spike waveforms.
+
+    Same generative model as `create_signal_fast` (one active cell at a
+    time, per-sample Bernoulli onsets, additive playback + N(0, sigma^2)
+    noise), except each accepted onset at time t plays its template
+    scaled by the linear interpolation scale(t) = scale_start +
+    (scale_end - scale_start) * t / T — the standard model of electrode
+    drift (waveform amplitude changes slowly over a recording; e.g.
+    probe micro-motion). scale_start/scale_end are scalars or (n_cells,)
+    per-cell vectors.
+
+    Returns (signal, true_states, scale_at) where true_states is the
+    (n_cells, T) ring-position matrix (`create_signal` format) and
+    scale_at maps t -> (n_cells,) applied scale (for assertions).
+    No reference analog: the reference's generator (src/utils.jl:57-86)
+    is stationary.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    templates = np.asarray(templates)
+    K, ncells = templates.shape
+    pp = np.asarray(pp, dtype=np.float64)
+    s0 = np.broadcast_to(np.asarray(scale_start, np.float64),
+                         (ncells,)).copy()
+    s1 = np.broadcast_to(np.asarray(scale_end, np.float64),
+                         (ncells,)).copy()
+    S = sigma * rng.standard_normal(T)
+    truth = np.zeros((ncells, T), dtype=np.int64)
+
+    u = rng.random((T, ncells))
+    fired = u < pp[None, :]
+    any_fire = fired.any(axis=1)
+    first_cell = np.argmax(fired, axis=1)
+    cand_t = np.nonzero(any_fire)[0]
+    cand_c = first_cell[cand_t]
+    last_end = -1
+    for t, c in zip(cand_t.tolist(), cand_c[: len(cand_t)].tolist()):
+        if t < last_end:
+            continue
+        last_end = t + K
+        scale = s0[c] + (s1[c] - s0[c]) * (t / T)
+        n = min(K, T - t)
+        S[t : t + n] += scale * templates[:n, c]
+        truth[c, t : t + n] = np.arange(1, n + 1)
+
+    def scale_at(t):
+        return s0 + (s1 - s0) * (t / T)
+
+    return S, truth, scale_at

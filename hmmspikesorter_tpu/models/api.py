@@ -427,6 +427,34 @@ def fit(y, n_neurons: int = 3, K: int = 60, nsteps: int = 10,
     return fit_spiking_model(templates, y)
 
 
+def fit_spiking_model_adaptive(templates: HMMTemplateModel, y, *,
+                               chunk: int = 32768, forget: float = 0.3,
+                               inner_steps: int = 1, H: int | None = None,
+                               repair: bool = True,
+                               fb_mode: str | None = None
+                               ) -> HMMSpikingModel:
+    """Drift-adaptive decode: track the templates through the recording
+    with online EM (train/adaptive.track_drift — sufficient-statistic
+    blending with exponential forgetting), then decode every chunk with
+    ITS OWN adapted templates in one parallel overlap-save program
+    (train/adaptive.decode_tracked).
+
+    Use when waveforms drift over the recording (electrode micro-motion):
+    a stationary decode double-counts or misses drifted spikes; the
+    tracked decode follows them (tests/test_adaptive.py shows a 2x
+    amplitude drift going from dozens of onset errors to zero). The
+    returned model carries the fast-path extras (`seam_ok`,
+    `seams_repaired`, `spike_onsets`) plus `track`, the per-chunk
+    parameter trajectory (its `lls` are a drift monitor). No reference
+    analog (the reference fits templates once and assumes stationarity).
+    """
+    from ..train.adaptive import decode_tracked, track_drift
+
+    tr = track_drift(templates, y, chunk=chunk, forget=forget,
+                     inner_steps=inner_steps, fb_mode=fb_mode)
+    return decode_tracked(tr, y, H=H, repair=repair)
+
+
 def predict(model: HMMSpikingModel) -> np.ndarray:
     """Reconstructed (denoised) signal (reference fit.jl:54-56)."""
     ss = model.template_model.state_space

@@ -1,0 +1,346 @@
+"""Drift-adaptive template tracking — online EM with exponential forgetting.
+
+Real recordings drift: electrode micro-motion changes spike amplitudes and
+shapes over minutes, so one stationary template set mis-scores early or
+late spikes. The reference family has no answer (templates are fit once,
+src/baumwelch.jl, and the decode assumes them stationary). This module
+tracks the templates THROUGH the recording with stepwise online EM
+(sufficient-statistic blending, the Cappe-Moulines stepwise-EM scheme):
+
+    for each chunk c (length Tc):
+        s_c  <- em_chunk_stats(y_c; theta_{c-1}) / Tc        E-step
+        sbar <- (1 - forget) * sbar + forget * s_c           blend
+        theta_c <- M-step(sbar)                              train/em.py
+
+All statistics are linear-space per-state sums (train/em.em_chunk_stats),
+so the convex blend is exact, and the M-step formulas (shared with
+em_step via _m_step_from_stats) are scale-invariant, so the per-sample
+normalization only equalizes chunk lengths. `forget` sets the memory
+horizon (~chunk/forget samples): forget=1 fits each chunk independently,
+forget->0 freezes the start templates. The E-step runs on the same
+engine ladder as training (fused Pallas EM kernels on TPU, halo-window
+XLA scans, ring scans on CPU) — adaptation costs about one EM iteration
+over the recording.
+
+Decode (`decode_tracked`) then labels the whole recording in ONE parallel
+device program: the overlap-save halo windows (parallel/overlap_save.py)
+are vmapped over per-window (lp, mu, sigma) — window b is decoded with
+the templates adapted to ITS span — and stitched with the standard
+silence-snap seam protocol. A seam cut requires both neighbors to decode
+silence at the cut, which is parameter-independent (state 0 means "no
+template playing" under any theta), so the stitch certificate carries
+over unchanged; flagged seams are auto-repaired with the seam's own
+chunk parameters (parallel/seam_repair.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state_space import build_state_space
+from .em import EMTables, _m_step_from_stats, em_chunk_stats, pallas_em_geometry
+
+__all__ = ["DriftTrack", "track_drift", "decode_tracked"]
+
+
+@dataclasses.dataclass
+class DriftTrack:
+    """Per-chunk parameter trajectory from track_drift.
+
+    lp (B, N), mu (B, K, N), sigma (B,): the parameters in force after
+    each chunk's update; lls (B,): each chunk's predictive log-likelihood
+    under the PRE-update parameters (a drift monitor: a persistent drop
+    means the model is falling behind the drift); bounds: the (start,
+    end) sample span of each chunk.
+    """
+
+    lp: np.ndarray
+    mu: np.ndarray
+    sigma: np.ndarray
+    lls: np.ndarray
+    bounds: list[tuple[int, int]]
+    chunk: int
+    forget: float
+    allow_overlaps: bool
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.bounds)
+
+    def model_at(self, c: int):
+        """HMMTemplateModel in force for chunk c (decode topology taken
+        from the tracked model)."""
+        from ..models.api import HMMTemplateModel
+
+        return HMMTemplateModel(self.mu[c], float(self.sigma[c]),
+                                self.lp[c],
+                                allow_overlaps=self.allow_overlaps)
+
+
+def _auto_fb_mode(K: int, N: int, Tc: int) -> tuple[str, int]:
+    """Per-chunk-length E-step engine pick — the train_model auto rule
+    (train/em._em_phase) applied to the chunk length."""
+    from ..utils.platform import is_tpu_backend
+
+    if jax.default_backend() == "cpu":
+        return "ring", 256
+    from ..ops.pallas_fb_mb import KP as _KP
+
+    Lpk, _ = pallas_em_geometry(K, 2048)
+    Hov = max(4 * K, 64)
+    Lov = max(2048, 4 * Hov)
+    if K - 1 <= _KP and 0 < N <= 8 and Tc >= 2 * Lpk and is_tpu_backend():
+        return "overlap_pallas", 2048
+    if Tc >= 2 * Lov:
+        return "overlap", 2048
+    return "blocked", 256
+
+
+def track_drift(templates, y, *, chunk: int = 32768, forget: float = 0.3,
+                inner_steps: int = 1, fb_mode: str | None = None,
+                block: int | None = None, callback=None) -> DriftTrack:
+    """Track drifting templates through `y` with online EM.
+
+    templates: the starting HMMTemplateModel (e.g. from train_model on a
+    prefix, or an upstream template file); y: (T,) signal. Chunks are a
+    fixed grid of `chunk` samples (the decode windows of decode_tracked);
+    a tail chunk too short for meaningful statistics (< max(4K, 256))
+    inherits the previous parameters instead of updating. inner_steps > 1
+    re-blends each chunk that many times (sharper per-chunk adaptation,
+    shorter memory). callback(c, lp, mu, sigma, ll) observes each update.
+
+    Training statistics use the non-overlap topology (the reference's
+    training space, src/baumwelch.jl:311); the decode topology of the
+    returned trajectory follows templates.allow_overlaps.
+    """
+    from ..models.api import HMMTemplateModel  # noqa: F401  (docs only)
+
+    y = np.asarray(y)
+    if y.ndim != 1:
+        raise ValueError("track_drift takes a (T,) trace")
+    K = templates.K
+    N = templates.n_neurons
+    if N == 0:
+        raise ValueError("track_drift needs at least one template")
+    if not 0.0 < forget <= 1.0:
+        raise ValueError("forget must be in (0, 1]")
+    T = y.shape[0]
+    chunk = int(min(chunk, T))
+    if chunk < 2:
+        raise ValueError("chunk must be >= 2")
+
+    ss = build_state_space(N, K, False)
+    tables = EMTables.build(ss)
+    dtype = jnp.zeros(0).dtype
+    y_dev = jnp.asarray(y, dtype)
+
+    bounds = [(s, min(s + chunk, T)) for s in range(0, T, chunk)]
+    min_stats = max(4 * K, 256)
+
+    lp_c = jnp.asarray(templates.lp, dtype)
+    mu_c = jnp.asarray(templates.mu, dtype)
+    sg_c = jnp.asarray(templates.sigma, dtype)
+
+    sbar = None                     # host float64 blended statistics
+    lp_out = np.empty((len(bounds), N))
+    mu_out = np.empty((len(bounds), K, N))
+    sg_out = np.empty(len(bounds))
+    lls = np.empty(len(bounds))
+    for c, (s, e) in enumerate(bounds):
+        Tc = e - s
+        if Tc < min_stats and c > 0:
+            # tail too short to estimate from; carry the parameters
+            lp_out[c], mu_out[c], sg_out[c] = lp_out[c - 1], mu_out[c - 1], sg_out[c - 1]
+            lls[c] = np.nan
+            continue
+        if fb_mode is None:
+            mode, blk = _auto_fb_mode(K, N, Tc)
+        else:
+            mode, blk = fb_mode, (block if block is not None else 256)
+        if block is not None:
+            blk = block
+        ll_c = None
+        for _ in range(max(1, inner_steps)):
+            G1, Gy, Gy2, X, Xd, ll = em_chunk_stats(
+                y_dev[s:e], lp_c, mu_c, sg_c, tables, K=K, fb_mode=mode,
+                block=blk)
+            if ll_c is None:
+                ll_c = float(ll)    # predictive ll (pre-update params)
+            s_c = [np.asarray(v, np.float64) / Tc
+                   for v in (G1, Gy, Gy2, X, Xd)]
+            if sbar is None:
+                sbar = s_c
+            else:
+                sbar = [(1.0 - forget) * a + forget * b
+                        for a, b in zip(sbar, s_c)]
+            lp_new, mu_new, sg_new = _m_step_from_stats(
+                jnp.asarray(sbar[0], dtype), jnp.asarray(sbar[1], dtype),
+                jnp.asarray(sbar[2], dtype),
+                jnp.log(jnp.asarray(sbar[3], dtype)),
+                jnp.log(jnp.asarray(sbar[4], dtype)),
+                tables.states, dtype, K, N)
+            lp_c, mu_c, sg_c = lp_new, mu_new, sg_new
+        lp_out[c] = np.asarray(lp_c)
+        mu_out[c] = np.asarray(mu_c)
+        sg_out[c] = float(sg_c)
+        lls[c] = ll_c
+        if callback is not None:
+            callback(c, lp_out[c], mu_out[c], sg_out[c], lls[c])
+    return DriftTrack(lp=lp_out, mu=mu_out, sigma=sg_out, lls=lls,
+                      bounds=bounds, chunk=chunk, forget=forget,
+                      allow_overlaps=templates.allow_overlaps)
+
+
+@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
+def _tracked_overlap_save(y, lp_all, mu_all, sg_all, *, L, H, overlaps):
+    """Overlap-save decode with PER-WINDOW parameters: the vmap carries
+    (lp, mu, sigma) alongside each halo window, so window b decodes with
+    the templates adapted to its span. Window build, all decodes, seam
+    snap, and stitch run as one device program (the
+    parallel/overlap_save._ring_overlap_save_impl structure; the fused
+    multi-block Pallas kernels assume shared parameters, so the block
+    engine here is the vmapped XLA ring scan)."""
+    from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
+    from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
+    from ..parallel.overlap_save import _build_windows, _snap_and_stitch
+
+    K, N = mu_all.shape[1], mu_all.shape[2]
+    if not overlaps or N < 2:       # N < 2: no pair columns, nov exact
+        engine = ring_viterbi_nov
+    elif N == 2:
+        engine = ring_viterbi_ov2
+    else:
+        engine = ring_viterbi_ovn
+
+    dtype = mu_all.dtype
+    y = y.astype(dtype)
+    T = y.shape[0]
+    B = -(-T // L)
+    W = L + 2 * H
+    S = (1 + N * (K - 1) + (N * (N - 1) // 2) * (K - 1) ** 2
+         if overlaps else 1 + N * (K - 1))
+    out_dtype = jnp.int16 if S <= 32767 else jnp.int32
+
+    if B == 1 or T < W:
+        x = engine(y, lp_all[0], mu_all[0], sg_all[0], silent_start=True,
+                   with_ll=False)[0]
+        return x.astype(out_dtype), jnp.ones((0,), bool)
+
+    y_win, edge_rows = _build_windows(y, T=T, L=L, H=H, B=B, W=W)
+    sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
+    xb = jax.vmap(
+        lambda yy, s0, lp, mu, sg: engine(yy, lp, mu, sg, silent_start=s0,
+                                          with_ll=False)[0])(
+        y_win, sil0, lp_all, mu_all, sg_all)
+    x, seam_ok = _snap_and_stitch(xb, T=T, L=L, H=H, B=B,
+                                  edge_rows=edge_rows)
+    return x.astype(out_dtype), seam_ok
+
+
+def _piecewise_path_ll(y, x, track: DriftTrack, ss) -> float:
+    """Reference cumulative-score ll of the stitched path, each step's
+    transition + emission increment charged under the parameters of the
+    chunk OWNING that step. The reference's ll is the SUM of the running
+    prefix T1[x_t, t] over t >= 1 (core/path_score.py), so the prefix is
+    carried across chunk boundaries: with constant parameters this
+    reduces exactly to path_cumulative_ll (tested)."""
+    from ..core.path_score import path_transition_weights
+    from ..utils.logmath import HALF_LOG_2PI
+
+    states = np.asarray(ss.states)
+    Nn = states.shape[0]
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.float64)
+    K = track.mu.shape[1]
+    # silent-start prefix (decode forces x[0] == 0; mirror the fallback)
+    if x[0] == 0:
+        prefix = 0.0
+    else:
+        mu0 = track.mu[0]
+        sg0 = float(track.sigma[0])
+        smu0 = mu0[states, np.arange(Nn)[:, None]].sum(axis=0)
+        prefix = float(-HALF_LOG_2PI - np.log(sg0)
+                       - (y[0] - smu0[x[0]]) ** 2 / (2.0 * sg0 * sg0))
+    total = 0.0
+    for c, (s, e) in enumerate(track.bounds):
+        lo = max(s, 1)
+        if lo >= e:
+            continue
+        mu_c = track.mu[c]
+        sg_c = float(track.sigma[c])
+        smu = mu_c[states, np.arange(Nn)[:, None]].sum(axis=0)
+        pos = states[:, x[lo - 1 : e]]                   # (N, span+1)
+        w = path_transition_weights(pos[:, :-1], pos[:, 1:],
+                                    track.lp[c], K)      # (span,)
+        em = (-HALF_LOG_2PI - np.log(sg_c)
+              - (y[lo:e] - smu[x[lo:e]]) ** 2 / (2.0 * sg_c * sg_c))
+        pref = prefix + np.cumsum(w + em)
+        total += float(pref.sum())
+        prefix = float(pref[-1])
+    return total
+
+
+def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
+                   repair: bool = True):
+    """Decode `y` with the tracked per-chunk templates in one parallel
+    device program (see _tracked_overlap_save). Returns an
+    HMMSpikingModel whose template_model is the LAST chunk's model, with
+    the usual fast-path extras (`seam_ok`, `seams_repaired`,
+    `spike_onsets`) and the piecewise cumulative-score ll.
+
+    Flagged seams (no common silence within +-H) are re-decoded with the
+    seam's left-chunk parameters over widening windows
+    (parallel/seam_repair.py) — drift across one seam window is at most
+    one chunk's worth, the same scale the tracker itself smooths over.
+    """
+    from ..core.events import _onsets_dense
+    from ..models.api import HMMSpikingModel
+
+    y = np.asarray(y, np.float64)
+    T = y.shape[0]
+    B = track.n_chunks
+    K = track.mu.shape[1]
+    L = track.chunk
+    if track.bounds[-1][1] != T or -(-T // L) != B:
+        raise ValueError("track does not cover this signal (bounds "
+                         f"{track.bounds[-1]} vs T={T})")
+    if H is None:
+        H = max(4 * K, 64)
+    if L < 2 * H:
+        raise ValueError(f"chunk={L} < 2H={2 * H}; track with a larger "
+                         "chunk (or pass a smaller decode halo H)")
+
+    dtype = jnp.zeros(0).dtype
+    x, seam_ok = _tracked_overlap_save(
+        jnp.asarray(y, dtype), jnp.asarray(track.lp, dtype),
+        jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
+        L=L, H=H, overlaps=track.allow_overlaps)
+    x = np.asarray(x)
+    seam_ok = np.asarray(seam_ok)
+
+    n_repaired = 0
+    if repair and not seam_ok.all():
+        from ..parallel.seam_repair import make_window_decoder, repair_seams
+
+        for s in np.nonzero(~seam_ok)[0]:
+            dec = make_window_decoder(track.lp[s], track.mu[s],
+                                      float(track.sigma[s]),
+                                      overlaps=track.allow_overlaps)
+            x, _ = repair_seams(y, x, [(int(s) + 1) * L], dec, H=H)
+        n_repaired = int((~seam_ok).sum())
+        seam_ok = np.ones_like(seam_ok)
+
+    ss = build_state_space(track.mu.shape[2], K, track.allow_overlaps)
+    ll = _piecewise_path_ll(y, x, track, ss)
+    model = HMMSpikingModel(track.model_at(B - 1), x, ll, y)
+    model.seam_ok = seam_ok
+    model.seams_repaired = n_repaired
+    model.spike_onsets = _onsets_dense(x, N=track.mu.shape[2], K=K,
+                                       overlaps=track.allow_overlaps)
+    model.track = track
+    return model

@@ -187,11 +187,29 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
                 K <= 65, N <= 8, TPU backend (or fb_interpret=True).
     """
     N = tables.states.shape[0]
-    T = y.shape[0]
-
     if fb_mode == "overlap_pallas":
         return _em_step_overlap_pallas(y, lp, mu, sigma, tables, K=K,
                                        block=block, interpret=fb_interpret)
+    G1, Gy, Gy2, xx, bb, new_pi, ll = _em_stats_xla(
+        y, lp, mu, sigma, tables, K=K, fb_mode=fb_mode, block=block)
+    new_lp, new_mu, new_sigma = _m_step_from_stats(
+        G1, Gy, Gy2, xx[1:], bb, tables.states, mu.dtype, K, N)
+    return new_lp, new_pi, new_mu, new_sigma, ll
+
+
+def _em_stats_xla(y, lp, mu, sigma, tables: EMTables, *, K: int,
+                  fb_mode: str, block: int):
+    """E-step sufficient statistics via the XLA alpha/beta engines.
+
+    Returns (G1, Gy, Gy2, xx, bb, pi, ll): per-state occupancy and
+    first/second signal moments (linear space), the (N+1,) log-space
+    onset-edge xi sums xx (index 0 = the silent self-loop) with the
+    log silent-occupancy denominator bb, the log posterior at t=0, and
+    the sequence ll. em_step == _m_step_from_stats over these; the
+    online trainer (train/adaptive.py) blends them across chunks.
+    """
+    N = tables.states.shape[0]
+    T = y.shape[0]
 
     smu = state_means(tables.states, mu)
     beta_next = g_next = ll_override = None
@@ -273,8 +291,6 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
               + beta[1:, tgt] + em_tgt - g[1:, None])  # (T-1, N+1)
     xx = logsumexp_rows(xi, axis=0)                     # (N+1,)
     bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
-    new_lp = (xx - bb)[1:]                              # drop silent self-loop
-    new_pi = log_gamma[0]
 
     # --- gamma statistics: one MXU matmul [1; y; y^2] @ gamma yields the
     # occupancies and first/second moments every update below consumes
@@ -283,6 +299,20 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     P = jnp.stack([jnp.ones_like(y), y, y * y])         # (3, T)
     M = P @ gamma                                       # (3, S)
     G1, Gy, Gy2 = M[0], M[1], M[2]
+    return G1, Gy, Gy2, xx, bb, log_gamma[0], ll
+
+
+def _m_step_from_stats(G1, Gy, Gy2, logX, logXd, states, mu_dtype,
+                       K: int, N: int):
+    """M-step from EM sufficient statistics: (lp, mu, sigma).
+
+    logX: (N,) log onset-edge xi sums (silent self-loop excluded);
+    logXd: log silent occupancy over t < T-1. Shared by em_step (one
+    chunk's exact statistics), the fused-kernel path, and the online
+    drift tracker (blended multi-chunk statistics) — the formulas are
+    scale-invariant, so per-sample-normalized statistics update
+    identically (src/baumwelch.jl:226-307 semantics)."""
+    new_lp = logX - logXd                               # (N,)
 
     # --- template update over single-active states (baumwelch.jl:266-287)
     # non-overlap layout: state 1 + n*(K-1) + (k-1) == neuron n at ring pos
@@ -290,16 +320,15 @@ def em_step(y, lp, mu, sigma, tables: EMTables, *, K: int,
     nbody = N * (K - 1)
     body = occ_divide(Gy[1 : 1 + nbody],
                       G1[1 : 1 + nbody]).reshape(N, K - 1).T
-    new_mu = jnp.concatenate([jnp.zeros((1, N), mu.dtype), body], axis=0)
+    new_mu = jnp.concatenate([jnp.zeros((1, N), mu_dtype), body], axis=0)
 
     # --- global sigma (baumwelch.jl:294-307) from the same moments:
     # x2 = sum_tj gamma_tj (y_t - smu2_j)^2
-    smu2 = state_means(tables.states, new_mu)
+    smu2 = state_means(states, new_mu)
     x2 = jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy) + jnp.dot(smu2 * smu2, G1)
     qq = jnp.sum(G1)
     new_sigma = jnp.sqrt(x2 / qq)
-
-    return new_lp, new_pi, new_mu, new_sigma, ll
+    return new_lp, new_mu, new_sigma
 
 
 @partial(jax.jit,
@@ -354,10 +383,6 @@ def _em_step_overlap_pallas(y, lp, mu, sigma, tables: EMTables, *, K: int,
     G1, Gy, Gy2, X, Xd, beta0, ll = overlap_em_stats_pallas(
         y, lp, mu, sigma, L=L, H=H, interpret=interpret)
 
-    # onset update: log of the xi / silent-occupancy linear sums
-    # (== lse_t(xi) - lse_t(log_gamma_silent) of the materialized path)
-    new_lp = (jnp.log(X) - jnp.log(Xd)).astype(dtype)
-
     # pi = gamma[:, 0]: forward init is emission-only (dead-pi quirk), so
     # alpha_0 is one emission row; beta_0 comes from the kernel
     mu32 = mu.astype(jnp.float32)
@@ -367,20 +392,41 @@ def _em_step_overlap_pallas(y, lp, mu, sigma, tables: EMTables, *, K: int,
     g0 = jax.nn.logsumexp(alpha0 + beta0)
     new_pi = (alpha0 + beta0 - g0).astype(dtype)
 
-    # template update over single-active states (body layout is n-major,
-    # matching columns 1..1+N*(K-1) of the flat state order)
-    body = occ_divide(Gy[1:], G1[1:]).reshape(N, K - 1).T
-    new_mu = jnp.concatenate(
-        [jnp.zeros((1, N), jnp.float32), body], axis=0)
+    # shared M-step over the kernel's linear statistics (the onset update
+    # log(X) - log(Xd) == lse_t(xi) - lse_t(log_gamma_silent) of the
+    # materialized path)
+    new_lp, new_mu, new_sigma = _m_step_from_stats(
+        G1, Gy, Gy2, jnp.log(X), jnp.log(Xd), tables.states, jnp.float32,
+        K, N)
+    return (new_lp.astype(dtype), new_pi, new_mu.astype(dtype),
+            new_sigma.astype(dtype), ll.astype(dtype))
 
-    # global sigma from the same moments
-    smu2 = state_means(tables.states, new_mu)
-    x2 = (jnp.sum(Gy2) - 2.0 * jnp.dot(smu2, Gy)
-          + jnp.dot(smu2 * smu2, G1))
-    qq = jnp.sum(G1)
-    new_sigma = jnp.sqrt(x2 / qq).astype(dtype)
 
-    return new_lp, new_pi, new_mu.astype(dtype), new_sigma, ll.astype(dtype)
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block", "fb_interpret"))
+def em_chunk_stats(y, lp, mu, sigma, tables: EMTables, *, K: int,
+                   fb_mode: str = "ring", block: int = 256,
+                   fb_interpret: bool = False):
+    """Linear-space EM sufficient statistics of one signal chunk.
+
+    Returns (G1, Gy, Gy2, X, Xd, ll): per-state occupancy and
+    first/second signal moments, the (N,) onset-edge expected counts X
+    (silent self-loop excluded) with the silent-occupancy denominator
+    Xd, and the chunk ll. All linear space, so statistics from
+    different chunks ADD (and convex-combine) — the interface the online
+    drift tracker (train/adaptive.py) blends with exponential
+    forgetting. em_step == _m_step_from_stats over one chunk's
+    statistics (tested). Same fb_mode ladder as em_step.
+    """
+    if fb_mode == "overlap_pallas":
+        from ..ops.pallas_fb_mb import overlap_em_stats_pallas
+
+        L, H = pallas_em_geometry(K, block)
+        G1, Gy, Gy2, X, Xd, _beta0, ll = overlap_em_stats_pallas(
+            y, lp, mu, sigma, L=L, H=H, interpret=fb_interpret)
+        return G1, Gy, Gy2, X, Xd, ll
+    G1, Gy, Gy2, xx, bb, _pi, ll = _em_stats_xla(
+        y, lp, mu, sigma, tables, K=K, fb_mode=fb_mode, block=block)
+    return G1, Gy, Gy2, jnp.exp(xx[1:]), jnp.exp(bb), ll
 
 
 def init_templates(K: int, N: int, sigma: float, rng: np.random.Generator):

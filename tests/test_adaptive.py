@@ -1,0 +1,157 @@
+"""Drift-adaptive tracking (train/adaptive.py): statistic-interface
+exactness anchors, the stationary reduction to the fast decode path, and
+the functional drift-recovery property the feature exists for."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hmmspikesorter_tpu.core.state_space import build_state_space
+from hmmspikesorter_tpu.data.synthetic import (
+    create_drifting_signal, create_signal, create_spike_template)
+from hmmspikesorter_tpu.models.api import (
+    HMMTemplateModel, fit_spiking_model_fast)
+from hmmspikesorter_tpu.train.adaptive import (
+    DriftTrack, decode_tracked, track_drift)
+from hmmspikesorter_tpu.train.em import (
+    EMTables, _m_step_from_stats, em_chunk_stats, em_step)
+
+
+def _case(N=2, K=8, T=600, sigma=0.35, seed=7):
+    rng = np.random.default_rng(seed)
+    temps = np.stack(
+        [create_spike_template(K, 3.0, 0.8, 0.2),
+         create_spike_template(K, 4.0, 0.3, 0.2)][:N], axis=1)
+    pp = np.array([0.01, 0.006][:N])
+    y, truth = create_signal(T, sigma, pp, temps, rng=rng)
+    return y, temps, np.log(pp), sigma, truth
+
+
+@pytest.mark.parametrize("fb_mode", ["ring", "gather", "blocked"])
+def test_chunk_stats_plus_m_step_equals_em_step(fb_mode):
+    """em_step literally is _m_step_from_stats over one chunk's
+    statistics — the identity the online blend relies on."""
+    y, temps, lp, sigma, _ = _case()
+    K, N = temps.shape
+    tables = EMTables.build(build_state_space(N, K, False))
+    y_d = jnp.asarray(y)
+    args = (y_d, jnp.asarray(lp), jnp.asarray(temps), jnp.asarray(sigma),
+            tables)
+    lp1, _, mu1, sg1, ll1 = em_step(*args, K=K, fb_mode=fb_mode, block=64)
+    G1, Gy, Gy2, X, Xd, ll2 = em_chunk_stats(*args, K=K, fb_mode=fb_mode,
+                                             block=64)
+    lp2, mu2, sg2 = _m_step_from_stats(G1, Gy, Gy2, jnp.log(X),
+                                       jnp.log(Xd), tables.states,
+                                       temps.dtype, K, N)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                               rtol=0, atol=1e-12)
+    assert float(sg1) == pytest.approx(float(sg2), abs=1e-13)
+    assert float(ll1) == pytest.approx(float(ll2), abs=1e-9)
+
+
+def test_single_chunk_full_forget_is_one_em_step():
+    """One chunk covering the signal with forget=1 reproduces em_step
+    (per-sample normalization cancels in the scale-invariant M-step)."""
+    y, temps, lp, sigma, _ = _case()
+    K, N = temps.shape
+    tables = EMTables.build(build_state_space(N, K, False))
+    lp1, _, mu1, sg1, _ = em_step(
+        jnp.asarray(y), jnp.asarray(lp), jnp.asarray(temps),
+        jnp.asarray(sigma), tables, K=K, fb_mode="ring")
+    tm = HMMTemplateModel(temps, sigma, lp)
+    tr = track_drift(tm, y, chunk=len(y), forget=1.0, fb_mode="ring")
+    assert tr.n_chunks == 1
+    np.testing.assert_allclose(tr.lp[0], np.asarray(lp1), rtol=0,
+                               atol=1e-10)
+    np.testing.assert_allclose(tr.mu[0], np.asarray(mu1), rtol=0,
+                               atol=1e-10)
+    assert tr.sigma[0] == pytest.approx(float(sg1), abs=1e-12)
+
+
+def test_stationary_track_decode_matches_fast_path():
+    """Constant parameters across chunks: decode_tracked is the ordinary
+    overlap-save decode — labels bit-equal fit_spiking_model_fast with
+    the same window geometry."""
+    y, temps, lp, sigma, _ = _case(T=6000, K=8)
+    K, N = temps.shape
+    tm = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+    chunk, H = 2000, 64
+    B = -(-len(y) // chunk)
+    tr = DriftTrack(lp=np.tile(lp, (B, 1)), mu=np.tile(temps, (B, 1, 1)),
+                    sigma=np.full(B, sigma), lls=np.zeros(B),
+                    bounds=[(s, min(s + chunk, len(y)))
+                            for s in range(0, len(y), chunk)],
+                    chunk=chunk, forget=1.0, allow_overlaps=True)
+    mt = decode_tracked(tr, y, H=H)
+    mf = fit_spiking_model_fast(tm, y, L=chunk, H=H)
+    np.testing.assert_array_equal(np.asarray(mt.ml_seq),
+                                  np.asarray(mf.ml_seq))
+    assert mt.ll == pytest.approx(mf.ll, rel=1e-12)
+
+
+def test_tracker_recovers_drift_static_decode_does_not():
+    """The feature's reason to exist: on a 2x amplitude drift the static
+    decode mis-detects (double-counts grown spikes) while the tracker
+    follows the drift and decodes the exact truth."""
+    K = 20
+    rng = np.random.default_rng(3)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    T = 1 << 16
+    y, truth, _ = create_drifting_signal(T, 0.3, pp, temps,
+                                         scale_start=1.0, scale_end=2.0,
+                                         rng=rng)
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+
+    def onset_errors(m):
+        tot = 0
+        for n in range(2):
+            true_on = set(np.nonzero(truth[n] == 1)[0].tolist())
+            dec = set(np.asarray(m.spike_onsets[n]).tolist())
+            hit = sum(1 for t in dec
+                      if any(t + d in true_on for d in range(-2, 3)))
+            tot += (len(dec) - hit) + (len(true_on) - hit)
+        return tot
+
+    m_static = fit_spiking_model_fast(tm, y, L=4096, H=64,
+                                      transfer="events")
+    tr = track_drift(tm, y, chunk=8192, forget=0.4, fb_mode="ring")
+    m_tracked = decode_tracked(tr, y)
+
+    e_static = onset_errors(m_static)
+    e_tracked = onset_errors(m_tracked)
+    assert e_static >= 20          # the drift genuinely breaks static decode
+    assert e_tracked == 0          # ...and tracking fully recovers it
+    assert np.isfinite(m_tracked.ll)
+    assert np.asarray(m_tracked.seam_ok).all()
+    # the tracked amplitude follows the drift upward
+    amp = np.abs(tr.mu[:, :, 0]).max(axis=1) / np.abs(temps[:, 0]).max()
+    assert amp[-1] > 1.5
+    assert np.all(np.diff(amp) > -0.05)
+
+
+def test_track_tail_chunk_inherits_params():
+    """A tail chunk too short for statistics carries the previous
+    parameters and a NaN ll marker instead of updating on noise."""
+    y, temps, lp, sigma, _ = _case(T=4096 + 100, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp)
+    tr = track_drift(tm, y, chunk=4096, forget=0.5, fb_mode="ring")
+    assert tr.n_chunks == 2
+    np.testing.assert_array_equal(tr.lp[1], tr.lp[0])
+    np.testing.assert_array_equal(tr.mu[1], tr.mu[0])
+    assert np.isnan(tr.lls[1]) and np.isfinite(tr.lls[0])
+
+
+def test_track_guards():
+    y, temps, lp, sigma, _ = _case()
+    tm = HMMTemplateModel(temps, sigma, lp)
+    with pytest.raises(ValueError, match="forget"):
+        track_drift(tm, y, forget=0.0)
+    with pytest.raises(ValueError, match=r"\(T,\)"):
+        track_drift(tm, np.zeros((10, 2)))
+    tr = track_drift(tm, y, chunk=len(y), forget=1.0, fb_mode="ring")
+    with pytest.raises(ValueError, match="does not cover"):
+        decode_tracked(tr, y[:-10])
