@@ -212,7 +212,10 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
               K: int | None = None, nsteps: int | None = None,
               train_samples: int | None = None,
               save_templates: str | None = None, rng=None,
-              confidence: bool | None = None) -> dict:
+              confidence: bool | None = None,
+              adaptive: bool | None = None,
+              adapt_chunk: int | None = None,
+              forget: float | None = None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
@@ -255,6 +258,15 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         per-channel models; output arrays become per-channel cells since
         channels may keep different template counts).
 
+    adaptive=True (beyond reference) replaces the stationary decode with
+    the drift-adaptive one (models/api.fit_spiking_model_adaptive):
+    online-EM template tracking with forgetting `forget` over
+    `adapt_chunk`-sample chunks, each chunk decoded with its own adapted
+    templates. Single-channel only; composes with train (track from the
+    learned templates) and confidence (each spike is scored under the
+    chunk parameters that decoded it, core/posterior.
+    onset_posteriors_tracked).
+
     If training prunes every template the decode degenerates to the
     all-silent null model (same contract as the reference's missing-
     spikeForms bail, hmmsort.jl:40-45, but with a valid output file).
@@ -279,10 +291,19 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                              dc("multichannel"), False))
     confidence = bool(pick(UNSET if confidence is None else confidence,
                            dc("confidence"), False))
+    adaptive = bool(pick(UNSET if adaptive is None else adaptive,
+                         dc("adaptive"), False))
+    adapt_chunk = pick(UNSET if adapt_chunk is None else adapt_chunk,
+                       dc("adapt_chunk"), 32768)
+    forget = pick(UNSET if forget is None else forget, dc("forget"), 0.3)
     if multichannel and channels == "all":
         raise ValueError("multichannel (joint decode) and channels='all' "
                          "(independent per-channel decode) are mutually "
                          "exclusive")
+    if adaptive and (multichannel or channels == "all"):
+        raise ValueError("--adaptive is a single-channel decode mode "
+                         "(drift tracking for multichannel / per-channel "
+                         "batches is not implemented)")
 
     from .utils.guards import guard_inputs
 
@@ -478,7 +499,16 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                           for m in models])
         ll = np.array([m.ll for m in models])
     else:
-        if engine == "fast":
+        if adaptive:
+            # drift-adaptive: online-EM template tracking, then every
+            # chunk decoded with its own adapted templates
+            # (train/adaptive.py; overrides the stationary engines)
+            from .models.api import fit_spiking_model_adaptive
+
+            model = fit_spiking_model_adaptive(
+                tm, np.asarray(data, np.float64), chunk=adapt_chunk,
+                forget=forget)
+        elif engine == "fast":
             # streaming: one fixed-shape compiled program serves any
             # recording length (a per-T one-shot program can compile for
             # minutes)
@@ -592,6 +622,19 @@ def main(argv=None) -> int:
                    help="also write the learned templates as a "
                         "{spikeForms, cinv, p} HDF5 file reusable as "
                         "--inputfile of a plain decode run")
+    p.add_argument("--adaptive", action="store_true",
+                   help="drift-adaptive decode: track the templates "
+                        "through the recording with online EM and decode "
+                        "every chunk with its own adapted templates "
+                        "(electrode-drift robustness; single-channel; "
+                        "overrides --engine; composes with --train and "
+                        "--confidence)")
+    p.add_argument("--adapt-chunk", type=int, default=None,
+                   help="adaptive tracking chunk = decode window in "
+                        "samples (default 32768)")
+    p.add_argument("--forget", type=float, default=None,
+                   help="adaptive forgetting factor in (0, 1]: memory "
+                        "horizon ~ chunk/forget samples (default 0.3)")
     args = p.parse_args(argv)
 
     import os
@@ -611,7 +654,14 @@ def main(argv=None) -> int:
                                                else "all"),
                                      multichannel=args.multichannel,
                                      transfer=args.transfer,
-                                     confidence=args.confidence))
+                                     confidence=args.confidence,
+                                     adaptive=args.adaptive,
+                                     adapt_chunk=(args.adapt_chunk
+                                                  if args.adapt_chunk
+                                                  is not None else 32768),
+                                     forget=(args.forget
+                                             if args.forget is not None
+                                             else 0.3)))
     sort_data(args.inputfile, args.datafile, args.outputfile, config=cfg,
               train=args.train, n_templates=args.ntemplates, K=args.K,
               nsteps=args.nsteps, train_samples=args.train_samples,

@@ -105,6 +105,11 @@ class DecodeConfig:
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
     confidence: bool = False         # add per-spike posterior confidence
     #                                  to the CLI output (core/posterior)
+    adaptive: bool = False           # drift-adaptive decode: online-EM
+    #                                  template tracking + per-chunk
+    #                                  decode (train/adaptive.py)
+    adapt_chunk: int = 32768         # tracking chunk / decode window
+    forget: float = 0.3              # online-EM forgetting factor (0, 1]
 
 
 @dataclasses.dataclass

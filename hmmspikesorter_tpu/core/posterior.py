@@ -21,6 +21,9 @@ labels. This module provides
     overlap-save parallelization), per-t renormalized; mixing-limited
     accuracy (~exact for H of a few K on silence-dominated signals) and
     ~16x the exact two-pass on TPU;
+  * ``onset_posteriors_tracked`` — the windowed mode under a drift track
+    (train/adaptive.py): each window is evaluated with the chunk
+    parameters that decoded its span;
   * ``spike_confidence`` — per decoded spike: the posterior onset mass in
     a +/-w window around the decoded onset (same-neuron onsets are >= K
     apart, so windows with w <= (K-1)//2 never overlap).
@@ -717,18 +720,23 @@ def _check_window_f32(W, dtype):
 
 
 @partial(jax.jit, static_argnames=("engine",))
-def _windowed_gamma_sc(y_win, lp, mu, sigma, proj, *, engine: str):
+def _windowed_gamma_sc(y_win, lp_w, mu_w, sg_w, proj, *, engine: str):
     """Per-window FB + per-t-normalized projected gamma, vmapped over
     halo windows. Each window cold-starts (emission-only alpha at its
     first sample, beta = 0 at its last) — exact at the true signal
     edges, forgetting-limited elsewhere; per-t renormalization absorbs
     the window-local scale so only the O(decay^H) boundary mixing error
-    remains in the core region."""
+    remains in the core region.
+
+    The model parameters carry a leading window axis (lp_w (B, N), mu_w
+    (B, K, N), sg_w (B,)): the stationary caller broadcasts one
+    parameter set, the drift-tracked caller passes each window's own
+    adapted templates (train/adaptive.py)."""
     fb = _SC_FB[engine]
     S = proj.shape[0]
-    dtype = mu.dtype
+    dtype = mu_w.dtype
 
-    def one(yw):
+    def one(yw, lp, mu, sigma):
         _, a_all = fb(jnp.zeros((S,), dtype), yw, lp, mu, sigma,
                       first=True, reverse=False)
         _, b_rest = fb(jnp.zeros((S,), dtype), yw[1:], lp, mu, sigma,
@@ -739,7 +747,7 @@ def _windowed_gamma_sc(y_win, lp, mu, sigma, proj, *, engine: str):
         return jnp.matmul(jnp.exp(g), proj,
                           precision=jax.lax.Precision.HIGHEST)
 
-    return jax.vmap(one)(y_win)
+    return jax.vmap(one)(y_win, lp_w, mu_w, sg_w)
 
 
 def _window_starts(T, L, H, B, W):
@@ -751,6 +759,56 @@ def _window_starts(T, L, H, B, W):
 
     shifts = _edge_rows(T, L, H, B, W)
     return [b * L - H + shifts.get(b, 0) for b in range(B)]
+
+
+def _windowed_sc_run(y, *, T, L, H, B, W, proj_d, batch_windows,
+                     lp_all, mu_all, sg_all, engine, dtype) -> np.ndarray:
+    """Shared window-batch loop of the stationary and drift-tracked fast
+    posteriors: build halo windows, run _windowed_gamma_sc per batch
+    (per-window parameter rows ride along), scatter each window's core
+    rows into the output."""
+    from ..parallel.overlap_save import _build_windows
+
+    y_win, _ = _build_windows(jnp.asarray(y, dtype), T=T, L=L, H=H,
+                              B=B, W=W)
+    starts = _window_starts(T, L, H, B, W)
+    S = proj_d.shape[0]
+    M = proj_d.shape[1]
+    if batch_windows is None:
+        # two (W, S) float planes live per window in flight; ~2 GB keeps
+        # well inside v5e HBM and sits at the measured throughput knee
+        # (T=2^20, S=3600: bw 3 -> 152k, 8 -> 348k, 16 -> 446k, 32 ->
+        # 464k samples/s)
+        batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
+    batch_windows = min(batch_windows, B)   # never pad past the real work
+
+    out = np.empty((T, M), np.float64)
+    for i in range(0, B, batch_windows):
+        nw = min(batch_windows, B - i)
+        yb = y_win[i:i + nw]
+        lpb = lp_all[i:i + nw]
+        mub = mu_all[i:i + nw]
+        sgb = sg_all[i:i + nw]
+        if nw < batch_windows:
+            # pad the ragged tail batch to the one compiled shape
+            # (windows are independent; padded outputs are discarded;
+            # sigma pads to 1 so the dead lanes stay finite)
+            pad = batch_windows - nw
+            yb = jnp.concatenate([yb, jnp.zeros((pad, W), yb.dtype)])
+            lpb = jnp.concatenate(
+                [lpb, jnp.zeros((pad,) + lpb.shape[1:], lpb.dtype)])
+            mub = jnp.concatenate(
+                [mub, jnp.zeros((pad,) + mub.shape[1:], mub.dtype)])
+            sgb = jnp.concatenate([sgb, jnp.ones((pad,), sgb.dtype)])
+        gb = np.asarray(_windowed_gamma_sc(yb, lpb, mub, sgb, proj_d,
+                                           engine=engine))
+        for k in range(nw):
+            b = i + k
+            s0 = b * L
+            e0 = T if b == B - 1 else s0 + L
+            lo = s0 - starts[b]
+            out[s0:e0] = gb[k, lo:lo + (e0 - s0)]
+    return out
 
 
 def onset_posteriors_windowed(templates, y, *, L: int = 4096,
@@ -786,44 +844,64 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
     if proj is None:
         proj = onset_projection(ss.states)
     proj_d = jnp.asarray(proj, dtype)
-    S = ss.nstates
-    M = proj_d.shape[1]
 
-    from ..parallel.overlap_save import _build_windows
-
-    y_win, _ = _build_windows(jnp.asarray(y, dtype), T=T, L=L, H=H,
-                              B=B, W=W)
-    starts = _window_starts(T, L, H, B, W)
     lp_d = jnp.asarray(templates.lp, dtype)
     mu_d = jnp.asarray(templates.mu, dtype)
     sg_d = jnp.asarray(templates.sigma, dtype)
-    engine = _sc_engine_name(templates)
-    if batch_windows is None:
-        # two (W, S) float planes live per window in flight; ~2 GB keeps
-        # well inside v5e HBM and sits at the measured throughput knee
-        # (T=2^20, S=3600: bw 3 -> 152k, 8 -> 348k, 16 -> 446k, 32 ->
-        # 464k samples/s)
-        batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
-    batch_windows = min(batch_windows, B)   # never pad past the real work
+    return _windowed_sc_run(
+        y, T=T, L=L, H=H, B=B, W=W, proj_d=proj_d,
+        batch_windows=batch_windows,
+        lp_all=jnp.broadcast_to(lp_d, (B,) + lp_d.shape),
+        mu_all=jnp.broadcast_to(mu_d, (B,) + mu_d.shape),
+        sg_all=jnp.broadcast_to(sg_d, (B,)),
+        engine=_sc_engine_name(templates), dtype=dtype)
 
-    out = np.empty((T, M), np.float64)
-    for i in range(0, B, batch_windows):
-        nw = min(batch_windows, B - i)
-        yb = y_win[i:i + nw]
-        if nw < batch_windows:
-            # pad the ragged tail batch to the one compiled shape
-            # (windows are independent; padded outputs are discarded)
-            yb = jnp.concatenate(
-                [yb, jnp.zeros((batch_windows - nw, W), yb.dtype)])
-        gb = np.asarray(_windowed_gamma_sc(yb, lp_d, mu_d, sg_d, proj_d,
-                                           engine=engine))
-        for k in range(nw):
-            b = i + k
-            s0 = b * L
-            e0 = T if b == B - 1 else s0 + L
-            lo = s0 - starts[b]
-            out[s0:e0] = gb[k, lo:lo + (e0 - s0)]
-    return out
+
+def onset_posteriors_tracked(track, y, *, L: int = 4096,
+                             H: int | None = None, proj=None,
+                             batch_windows: int | None = None
+                             ) -> np.ndarray:
+    """Onset marginals under a drift track (train/adaptive.DriftTrack):
+    the fast windowed posterior with each halo window evaluated under
+    the parameters of the chunk OWNING its core — the posterior mirror
+    of decode_tracked's per-window decode. Requires track.chunk to be a
+    multiple of L (the default chunk 32768 and L 4096 compose); a
+    signal too short for windowing falls back to the exact two-pass
+    under the last chunk's parameters (such a track has one chunk).
+    """
+    y = np.asarray(y)
+    if y.ndim != 1:
+        raise ValueError("onset_posteriors_tracked takes a (T,) trace")
+    T = y.shape[0]
+    if track.bounds[-1][1] != T:
+        raise ValueError("track does not cover this signal "
+                         f"({track.bounds[-1]} vs T={T})")
+    tm_last = track.model_at(track.n_chunks - 1)
+    ss = tm_last.state_space
+    dtype = jnp.zeros(0).dtype
+    if H is None:
+        H = max(4 * track.mu.shape[1], 64)
+    W = L + 2 * H
+    B = -(-T // L)
+    if H < 1 or L < 2 * H or B < 2 or T < W:
+        return onset_posteriors(tm_last, y, proj=proj)
+    if track.chunk % L != 0:
+        raise ValueError(f"track.chunk={track.chunk} must be a multiple "
+                         f"of the posterior window L={L}")
+    _check_window_f32(W, dtype)
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj_d = jnp.asarray(proj, dtype)
+
+    owner = np.minimum(np.arange(B) * L // track.chunk,
+                       track.n_chunks - 1)
+    return _windowed_sc_run(
+        y, T=T, L=L, H=H, B=B, W=W, proj_d=proj_d,
+        batch_windows=batch_windows,
+        lp_all=jnp.asarray(track.lp[owner], dtype),
+        mu_all=jnp.asarray(track.mu[owner], dtype),
+        sg_all=jnp.asarray(track.sigma[owner], dtype),
+        engine=_sc_engine_name(tm_last), dtype=dtype)
 
 
 def _ring_fb_block_fn_mc(templates):
@@ -988,7 +1066,11 @@ def spike_confidence(model, *, half_width: int | None = None,
     push a clean spike's score slightly past 1.
 
     Works on single-channel and multi-channel decodes (the model's
-    stored signal dimensionality selects the engine).
+    stored signal dimensionality selects the engine). A drift-decoded
+    model (train/adaptive.decode_tracked — it carries `.track`) scores
+    each spike under the chunk parameters that decoded it
+    (onset_posteriors_tracked), in windowed mode regardless of the flag:
+    the last-chunk templates alone would mis-score early spikes.
     """
     tm = model.template_model
     K = tm.K
@@ -1001,7 +1083,10 @@ def spike_confidence(model, *, half_width: int | None = None,
         onsets = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
                                overlaps=tm.allow_overlaps)
     y = np.asarray(model.y)
-    if y.ndim == 2:
+    track = getattr(model, "track", None)
+    if track is not None and y.ndim == 1:
+        p = onset_posteriors_tracked(track, y)
+    elif y.ndim == 2:
         p = (onset_posteriors_windowed_mc(tm, y) if windowed
              else onset_posteriors_mc(tm, y, block=block))
     elif windowed:

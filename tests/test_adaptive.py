@@ -155,3 +155,106 @@ def test_track_guards():
     tr = track_drift(tm, y, chunk=len(y), forget=1.0, fb_mode="ring")
     with pytest.raises(ValueError, match="does not cover"):
         decode_tracked(tr, y[:-10])
+
+
+def test_tracked_posteriors_stationary_reduction():
+    """A constant-parameter track: onset_posteriors_tracked is literally
+    the stationary windowed posterior (broadcast vs gathered parameter
+    rows feed the same compiled function)."""
+    from hmmspikesorter_tpu.core.posterior import (
+        onset_posteriors_tracked, onset_posteriors_windowed)
+
+    y, temps, lp, sigma, _ = _case(T=6000, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+    chunk = 2000
+    B = -(-len(y) // chunk)
+    tr = DriftTrack(lp=np.tile(lp, (B, 1)), mu=np.tile(temps, (B, 1, 1)),
+                    sigma=np.full(B, sigma), lls=np.zeros(B),
+                    bounds=[(s, min(s + chunk, len(y)))
+                            for s in range(0, len(y), chunk)],
+                    chunk=chunk, forget=1.0, allow_overlaps=True)
+    p_tr = onset_posteriors_tracked(tr, y, L=500, H=100)
+    p_st = onset_posteriors_windowed(tm, y, L=500, H=100)
+    np.testing.assert_array_equal(p_tr, p_st)
+
+
+def test_tracked_confidence_under_drift():
+    """Per-spike confidence on a drift-decoded model scores each spike
+    under the chunk parameters that decoded it: medians stay high across
+    the drift and the posterior expected counts match the truth."""
+    from hmmspikesorter_tpu.core.posterior import (
+        onset_posteriors_tracked, spike_confidence)
+
+    K = 20
+    rng = np.random.default_rng(5)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    T = 1 << 15
+    y, truth, _ = create_drifting_signal(T, 0.3, pp, temps,
+                                         scale_start=1.0, scale_end=2.0,
+                                         rng=rng)
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+    tr = track_drift(tm, y, chunk=4096, forget=0.5, fb_mode="ring")
+    m = decode_tracked(tr, y)
+    conf = spike_confidence(m)            # routed via model.track
+    for n, c in enumerate(conf):
+        assert len(c) == len(m.spike_onsets[n])
+        if len(c):
+            assert np.median(c) > 0.9
+    p = onset_posteriors_tracked(tr, y, L=1024, H=128)
+    for n in range(2):
+        assert abs(p[:, n].sum() - (truth[n] == 1).sum()) < 2.0
+
+
+def test_tracked_posteriors_guards():
+    from hmmspikesorter_tpu.core.posterior import onset_posteriors_tracked
+
+    y, temps, lp, sigma, _ = _case(T=6000, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp)
+    tr = track_drift(tm, y, chunk=3000, forget=0.5, fb_mode="ring")
+    with pytest.raises(ValueError, match="multiple"):
+        onset_posteriors_tracked(tr, y, L=999, H=100)
+    with pytest.raises(ValueError, match="does not cover"):
+        onset_posteriors_tracked(tr, y[:-5])
+
+
+def test_cli_adaptive(tmp_path):
+    """--adaptive end-to-end: drifted recording -> tracked decode with
+    exact onset counts and per-chunk-parameter confidence scores."""
+    import h5py
+
+    from hmmspikesorter_tpu import cli
+
+    K = 20
+    rng = np.random.default_rng(5)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    T = 1 << 15
+    y, truth, _ = create_drifting_signal(T, 0.3, pp, temps,
+                                         scale_start=1.0, scale_end=2.0,
+                                         rng=rng)
+    tfile = str(tmp_path / "templates.h5")
+    dfile = str(tmp_path / "data.h5")
+    with h5py.File(tfile, "w") as f:
+        f["spikeForms"] = temps.T[:, None, :]
+        f["cinv"] = np.array([[1.0 / 0.3**2]])
+        f["p"] = pp
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = y
+    out = cli.sort_data(tfile, dfile, str(tmp_path / "o.mat"),
+                        adaptive=True, adapt_chunk=4096, forget=0.5,
+                        confidence=True)
+    assert set(out) == {"mlseq", "ll", "waveforms", "lp", "sigma",
+                        "confidence"}
+    for n in range(2):
+        dec = int((out["mlseq"][n] == 2).sum())     # 1-based: onset == 2
+        tc = int((truth[n] == 1).sum())
+        assert abs(dec - tc) <= 1, (n, dec, tc)
+        assert len(out["confidence"][n]) == dec
+    assert np.isfinite(out["ll"])
+
+    with pytest.raises(ValueError, match="single-channel"):
+        cli.sort_data(tfile, dfile, str(tmp_path / "o2.mat"),
+                      adaptive=True, channels="all", dosave=False)
