@@ -259,13 +259,14 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         channels may keep different template counts).
 
     adaptive=True (beyond reference) replaces the stationary decode with
-    the drift-adaptive one (models/api.fit_spiking_model_adaptive):
-    online-EM template tracking with forgetting `forget` over
-    `adapt_chunk`-sample chunks, each chunk decoded with its own adapted
-    templates. Single-channel only; composes with train (track from the
-    learned templates) and confidence (each spike is scored under the
-    chunk parameters that decoded it, core/posterior.
-    onset_posteriors_tracked).
+    the drift-adaptive one (models/api.fit_spiking_model_adaptive, or
+    its MC mirror under multichannel=True): online-EM template tracking
+    with forgetting `forget` over `adapt_chunk`-sample chunks, each
+    chunk decoded with its own adapted templates. Composes with train
+    (track from the learned templates) and confidence (each spike is
+    scored under the chunk parameters that decoded it, core/posterior.
+    onset_posteriors_tracked / _tracked_mc). Not available with
+    channels="all" (independent per-channel batches).
 
     If training prunes every template the decode degenerates to the
     all-silent null model (same contract as the reference's missing-
@@ -300,10 +301,11 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         raise ValueError("multichannel (joint decode) and channels='all' "
                          "(independent per-channel decode) are mutually "
                          "exclusive")
-    if adaptive and (multichannel or channels == "all"):
-        raise ValueError("--adaptive is a single-channel decode mode "
-                         "(drift tracking for multichannel / per-channel "
-                         "batches is not implemented)")
+    if adaptive and channels == "all":
+        raise ValueError("--adaptive decodes one spike train (single-"
+                         "channel or joint --multichannel); drift "
+                         "tracking for independent per-channel batches "
+                         "is not implemented")
 
     from .utils.guards import guard_inputs
 
@@ -370,7 +372,13 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
             yc = np.ascontiguousarray(data[: tmc.n_channels].T)  # (T, C)
         guard_inputs(yc.T, tmc.sigmas)
         print("Fitting model...")
-        if engine == "fast":
+        if adaptive:
+            from .models.multichannel import fit_spiking_model_adaptive_mc
+
+            model = fit_spiking_model_adaptive_mc(
+                tmc, np.asarray(yc, np.float64), chunk=adapt_chunk,
+                forget=forget)
+        elif engine == "fast":
             model = fit_spiking_model_mc_fast(
                 tmc, yc,
                 L=pick(UNSET, dc("L"), 8192),
@@ -626,9 +634,9 @@ def main(argv=None) -> int:
                    help="drift-adaptive decode: track the templates "
                         "through the recording with online EM and decode "
                         "every chunk with its own adapted templates "
-                        "(electrode-drift robustness; single-channel; "
-                        "overrides --engine; composes with --train and "
-                        "--confidence)")
+                        "(electrode-drift robustness; single-channel or "
+                        "joint --multichannel; overrides --engine; "
+                        "composes with --train and --confidence)")
     p.add_argument("--adapt-chunk", type=int, default=None,
                    help="adaptive tracking chunk = decode window in "
                         "samples (default 32768)")

@@ -159,3 +159,44 @@ def mc_streams(yc, tables: MCTables, dtype=None):
     Km1 = tables.K - 1
     d = d.reshape(*d.shape[:-1], tables.N, Km1)
     return es, d
+
+
+class MCTablesDevice:
+    """In-graph MCTables: the same constants (see MCTables for the
+    algebra) computed with jnp, so mu/sigmas may be TRACERS — the
+    drift-tracked decode and posterior evaluate each halo window under
+    its own adapted templates inside one vmapped program
+    (train/adaptive.py). Duck-types MCTables for mc_streams; the pair
+    tables come pre-stacked i-major (`c2_stack` (P, Km1, Km1), the
+    _pairs order; `x2_01` is the N == 2 cross form). K/N/C stay static
+    Python ints (shape-derived)."""
+
+    def __init__(self, mu, sigmas, dtype=None):
+        mu = jnp.asarray(mu, dtype)
+        sigmas = jnp.asarray(sigmas, mu.dtype)
+        K, N, C = mu.shape
+        inv2 = 1.0 / (2.0 * sigmas * sigmas)             # (C,)
+        self.zscale = 1.0 / (sigmas * sigmas)
+        self.silent_sum = mu[0].sum(axis=0)              # (C,)
+        self.u_const = jnp.sum(-HALF_LOG_2PI - jnp.log(sigmas))
+        self.b_sil = jnp.sum(self.silent_sum ** 2 * inv2)
+
+        other = self.silent_sum[None, :] - mu[0]         # (N, C)
+        sm = mu[1:].transpose(1, 0, 2) + other[:, None, :]   # (N, Km1, C)
+        self.c1 = jnp.sum(sm * sm * inv2, axis=-1) - self.b_sil
+
+        dmu = mu[1:] - mu[0][None, :, :]                 # (Km1, N, C)
+        self.delta = dmu.transpose(2, 1, 0).reshape(C, N * (K - 1))
+
+        c2s = []
+        for n in range(N):
+            for m in range(n + 1, N):
+                rest = (self.silent_sum[None, None, :]
+                        - mu[0, n] - mu[0, m])
+                pm = (mu[1:, n][:, None, :] + mu[1:, m][None, :, :]
+                      + rest)
+                c2s.append(jnp.sum(pm * pm * inv2, axis=-1) - self.b_sil)
+        self.c2_stack = jnp.stack(c2s) if c2s else None
+        self.x2_01 = (self.c1[0][:, None] + self.c1[1][None, :]
+                      - self.c2_stack[0]) if N == 2 else None
+        self.K, self.N, self.C = K, N, C

@@ -1049,6 +1049,126 @@ def onset_posteriors_windowed_mc(templates, yc, *, L: int = 4096,
     return out
 
 
+def _mc_extra_tables_device(engine: str, tb):
+    """The engine's energy-table tuple from in-graph tables
+    (emission_mc.MCTablesDevice) — the tracer mirror of
+    _mc_extra_tables."""
+    if engine == "nov":
+        return (tb.c1,)
+    if engine == "ov2":
+        return (tb.c1, tb.x2_01)
+    return (tb.c1, tb.c2_stack)
+
+
+@partial(jax.jit, static_argnames=("engine",))
+def _windowed_gamma_mc_tracked(y_win, lp_w, mu_w, sg_w, proj, *,
+                               engine: str):
+    """MC windowed gamma with PER-WINDOW parameters: streams and energy
+    tables are computed in-graph per window (emission_mc.MCTablesDevice)
+    from each window's adapted (lp, mu (K, N, C), sigmas (C,)) — the
+    posterior mirror of the drift-tracked decode."""
+    from .emission_mc import MCTablesDevice, mc_streams
+
+    fb = _MC_FB[engine]
+    S = proj.shape[0]
+    dtype = mu_w.dtype
+
+    def one(yw, lp, mu, sg):
+        tb = MCTablesDevice(mu, sg, dtype)
+        ew, dw = mc_streams(yw, tb, dtype=dtype)
+        tabs = _mc_extra_tables_device(engine, tb)
+        _, a_all = fb(jnp.zeros((S,), dtype), ew, dw, lp, *tabs,
+                      first=True, reverse=False)
+        _, b_rest = fb(jnp.zeros((S,), dtype), ew[1:], dw[1:], lp,
+                       *tabs, first=False, reverse=True)
+        b_all = jnp.concatenate([b_rest, jnp.zeros((1, S), dtype)], axis=0)
+        g = a_all + b_all
+        g = g - logsumexp_rows(g, axis=1)[:, None]
+        return jnp.matmul(jnp.exp(g), proj,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return jax.vmap(one)(y_win, lp_w, mu_w, sg_w)
+
+
+def onset_posteriors_tracked_mc(track, yc, *, L: int = 4096,
+                                H: int | None = None, proj=None,
+                                batch_windows: int | None = None
+                                ) -> np.ndarray:
+    """MC onset marginals under a drift track — the multi-channel mirror
+    of onset_posteriors_tracked (each halo window evaluated under the
+    chunk parameters owning its core; track.chunk must be a multiple of
+    L). Falls back to the exact two-pass under the last chunk's
+    parameters for signals too short to window."""
+    from ..parallel.overlap_save import _build_windows_arrays
+
+    yc = np.asarray(yc)
+    if yc.ndim != 2:
+        raise ValueError("onset_posteriors_tracked_mc takes (T, C)")
+    T, C = yc.shape
+    if track.bounds[-1][1] != T:
+        raise ValueError("track does not cover this signal "
+                         f"({track.bounds[-1]} vs T={T})")
+    tm_last = track.model_at(track.n_chunks - 1)
+    ss = tm_last.state_space
+    dtype = jnp.zeros(0).dtype
+    if H is None:
+        H = max(4 * track.mu.shape[1], 64)
+    W = L + 2 * H
+    B = -(-T // L)
+    if H < 1 or L < 2 * H or B < 2 or T < W:
+        return onset_posteriors_mc(tm_last, yc, proj=proj)
+    if track.chunk % L != 0:
+        raise ValueError(f"track.chunk={track.chunk} must be a multiple "
+                         f"of the posterior window L={L}")
+    _check_window_f32(W, dtype)
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj_d = jnp.asarray(proj, dtype)
+    S = ss.nstates
+    M = proj_d.shape[1]
+    engine = _sc_engine_name(tm_last)
+
+    owner = np.minimum(np.arange(B) * L // track.chunk,
+                       track.n_chunks - 1)
+    lp_all = jnp.asarray(track.lp[owner], dtype)
+    mu_all = jnp.asarray(track.mu[owner], dtype)
+    sg_all = jnp.asarray(track.sigma[owner], dtype)
+
+    yw = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B,
+                          W=W))(jnp.asarray(yc.T, dtype))
+    yw = jnp.transpose(yw, (1, 2, 0))                    # (B, W, C)
+    starts = _window_starts(T, L, H, B, W)
+    if batch_windows is None:
+        batch_windows = max(1, int(2e9 // (2 * W * S * 4)))
+    batch_windows = min(batch_windows, B)
+
+    out = np.empty((T, M), np.float64)
+    for i in range(0, B, batch_windows):
+        nw = min(batch_windows, B - i)
+        yb = yw[i:i + nw]
+        lpb = lp_all[i:i + nw]
+        mub = mu_all[i:i + nw]
+        sgb = sg_all[i:i + nw]
+        if nw < batch_windows:
+            pad = batch_windows - nw
+            yb = jnp.concatenate([yb, jnp.zeros((pad, W, C), yb.dtype)])
+            lpb = jnp.concatenate(
+                [lpb, jnp.zeros((pad,) + lpb.shape[1:], lpb.dtype)])
+            mub = jnp.concatenate(
+                [mub, jnp.zeros((pad,) + mub.shape[1:], mub.dtype)])
+            sgb = jnp.concatenate(
+                [sgb, jnp.ones((pad,) + sgb.shape[1:], sgb.dtype)])
+        gb = np.asarray(_windowed_gamma_mc_tracked(yb, lpb, mub, sgb,
+                                                   proj_d, engine=engine))
+        for k in range(nw):
+            b = i + k
+            s0 = b * L
+            e0 = T if b == B - 1 else s0 + L
+            lo = s0 - starts[b]
+            out[s0:e0] = gb[k, lo:lo + (e0 - s0)]
+    return out
+
+
 def spike_confidence(model, *, half_width: int | None = None,
                      block: int = 8192, windowed: bool = False):
     """Posterior support for each decoded spike.
@@ -1084,8 +1204,9 @@ def spike_confidence(model, *, half_width: int | None = None,
                                overlaps=tm.allow_overlaps)
     y = np.asarray(model.y)
     track = getattr(model, "track", None)
-    if track is not None and y.ndim == 1:
-        p = onset_posteriors_tracked(track, y)
+    if track is not None:
+        p = (onset_posteriors_tracked_mc(track, y) if y.ndim == 2
+             else onset_posteriors_tracked(track, y))
     elif y.ndim == 2:
         p = (onset_posteriors_windowed_mc(tm, y) if windowed
              else onset_posteriors_mc(tm, y, block=block))

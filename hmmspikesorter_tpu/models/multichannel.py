@@ -303,3 +303,23 @@ def fit_mc(yc, n_neurons: int = 3, K: int = 60, nsteps: int = 10,
     model, _, _ = train_model_mc(yc, n_neurons=n_neurons, K=K,
                                  nsteps=nsteps, **kwargs)
     return fit_spiking_model_mc(model, yc)
+
+
+def fit_spiking_model_adaptive_mc(templates: HMMTemplateModelMC, yc, *,
+                                  chunk: int = 32768, forget: float = 0.3,
+                                  inner_steps: int = 1,
+                                  H: int | None = None,
+                                  repair: bool = True,
+                                  fb_mode: str | None = None
+                                  ) -> HMMSpikingModel:
+    """Drift-adaptive joint multi-channel decode — the MC mirror of
+    models/api.fit_spiking_model_adaptive: online-EM template tracking
+    over (T, C) chunks (train/adaptive.track_drift_mc), then every chunk
+    decoded with its own adapted templates in one parallel program
+    (train/adaptive.decode_tracked_mc). The returned model carries
+    `seam_ok`, `seams_repaired`, `spike_onsets`, and `track`."""
+    from ..train.adaptive import decode_tracked_mc, track_drift_mc
+
+    tr = track_drift_mc(templates, yc, chunk=chunk, forget=forget,
+                        inner_steps=inner_steps, fb_mode=fb_mode)
+    return decode_tracked_mc(tr, yc, H=H, repair=repair)

@@ -45,7 +45,8 @@ import numpy as np
 from ..core.state_space import build_state_space
 from .em import EMTables, _m_step_from_stats, em_chunk_stats, pallas_em_geometry
 
-__all__ = ["DriftTrack", "track_drift", "decode_tracked"]
+__all__ = ["DriftTrack", "track_drift", "decode_tracked",
+           "track_drift_mc", "decode_tracked_mc"]
 
 
 @dataclasses.dataclass
@@ -57,6 +58,9 @@ class DriftTrack:
     under the PRE-update parameters (a drift monitor: a persistent drop
     means the model is falling behind the drift); bounds: the (start,
     end) sample span of each chunk.
+
+    Multi-channel tracks (track_drift_mc) carry mu (B, K, N, C) and
+    per-channel sigmas in `sigma` (B, C); `is_mc` tells them apart.
     """
 
     lp: np.ndarray
@@ -72,9 +76,19 @@ class DriftTrack:
     def n_chunks(self) -> int:
         return len(self.bounds)
 
+    @property
+    def is_mc(self) -> bool:
+        return self.mu.ndim == 4
+
     def model_at(self, c: int):
-        """HMMTemplateModel in force for chunk c (decode topology taken
-        from the tracked model)."""
+        """HMMTemplateModel(MC) in force for chunk c (decode topology
+        taken from the tracked model)."""
+        if self.is_mc:
+            from ..models.multichannel import HMMTemplateModelMC
+
+            return HMMTemplateModelMC(self.mu[c], self.sigma[c],
+                                      self.lp[c],
+                                      allow_overlaps=self.allow_overlaps)
         from ..models.api import HMMTemplateModel
 
         return HMMTemplateModel(self.mu[c], float(self.sigma[c]),
@@ -342,5 +356,261 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
     model.seams_repaired = n_repaired
     model.spike_onsets = _onsets_dense(x, N=track.mu.shape[2], K=K,
                                        overlaps=track.allow_overlaps)
+    model.track = track
+    return model
+
+
+# --------------------------------------------------------------------------
+# multi-channel mirror: same online blend, per-channel moments, and the
+# per-window decode vmaps the in-graph emission tables (MCTablesDevice)
+# alongside each window's adapted (lp, mu (K, N, C), sigmas (C,)).
+
+def track_drift_mc(templates, yc, *, chunk: int = 32768,
+                   forget: float = 0.3, inner_steps: int = 1,
+                   fb_mode: str | None = None, block: int | None = None,
+                   callback=None) -> DriftTrack:
+    """Track drifting multi-channel templates through a (T, C) recording
+    with online EM — the MC mirror of track_drift (per-channel moment
+    statistics, train/em_mc.em_chunk_stats_mc; engine auto-rule
+    train/em_mc.auto_fb_mode_mc per chunk length)."""
+    from ..train.em_mc import (auto_fb_mode_mc, em_chunk_stats_mc,
+                               _m_step_from_stats_mc)
+
+    yc = np.asarray(yc)
+    if yc.ndim != 2:
+        raise ValueError("track_drift_mc takes a (T, C) recording")
+    K = templates.K
+    N = templates.n_neurons
+    C = templates.n_channels
+    if yc.shape[1] != C:
+        raise ValueError(f"recording has {yc.shape[1]} channels but the "
+                         f"templates have {C}")
+    if N == 0:
+        raise ValueError("track_drift_mc needs at least one template")
+    if not 0.0 < forget <= 1.0:
+        raise ValueError("forget must be in (0, 1]")
+    T = yc.shape[0]
+    chunk = int(min(chunk, T))
+    if chunk < 2:
+        raise ValueError("chunk must be >= 2")
+
+    ss = build_state_space(N, K, False)
+    tables = EMTables.build(ss)
+    dtype = jnp.zeros(0).dtype
+    yc_dev = jnp.asarray(yc, dtype)
+
+    bounds = [(s, min(s + chunk, T)) for s in range(0, T, chunk)]
+    min_stats = max(4 * K, 256)
+
+    lp_c = jnp.asarray(templates.lp, dtype)
+    mu_c = jnp.asarray(templates.mu, dtype)
+    sg_c = jnp.asarray(templates.sigmas, dtype)
+
+    sbar = None
+    lp_out = np.empty((len(bounds), N))
+    mu_out = np.empty((len(bounds), K, N, C))
+    sg_out = np.empty((len(bounds), C))
+    lls = np.empty(len(bounds))
+    for c, (s, e) in enumerate(bounds):
+        Tc = e - s
+        if Tc < min_stats and c > 0:
+            lp_out[c], mu_out[c], sg_out[c] = (lp_out[c - 1],
+                                               mu_out[c - 1],
+                                               sg_out[c - 1])
+            lls[c] = np.nan
+            continue
+        mode = fb_mode if fb_mode is not None else auto_fb_mode_mc(
+            Tc, K, N, C, block if block is not None else 2048)
+        blk = block if block is not None else 2048
+        ll_c = None
+        for _ in range(max(1, inner_steps)):
+            G1, Gy, Gy2, X, Xd, ll = em_chunk_stats_mc(
+                yc_dev[s:e], lp_c, mu_c, sg_c, tables, K=K, fb_mode=mode,
+                block=blk)
+            if ll_c is None:
+                ll_c = float(ll)
+            s_c = [np.asarray(v, np.float64) / Tc
+                   for v in (G1, Gy, Gy2, X, Xd)]
+            if sbar is None:
+                sbar = s_c
+            else:
+                sbar = [(1.0 - forget) * a + forget * b
+                        for a, b in zip(sbar, s_c)]
+            lp_new, mu_new, sg_new = _m_step_from_stats_mc(
+                jnp.asarray(sbar[0], dtype), jnp.asarray(sbar[1], dtype),
+                jnp.asarray(sbar[2], dtype),
+                jnp.log(jnp.asarray(sbar[3], dtype)),
+                jnp.log(jnp.asarray(sbar[4], dtype)), dtype, K, N, C)
+            lp_c, mu_c, sg_c = lp_new, mu_new, sg_new
+        lp_out[c] = np.asarray(lp_c)
+        mu_out[c] = np.asarray(mu_c)
+        sg_out[c] = np.asarray(sg_c)
+        lls[c] = ll_c
+        if callback is not None:
+            callback(c, lp_out[c], mu_out[c], sg_out[c], lls[c])
+    return DriftTrack(lp=lp_out, mu=mu_out, sigma=sg_out, lls=lls,
+                      bounds=bounds, chunk=chunk, forget=forget,
+                      allow_overlaps=templates.allow_overlaps)
+
+
+def _mc_win_engine(overlaps: bool, N: int):
+    """Per-window MC decode closure over the in-graph tables: the scan
+    cores (ops/ring_viterbi_mc) take (es, d) streams plus energy tables,
+    all computable from tracer (mu, sigmas) via MCTablesDevice."""
+    from ..core.emission_mc import MCTablesDevice, mc_streams
+    from ..ops.ring_viterbi_mc import (_nov_mc_scan, _ov2_mc_scan,
+                                       _ovn_mc_scan)
+
+    if not overlaps or N < 2:
+        def one(yw, lp, mu, sg, s0, dtype):
+            tb = MCTablesDevice(mu, sg, dtype)
+            es, d = mc_streams(yw, tb, dtype=dtype)
+            return _nov_mc_scan(es, d, lp, tb.c1, silent_start=s0,
+                                with_ll=False)[0]
+    elif N == 2:
+        def one(yw, lp, mu, sg, s0, dtype):
+            tb = MCTablesDevice(mu, sg, dtype)
+            es, d = mc_streams(yw, tb, dtype=dtype)
+            return _ov2_mc_scan(es, d, lp, tb.c1, tb.x2_01,
+                                silent_start=s0, with_ll=False)[0]
+    else:
+        def one(yw, lp, mu, sg, s0, dtype):
+            tb = MCTablesDevice(mu, sg, dtype)
+            es, d = mc_streams(yw, tb, dtype=dtype)
+            return _ovn_mc_scan(es, d, lp, tb.c1, tb.c2_stack,
+                                silent_start=s0, with_ll=False)[0]
+    return one
+
+
+@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
+def _tracked_overlap_save_mc(yc, lp_all, mu_all, sg_all, *, L, H,
+                             overlaps):
+    """MC overlap-save decode with PER-WINDOW parameters — the
+    _tracked_overlap_save structure over (T, C) recordings: raw channel
+    halo windows, per-window in-graph emission tables, one stitch."""
+    from ..parallel.overlap_save import (_build_windows_arrays,
+                                         _snap_and_stitch, _edge_rows)
+
+    K, N, C = mu_all.shape[1], mu_all.shape[2], mu_all.shape[3]
+    dtype = mu_all.dtype
+    yc = yc.astype(dtype)
+    T = yc.shape[0]
+    B = -(-T // L)
+    W = L + 2 * H
+    S = (1 + N * (K - 1) + (N * (N - 1) // 2) * (K - 1) ** 2
+         if overlaps else 1 + N * (K - 1))
+    out_dtype = jnp.int16 if S <= 32767 else jnp.int32
+    one = _mc_win_engine(overlaps, N)
+
+    if B == 1 or T < W:
+        x = one(yc, lp_all[0], mu_all[0], sg_all[0], True, dtype)
+        return x.astype(out_dtype), jnp.ones((0,), bool)
+
+    yw = jax.vmap(partial(_build_windows_arrays, T=T, L=L, H=H, B=B,
+                          W=W))(jnp.transpose(yc, (1, 0)))
+    y_win = jnp.transpose(yw, (1, 2, 0))                 # (B, W, C)
+    sil0 = jnp.arange(B) == 0
+    xb = jax.vmap(
+        lambda yy, lp, mu, sg, s0: one(yy, lp, mu, sg, s0, dtype))(
+        y_win, lp_all, mu_all, sg_all, sil0)
+    x, seam_ok = _snap_and_stitch(xb, T=T, L=L, H=H, B=B,
+                                  edge_rows=_edge_rows(T, L, H, B, W))
+    return x.astype(out_dtype), seam_ok
+
+
+def _piecewise_path_ll_mc(yc, x, track: DriftTrack, ss) -> float:
+    """MC mirror of _piecewise_path_ll: per-channel Gaussian emission
+    sums, each step charged under its owning chunk's parameters, the
+    running prefix carried across chunk boundaries."""
+    from ..core.path_score import path_transition_weights
+    from ..utils.logmath import HALF_LOG_2PI
+
+    states = np.asarray(ss.states)
+    Nn = states.shape[0]
+    x = np.asarray(x, np.int64)
+    yc = np.asarray(yc, np.float64)
+    K = track.mu.shape[1]
+
+    def em_rows(c, idx_t, idx_x):
+        mu_c = track.mu[c]
+        sg_c = np.asarray(track.sigma[c], np.float64)    # (C,)
+        smu = mu_c[states, np.arange(Nn)[:, None], :].sum(axis=0)  # (S, C)
+        dev = yc[idx_t] - smu[idx_x]                     # (n, C)
+        return np.sum(-HALF_LOG_2PI - np.log(sg_c)
+                      - dev * dev / (2.0 * sg_c * sg_c), axis=-1)
+
+    if x[0] == 0:
+        prefix = 0.0
+    else:
+        prefix = float(em_rows(0, np.array([0]), np.array([x[0]]))[0])
+    total = 0.0
+    for c, (s, e) in enumerate(track.bounds):
+        lo = max(s, 1)
+        if lo >= e:
+            continue
+        pos = states[:, x[lo - 1 : e]]
+        w = path_transition_weights(pos[:, :-1], pos[:, 1:],
+                                    track.lp[c], K)
+        em = em_rows(c, np.arange(lo, e), x[lo:e])
+        pref = prefix + np.cumsum(w + em)
+        total += float(pref.sum())
+        prefix = float(pref[-1])
+    return total
+
+
+def decode_tracked_mc(track: DriftTrack, yc, *, H: int | None = None,
+                      repair: bool = True):
+    """Decode a (T, C) recording with the tracked per-chunk MC templates
+    in one parallel device program — the MC mirror of decode_tracked
+    (same seam protocol; flagged seams re-decoded with the seam's
+    left-chunk parameters)."""
+    from ..core.events import _onsets_dense
+    from ..models.api import HMMSpikingModel
+
+    yc = np.asarray(yc, np.float64)
+    if yc.ndim != 2:
+        raise ValueError("decode_tracked_mc takes a (T, C) recording")
+    T = yc.shape[0]
+    B = track.n_chunks
+    K = track.mu.shape[1]
+    N = track.mu.shape[2]
+    L = track.chunk
+    if not track.is_mc:
+        raise ValueError("single-channel track: use decode_tracked")
+    if track.bounds[-1][1] != T or -(-T // L) != B:
+        raise ValueError("track does not cover this signal (bounds "
+                         f"{track.bounds[-1]} vs T={T})")
+    if H is None:
+        H = max(4 * K, 64)
+    if L < 2 * H:
+        raise ValueError(f"chunk={L} < 2H={2 * H}; track with a larger "
+                         "chunk (or pass a smaller decode halo H)")
+
+    dtype = jnp.zeros(0).dtype
+    x, seam_ok = _tracked_overlap_save_mc(
+        jnp.asarray(yc, dtype), jnp.asarray(track.lp, dtype),
+        jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
+        L=L, H=H, overlaps=track.allow_overlaps)
+    x = np.asarray(x)
+    seam_ok = np.asarray(seam_ok)
+
+    n_repaired = 0
+    if repair and not seam_ok.all():
+        from ..models.multichannel import _mc_repair_decoder
+        from ..parallel.seam_repair import repair_seams
+
+        for s in np.nonzero(~seam_ok)[0]:
+            dec = _mc_repair_decoder(track.model_at(int(s)))
+            x, _ = repair_seams(yc, x, [(int(s) + 1) * L], dec, H=H)
+        n_repaired = int((~seam_ok).sum())
+        seam_ok = np.ones_like(seam_ok)
+
+    ss = build_state_space(N, K, track.allow_overlaps)
+    ll = _piecewise_path_ll_mc(yc, x, track, ss)
+    model = HMMSpikingModel(track.model_at(B - 1), x, ll, yc)
+    model.seam_ok = seam_ok
+    model.seams_repaired = n_repaired
+    model.spike_onsets = _onsets_dense(x, N=N, K=K,
+                                      overlaps=track.allow_overlaps)
     model.track = track
     return model

@@ -103,30 +103,45 @@ def _em_step_overlap_pallas_mc(yc, lp, mu, sigmas, tables: EMTables, *,
         es_s, eb, yc32, jnp.asarray(lp, jnp.float32), L=L, H=H,
         interpret=interpret)
 
-    new_lp = (jnp.log(X) - jnp.log(Xd)).astype(dtype)
-
     # pi = gamma[:, 0]: forward init is emission-only (dead-pi quirk)
     alpha0 = jnp.concatenate([es_s[0:1], body_s[0]])
     g0 = jax.nn.logsumexp(alpha0 + beta0)
     new_pi = (alpha0 + beta0 - g0).astype(dtype)
 
+    # shared M-step over the kernel's linear statistics
+    new_lp, new_mu, new_sigmas = _m_step_from_stats_mc(
+        G1, Gy, Gy2, jnp.log(X), jnp.log(Xd), jnp.float32, K, N, C)
+    return (new_lp.astype(dtype), new_pi, new_mu.astype(dtype),
+            new_sigmas.astype(dtype), ll.astype(dtype))
+
+
+def _m_step_from_stats_mc(G1, Gy, Gy2, logX, logXd, mu_dtype,
+                          K: int, N: int, C: int):
+    """MC M-step from EM sufficient statistics: (lp, mu (K, N, C),
+    sigmas (C,)). The multi-channel mirror of train/em._m_step_from_stats
+    (per-channel first/second moments Gy/Gy2 (C, S)); shared by
+    em_step_mc, the fused-kernel path, and the online drift tracker
+    (train/adaptive.track_drift_mc) — scale-invariant, so blended
+    per-sample-normalized statistics update identically."""
+    new_lp = logX - logXd
+
     # per-channel template update over single-active states
     nbody = N * (K - 1)
-    body = occ_divide(Gy[:, 1:], G1[None, 1:]).reshape(
-        C, N, K - 1).transpose(2, 1, 0)
+    body = occ_divide(Gy[:, 1 : 1 + nbody],
+                      G1[None, 1 : 1 + nbody])  # (C, N*(K-1))
+    body = body.reshape(C, N, K - 1).transpose(2, 1, 0)        # (K-1, N, C)
     new_mu = jnp.concatenate(
-        [jnp.zeros((1, N, C), jnp.float32), body], axis=0)    # (K, N, C)
+        [jnp.zeros((1, N, C), mu_dtype), body], axis=0)        # (K, N, C)
 
-    # per-channel sigma from the same moments (silent mean = 0 per channel)
+    # per-channel sigma from the same moments (silent mean = 0 per
+    # channel, laid out exactly like the moment columns)
     smu_c = jnp.concatenate(
-        [jnp.zeros((1, C), jnp.float32),
+        [jnp.zeros((1, C), mu_dtype),
          new_mu[1:].transpose(1, 0, 2).reshape(nbody, C)], axis=0)  # (S, C)
     x2 = (jnp.sum(Gy2, axis=1) - 2.0 * jnp.sum(smu_c.T * Gy, axis=1)
-          + (smu_c * smu_c).T @ G1)                            # (C,)
-    new_sigmas = jnp.sqrt(x2 / jnp.sum(G1)).astype(dtype)
-
-    return (new_lp, new_pi, new_mu.astype(dtype), new_sigmas,
-            ll.astype(dtype))
+          + (smu_c * smu_c).T @ G1)                     # (C,)
+    new_sigmas = jnp.sqrt(x2 / jnp.sum(G1))
+    return new_lp, new_mu, new_sigmas
 
 
 @partial(jax.jit, static_argnames=("K", "fb_mode", "block", "fb_interpret"))
@@ -153,14 +168,28 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
                 fb_interpret=True off-TPU).
     """
     yc = jnp.asarray(yc)
-    dtype = jnp.asarray(lp).dtype
-    T, C = yc.shape
     N = tables.states.shape[0]
-
+    C = yc.shape[1]
     if fb_mode == "overlap_pallas":
         return _em_step_overlap_pallas_mc(yc, lp, mu, sigmas, tables, K=K,
                                           block=block,
                                           interpret=fb_interpret)
+    G1, Gy, Gy2, xx, bb, new_pi, ll = _em_stats_xla_mc(
+        yc, lp, mu, sigmas, tables, K=K, fb_mode=fb_mode, block=block)
+    new_lp, new_mu, new_sigmas = _m_step_from_stats_mc(
+        G1, Gy, Gy2, xx[1:], bb, jnp.asarray(lp).dtype, K, N, C)
+    return new_lp, new_pi, new_mu, new_sigmas, ll
+
+
+def _em_stats_xla_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
+                     fb_mode: str, block: int):
+    """MC E-step sufficient statistics via the XLA alpha/beta engines —
+    the multi-channel mirror of train/em._em_stats_xla. Returns
+    (G1 (S,), Gy (C, S), Gy2 (C, S), xx (N+1,), bb, pi, ll); xx/bb log
+    space (xx index 0 = the silent self-loop)."""
+    dtype = jnp.asarray(lp).dtype
+    T, C = yc.shape
+    N = tables.states.shape[0]
 
     es_s, body_s = _mc_streams_dense(yc.astype(dtype), jnp.asarray(mu),
                                      jnp.asarray(sigmas))
@@ -218,8 +247,6 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
               + beta[1:, tgt] + em[1:, tgt] - g[1:, None])  # (T-1, N+1)
     xx = logsumexp_rows(xi, axis=0)
     bb = logsumexp_rows(log_gamma[:-1, 0], axis=0)
-    new_lp = (xx - bb)[1:]
-    new_pi = log_gamma[0]
 
     # --- per-channel gamma moments: [1; y_c; y_c^2] rows in ONE matmul
     gamma = jnp.exp(log_gamma)                          # (T, S)
@@ -227,26 +254,39 @@ def em_step_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
                          (yc * yc).T.astype(dtype)], axis=0)   # (1+2C, T)
     M = P @ gamma                                       # (1+2C, S)
     G1, Gy, Gy2 = M[0], M[1 : 1 + C], M[1 + C :]        # (S,), (C, S) x2
+    return G1, Gy, Gy2, xx, bb, log_gamma[0], ll
 
-    # --- per-channel template update over single-active states
-    nbody = N * (K - 1)
-    body = occ_divide(Gy[:, 1 : 1 + nbody],
-                      G1[None, 1 : 1 + nbody])  # (C, N*(K-1))
-    body = body.reshape(C, N, K - 1).transpose(2, 1, 0)        # (K-1, N, C)
-    new_mu = jnp.concatenate(
-        [jnp.zeros((1, N, C), dtype), body], axis=0)           # (K, N, C)
 
-    # --- per-channel sigma from the same moments: the state mean on
-    # channel c is new_mu[k, n, c] (row 0 = 0 => silent contributions
-    # vanish), laid out exactly like the moment columns
-    smu_c = jnp.concatenate(
-        [jnp.zeros((1, C), dtype),
-         new_mu[1:].transpose(1, 0, 2).reshape(nbody, C)], axis=0)  # (S, C)
-    x2 = (jnp.sum(Gy2, axis=1) - 2.0 * jnp.sum(smu_c.T * Gy, axis=1)
-          + (smu_c * smu_c).T @ G1)                     # (C,)
-    new_sigmas = jnp.sqrt(x2 / jnp.sum(G1))
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block", "fb_interpret"))
+def em_chunk_stats_mc(yc, lp, mu, sigmas, tables: EMTables, *, K: int,
+                      fb_mode: str = "gather", block: int = 2048,
+                      fb_interpret: bool = False):
+    """Linear-space MC EM sufficient statistics of one (T, C) chunk —
+    the multi-channel mirror of train/em.em_chunk_stats (and the online
+    drift tracker's blending interface). Returns (G1, Gy, Gy2, X, Xd,
+    ll) with X (N,) the onset-edge expected counts (silent self-loop
+    excluded); em_step_mc == _m_step_from_stats_mc over one chunk's
+    statistics (tested)."""
+    if fb_mode == "overlap_pallas":
+        from ..ops.pallas_fb_mb import overlap_em_stats_pallas_mc
+        from .em import pallas_em_geometry
 
-    return new_lp, new_pi, new_mu, new_sigmas, ll
+        T, C = yc.shape
+        N = tables.states.shape[0]
+        L, H = pallas_em_geometry(K, block)
+        yc32 = jnp.asarray(yc, jnp.float32)
+        es_s, body_s = _mc_streams_dense(
+            yc32, jnp.asarray(mu, jnp.float32),
+            jnp.asarray(sigmas, jnp.float32))
+        G1, Gy, Gy2, X, Xd, _beta0, ll = overlap_em_stats_pallas_mc(
+            es_s, body_s.reshape(T, N, K - 1), yc32,
+            jnp.asarray(lp, jnp.float32), L=L, H=H,
+            interpret=fb_interpret)
+        return G1, Gy, Gy2, X, Xd, ll
+    G1, Gy, Gy2, xx, bb, _pi, ll = _em_stats_xla_mc(
+        jnp.asarray(yc), lp, mu, sigmas, tables, K=K, fb_mode=fb_mode,
+        block=block)
+    return G1, Gy, Gy2, jnp.exp(xx[1:]), jnp.exp(bb), ll
 
 
 @partial(jax.jit, static_argnames=("K", "n_iters", "fb_mode", "block",

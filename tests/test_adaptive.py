@@ -258,3 +258,192 @@ def test_cli_adaptive(tmp_path):
     with pytest.raises(ValueError, match="single-channel"):
         cli.sort_data(tfile, dfile, str(tmp_path / "o2.mat"),
                       adaptive=True, channels="all", dosave=False)
+
+
+# ---- multi-channel mirror ------------------------------------------------
+
+def _mc_case(K=8, C=3, T=6000, seed=9):
+    rng = np.random.default_rng(seed)
+    base = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                     create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    gains = np.array([[1.0, 0.5, 0.2], [0.3, 1.0, 0.6]])[:, :C]
+    mu = base[:, :, None] * gains[None, :, :]            # (K, N, C)
+    sigmas = np.array([0.3, 0.25, 0.35])[:C]
+    pp = np.array([0.008, 0.004])
+    _, truth, _ = create_drifting_signal(T, 1e-9, pp, base,
+                                         scale_start=1.0, scale_end=1.0,
+                                         rng=np.random.default_rng(seed))
+    yc = np.zeros((T, C))
+    for n in range(2):
+        for t0 in np.nonzero(truth[n] == 1)[0]:
+            nlen = min(K, T - t0)
+            yc[t0:t0 + nlen] += mu[:nlen, n, :]
+    yc += sigmas[None, :] * rng.standard_normal((T, C))
+    return yc, mu, sigmas, np.log(pp), truth
+
+
+def test_mc_chunk_stats_plus_m_step_equals_em_step_mc():
+    from hmmspikesorter_tpu.train.em_mc import (
+        _m_step_from_stats_mc, em_chunk_stats_mc, em_step_mc)
+
+    yc, mu, sigmas, lp, _ = _mc_case(T=800)
+    K, N, C = mu.shape
+    tables = EMTables.build(build_state_space(N, K, False))
+    args = (jnp.asarray(yc), jnp.asarray(lp), jnp.asarray(mu),
+            jnp.asarray(sigmas), tables)
+    lp1, _, mu1, sg1, ll1 = em_step_mc(*args, K=K, fb_mode="gather")
+    G1, Gy, Gy2, X, Xd, ll2 = em_chunk_stats_mc(*args, K=K,
+                                                fb_mode="gather")
+    lp2, mu2, sg2 = _m_step_from_stats_mc(G1, Gy, Gy2, jnp.log(X),
+                                          jnp.log(Xd), mu.dtype, K, N, C)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sg1), np.asarray(sg2),
+                               rtol=0, atol=1e-13)
+    assert float(ll1) == pytest.approx(float(ll2), abs=1e-9)
+
+
+def test_mc_stationary_track_decode_matches_fast_path():
+    from hmmspikesorter_tpu.models.multichannel import (
+        HMMTemplateModelMC, fit_spiking_model_mc_fast)
+    from hmmspikesorter_tpu.train.adaptive import decode_tracked_mc
+
+    yc, mu, sigmas, lp, _ = _mc_case()
+    tm = HMMTemplateModelMC(mu, sigmas, lp, allow_overlaps=True)
+    chunk, H = 2000, 64
+    B = -(-len(yc) // chunk)
+    tr = DriftTrack(lp=np.tile(lp, (B, 1)), mu=np.tile(mu, (B, 1, 1, 1)),
+                    sigma=np.tile(sigmas, (B, 1)), lls=np.zeros(B),
+                    bounds=[(s, min(s + chunk, len(yc)))
+                            for s in range(0, len(yc), chunk)],
+                    chunk=chunk, forget=1.0, allow_overlaps=True)
+    mt = decode_tracked_mc(tr, yc, H=H)
+    mf = fit_spiking_model_mc_fast(tm, yc, L=chunk, H=H)
+    np.testing.assert_array_equal(np.asarray(mt.ml_seq),
+                                  np.asarray(mf.ml_seq))
+    assert mt.ll == pytest.approx(mf.ll, rel=1e-12)
+
+
+def test_mc_tracker_recovers_drift():
+    """Joint MC tracking on a 2x amplitude drift: the tracker follows
+    the per-channel templates and decodes the exact truth; confidence
+    scores route through the MC tracked posterior."""
+    from hmmspikesorter_tpu.core.events import _onsets_dense
+    from hmmspikesorter_tpu.core.posterior import spike_confidence
+    from hmmspikesorter_tpu.models.multichannel import (
+        HMMTemplateModelMC, fit_spiking_model_mc_fast)
+    from hmmspikesorter_tpu.train.adaptive import (
+        decode_tracked_mc, track_drift_mc)
+
+    K, C, T = 20, 3, 1 << 15
+    rng = np.random.default_rng(4)
+    base = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                     create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    gains = np.array([[1.0, 0.5, 0.2], [0.3, 1.0, 0.6]])
+    mu = base[:, :, None] * gains[None, :, :]
+    sigmas = np.array([0.3, 0.25, 0.35])
+    pp = np.array([0.004, 0.002])
+    _, truth, _ = create_drifting_signal(T, 1e-9, pp, base,
+                                         scale_start=1.0, scale_end=2.0,
+                                         rng=np.random.default_rng(4))
+    yc = np.zeros((T, C))
+    for n in range(2):
+        for t0 in np.nonzero(truth[n] == 1)[0]:
+            nlen = min(K, T - t0)
+            yc[t0:t0 + nlen] += (1.0 + t0 / T) * mu[:nlen, n, :]
+    yc += sigmas[None, :] * rng.standard_normal((T, C))
+    tm = HMMTemplateModelMC(mu, sigmas, lp=np.log(pp),
+                            allow_overlaps=True)
+
+    def onset_errors(model):
+        ons = model.spike_onsets
+        if ons is None:
+            ons = _onsets_dense(np.asarray(model.ml_seq), N=2, K=K,
+                                overlaps=True)
+        tot = 0
+        for n in range(2):
+            to = set(np.nonzero(truth[n] == 1)[0].tolist())
+            dec = set(np.asarray(ons[n]).tolist())
+            hit = sum(1 for t in dec
+                      if any(t + d in to for d in range(-2, 3)))
+            tot += (len(dec) - hit) + (len(to) - hit)
+        return tot
+
+    m_static = fit_spiking_model_mc_fast(tm, yc, L=4096, H=64)
+    tr = track_drift_mc(tm, yc, chunk=4096, forget=0.5, fb_mode="gather")
+    m = decode_tracked_mc(tr, yc)
+    assert onset_errors(m_static) >= 5
+    assert onset_errors(m) == 0
+    assert np.isfinite(m.ll)
+    amp = np.abs(tr.mu[:, :, 0, 0]).max(axis=1) / np.abs(mu[:, 0, 0]).max()
+    assert amp[-1] > 1.5
+
+    conf = spike_confidence(m)           # MC tracked-posterior routing
+    for n, c in enumerate(conf):
+        assert len(c) == len(m.spike_onsets[n])
+        if len(c):
+            assert np.median(c) > 0.9
+
+
+def test_tracked_posteriors_mc_stationary_reduction():
+    from hmmspikesorter_tpu.core.posterior import (
+        onset_posteriors_tracked_mc, onset_posteriors_windowed_mc)
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+
+    yc, mu, sigmas, lp, _ = _mc_case()
+    tm = HMMTemplateModelMC(mu, sigmas, lp, allow_overlaps=True)
+    chunk = 2000
+    B = -(-len(yc) // chunk)
+    tr = DriftTrack(lp=np.tile(lp, (B, 1)), mu=np.tile(mu, (B, 1, 1, 1)),
+                    sigma=np.tile(sigmas, (B, 1)), lls=np.zeros(B),
+                    bounds=[(s, min(s + chunk, len(yc)))
+                            for s in range(0, len(yc), chunk)],
+                    chunk=chunk, forget=1.0, allow_overlaps=True)
+    p_tr = onset_posteriors_tracked_mc(tr, yc, L=500, H=100)
+    p_st = onset_posteriors_windowed_mc(tm, yc, L=500, H=100)
+    np.testing.assert_allclose(p_tr, p_st, rtol=0, atol=1e-10)
+
+
+def test_cli_adaptive_multichannel(tmp_path):
+    import h5py
+
+    from hmmspikesorter_tpu import cli
+
+    K, C, T = 20, 2, 1 << 14
+    rng = np.random.default_rng(8)
+    base = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                     create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    gains = np.array([[1.0, 0.5], [0.3, 1.0]])
+    mu = base[:, :, None] * gains[None, :, :]
+    sigmas = np.array([0.3, 0.25])
+    pp = np.array([0.004, 0.002])
+    _, truth, _ = create_drifting_signal(T, 1e-9, pp, base,
+                                         scale_start=1.0, scale_end=1.8,
+                                         rng=np.random.default_rng(8))
+    yc = np.zeros((T, C))
+    for n in range(2):
+        for t0 in np.nonzero(truth[n] == 1)[0]:
+            nlen = min(K, T - t0)
+            yc[t0:t0 + nlen] += (1.0 + 0.8 * t0 / T) * mu[:nlen, n, :]
+    yc += sigmas[None, :] * rng.standard_normal((T, C))
+
+    tfile = str(tmp_path / "t.h5")
+    dfile = str(tmp_path / "d.h5")
+    with h5py.File(tfile, "w") as f:
+        f["spikeForms"] = mu.T                  # (C?,)... Julia (K, C, N)
+        f["cinv"] = np.diag(1.0 / sigmas ** 2)
+        f["p"] = pp
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = yc.T          # (C, T)
+    out = cli.sort_data(tfile, dfile, str(tmp_path / "o.mat"),
+                        multichannel=True, adaptive=True,
+                        adapt_chunk=4096, forget=0.5, confidence=True,
+                        dosave=False)
+    assert "confidence" in out
+    for n in range(2):
+        dec = int((out["mlseq"][n] == 2).sum())
+        tc = int((truth[n] == 1).sum())
+        assert abs(dec - tc) <= 1, (n, dec, tc)
+    assert np.isfinite(out["ll"])
