@@ -23,14 +23,24 @@ from hmmspikesorter_tpu.train.adaptive import (  # noqa: E402
 
 
 def onset_errors(model, truth, tol=2):
-    """False + missed detections, onsets matched within +-tol samples."""
+    """False + missed detections under a one-to-one greedy matching of
+    decoded to true onsets within +-tol samples (two-pointer over the
+    sorted lists, so a double-detection can never cancel a miss)."""
     total = 0
     for n in range(truth.shape[0]):
-        true_on = set(np.nonzero(truth[n] == 1)[0].tolist())
-        dec = set(np.asarray(model.spike_onsets[n]).tolist())
-        hit = sum(1 for t in dec
-                  if any(t + d in true_on for d in range(-tol, tol + 1)))
-        total += (len(dec) - hit) + (len(true_on) - hit)
+        to = np.sort(np.nonzero(truth[n] == 1)[0])
+        dec = np.sort(np.asarray(model.spike_onsets[n], np.int64))
+        i = j = hit = 0
+        while i < len(dec) and j < len(to):
+            if abs(int(dec[i]) - int(to[j])) <= tol:
+                hit += 1
+                i += 1
+                j += 1
+            elif dec[i] < to[j] - tol:
+                i += 1
+            else:
+                j += 1
+        total += (len(dec) - hit) + (len(to) - hit)
     return total
 
 

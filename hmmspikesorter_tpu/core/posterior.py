@@ -857,17 +857,47 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
         engine=_sc_engine_name(templates), dtype=dtype)
 
 
+def _tracked_fallback(track, y, proj, H, exact_fn) -> np.ndarray:
+    """Per-chunk haloed exact posteriors — the tracked engines' fallback
+    for signals too short to window: each chunk span is evaluated by the
+    exact two-pass on [s-4H, e+4H) under ITS OWN parameters and the core
+    rows kept (the cold-start error at the extension edges decays
+    geometrically, the windowed mode's mixing argument; a single-chunk
+    track reduces to the whole-signal exact computation)."""
+    T = len(y)
+    Hx = 4 * H
+    out = None
+    for c, (s, e) in enumerate(track.bounds):
+        lo = max(0, s - Hx)
+        hi = min(T, e + Hx)
+        p = exact_fn(track.model_at(c), y[lo:hi], proj)
+        if out is None:
+            out = np.empty((T, p.shape[1]), np.float64)
+        out[s:e] = p[s - lo : s - lo + (e - s)]
+    return out
+
+
+def _window_owner(B, L, track):
+    """Chunk index owning each posterior window's core, by core start.
+    Exact alignment when track.chunk % L == 0 (the defaults compose:
+    4096 | 32768); otherwise a window core crossing a chunk boundary is
+    scored under the chunk it starts in — a < L-sample parameter offset,
+    far below the tracker's own forgetting lag of ~chunk/forget
+    samples."""
+    return np.minimum(np.arange(B) * L // track.chunk,
+                      track.n_chunks - 1)
+
+
 def onset_posteriors_tracked(track, y, *, L: int = 4096,
                              H: int | None = None, proj=None,
                              batch_windows: int | None = None
                              ) -> np.ndarray:
     """Onset marginals under a drift track (train/adaptive.DriftTrack):
     the fast windowed posterior with each halo window evaluated under
-    the parameters of the chunk OWNING its core — the posterior mirror
-    of decode_tracked's per-window decode. Requires track.chunk to be a
-    multiple of L (the default chunk 32768 and L 4096 compose); a
-    signal too short for windowing falls back to the exact two-pass
-    under the last chunk's parameters (such a track has one chunk).
+    the parameters of the chunk owning its core (_window_owner) — the
+    posterior mirror of decode_tracked's per-window decode. A signal too
+    short for windowing falls back to per-chunk haloed exact two-passes
+    (_tracked_fallback), still under each chunk's own parameters.
     """
     y = np.asarray(y)
     if y.ndim != 1:
@@ -881,20 +911,19 @@ def onset_posteriors_tracked(track, y, *, L: int = 4096,
     dtype = jnp.zeros(0).dtype
     if H is None:
         H = max(4 * track.mu.shape[1], 64)
+    L = min(L, track.chunk)
     W = L + 2 * H
     B = -(-T // L)
     if H < 1 or L < 2 * H or B < 2 or T < W:
-        return onset_posteriors(tm_last, y, proj=proj)
-    if track.chunk % L != 0:
-        raise ValueError(f"track.chunk={track.chunk} must be a multiple "
-                         f"of the posterior window L={L}")
+        return _tracked_fallback(
+            track, y, proj, H,
+            lambda tm, yy, pr: onset_posteriors(tm, yy, proj=pr))
     _check_window_f32(W, dtype)
     if proj is None:
         proj = onset_projection(ss.states)
     proj_d = jnp.asarray(proj, dtype)
 
-    owner = np.minimum(np.arange(B) * L // track.chunk,
-                       track.n_chunks - 1)
+    owner = _window_owner(B, L, track)
     return _windowed_sc_run(
         y, T=T, L=L, H=H, B=B, W=W, proj_d=proj_d,
         batch_windows=batch_windows,
@@ -1096,9 +1125,8 @@ def onset_posteriors_tracked_mc(track, yc, *, L: int = 4096,
                                 ) -> np.ndarray:
     """MC onset marginals under a drift track — the multi-channel mirror
     of onset_posteriors_tracked (each halo window evaluated under the
-    chunk parameters owning its core; track.chunk must be a multiple of
-    L). Falls back to the exact two-pass under the last chunk's
-    parameters for signals too short to window."""
+    chunk parameters owning its core, _window_owner; signals too short
+    to window fall back to per-chunk haloed exact two-passes)."""
     from ..parallel.overlap_save import _build_windows_arrays
 
     yc = np.asarray(yc)
@@ -1113,13 +1141,13 @@ def onset_posteriors_tracked_mc(track, yc, *, L: int = 4096,
     dtype = jnp.zeros(0).dtype
     if H is None:
         H = max(4 * track.mu.shape[1], 64)
+    L = min(L, track.chunk)
     W = L + 2 * H
     B = -(-T // L)
     if H < 1 or L < 2 * H or B < 2 or T < W:
-        return onset_posteriors_mc(tm_last, yc, proj=proj)
-    if track.chunk % L != 0:
-        raise ValueError(f"track.chunk={track.chunk} must be a multiple "
-                         f"of the posterior window L={L}")
+        return _tracked_fallback(
+            track, yc, proj, H,
+            lambda tm, yy, pr: onset_posteriors_mc(tm, yy, proj=pr))
     _check_window_f32(W, dtype)
     if proj is None:
         proj = onset_projection(ss.states)
@@ -1128,8 +1156,7 @@ def onset_posteriors_tracked_mc(track, yc, *, L: int = 4096,
     M = proj_d.shape[1]
     engine = _sc_engine_name(tm_last)
 
-    owner = np.minimum(np.arange(B) * L // track.chunk,
-                       track.n_chunks - 1)
+    owner = _window_owner(B, L, track)
     lp_all = jnp.asarray(track.lp[owner], dtype)
     mu_all = jnp.asarray(track.mu[owner], dtype)
     sg_all = jnp.asarray(track.sigma[owner], dtype)

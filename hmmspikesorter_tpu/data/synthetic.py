@@ -84,6 +84,27 @@ def get_chunk(data, i: int, chunksize: int):
     return data[(i - 1) * chunksize : min(i * chunksize, len(data))]
 
 
+def _greedy_onsets(T: int, K: int, pp, rng):
+    """Accepted (t, cell) onsets of the bulk generators: for each sample
+    the first cell whose Bernoulli fires, accepted only if the previous
+    spike has finished (reference semantics: onsets are only checked
+    while silent). One home for the acceptance rule shared by
+    create_signal_fast and create_drifting_signal."""
+    u = rng.random((T, len(pp)))
+    fired = u < np.asarray(pp)[None, :]
+    any_fire = fired.any(axis=1)
+    first_cell = np.argmax(fired, axis=1)
+    cand_t = np.nonzero(any_fire)[0]
+    cand_c = first_cell[cand_t]
+    last_end = -1
+    acc = []
+    for t, c in zip(cand_t.tolist(), cand_c.tolist()):
+        if t >= last_end:
+            acc.append((t, c))
+            last_end = t + K        # active for samples t..t+K-1
+    return acc
+
+
 def create_signal_fast(T: int, sigma: float, pp, templates, *, rng=None):
     """Vectorized synthetic signal for large benchmarks.
 
@@ -100,24 +121,7 @@ def create_signal_fast(T: int, sigma: float, pp, templates, *, rng=None):
     pp = np.asarray(pp, dtype=np.float64)
     S = sigma * rng.standard_normal(T)
     truth = np.zeros((ncells, T), dtype=np.int64)
-
-    # candidate onsets: for each sample, first cell whose Bernoulli fires
-    u = rng.random((T, ncells))
-    fired = u < pp[None, :]
-    any_fire = fired.any(axis=1)
-    first_cell = np.argmax(fired, axis=1)
-    cand_t = np.nonzero(any_fire)[0]
-    cand_c = first_cell[cand_t]
-    # greedy: accept a candidate only if the previous spike has finished
-    # (reference: onsets are only checked while silent)
-    last_end = -1
-    acc_t, acc_c = [], []
-    for t, c in zip(cand_t.tolist(), cand_c.tolist()):
-        if t >= last_end:
-            acc_t.append(t)
-            acc_c.append(c)
-            last_end = t + K  # active for samples t..t+K-1... playback below
-    for t, c in zip(acc_t, acc_c):
+    for t, c in _greedy_onsets(T, K, pp, rng):
         n = min(K, T - t)
         S[t : t + n] += templates[:n, c]
         truth[c, t : t + n] = np.arange(1, n + 1)
@@ -154,18 +158,7 @@ def create_drifting_signal(T: int, sigma: float, pp, templates, *,
                          (ncells,)).copy()
     S = sigma * rng.standard_normal(T)
     truth = np.zeros((ncells, T), dtype=np.int64)
-
-    u = rng.random((T, ncells))
-    fired = u < pp[None, :]
-    any_fire = fired.any(axis=1)
-    first_cell = np.argmax(fired, axis=1)
-    cand_t = np.nonzero(any_fire)[0]
-    cand_c = first_cell[cand_t]
-    last_end = -1
-    for t, c in zip(cand_t.tolist(), cand_c[: len(cand_t)].tolist()):
-        if t < last_end:
-            continue
-        last_end = t + K
+    for t, c in _greedy_onsets(T, K, pp, rng):
         scale = s0[c] + (s1[c] - s0[c]) * (t / T)
         n = min(K, T - t)
         S[t : t + n] += scale * templates[:n, c]

@@ -450,6 +450,11 @@ def fit_spiking_model_adaptive(templates: HMMTemplateModel, y, *,
     """
     from ..train.adaptive import decode_tracked, track_drift
 
+    if templates.n_neurons == 0:
+        # training can prune every template; keep the stationary paths'
+        # degenerate-null contract (valid all-silent model, finite ll)
+        return _all_silent_model(templates, np.asarray(y, np.float64),
+                                 templates.sigma, transfer="events")
     tr = track_drift(templates, y, chunk=chunk, forget=forget,
                      inner_steps=inner_steps, fb_mode=fb_mode)
     return decode_tracked(tr, y, H=H, repair=repair)

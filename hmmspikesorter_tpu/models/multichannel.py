@@ -320,6 +320,11 @@ def fit_spiking_model_adaptive_mc(templates: HMMTemplateModelMC, yc, *,
     `seam_ok`, `seams_repaired`, `spike_onsets`, and `track`."""
     from ..train.adaptive import decode_tracked_mc, track_drift_mc
 
+    if templates.n_neurons == 0:
+        from .api import _all_silent_model
+
+        return _all_silent_model(templates, np.asarray(yc, np.float64),
+                                 templates.sigmas, transfer="events")
     tr = track_drift_mc(templates, yc, chunk=chunk, forget=forget,
                         inner_steps=inner_steps, fb_mode=fb_mode)
     return decode_tracked_mc(tr, yc, H=H, repair=repair)

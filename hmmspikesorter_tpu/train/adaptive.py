@@ -299,6 +299,40 @@ def _piecewise_path_ll(y, x, track: DriftTrack, ss) -> float:
     return total
 
 
+def _protocol_decode_tracked(track: DriftTrack, y, decoder_for):
+    """Sequential per-chunk decode with the reference silence-snap
+    protocol (models/api._chunked_decode semantics), each chunk decoded
+    under ITS OWN parameters — the tracked decode for recordings too
+    short to window (T < chunk + 2H, where a halo window would overrun
+    the signal and the one-shot branch would mis-pair the tail's labels
+    and parameters). Spans are tiny at these sizes, so the sequential
+    engines are cheap."""
+    T = len(y)
+    x = np.zeros(T, np.int64)
+    pos = 0
+    for c, (s, e) in enumerate(track.bounds):
+        if pos >= e and e < T:
+            continue                 # retraction already crossed chunk c
+        xc = np.asarray(decoder_for(track.model_at(c))(y[pos:e])[0])
+        lo = 0
+        if pos > 0:                  # must start from silence
+            while lo < len(xc) and xc[lo] > 0:
+                lo += 1
+        j = e
+        k = len(xc)
+        if e < T:                    # retract to the last silent state
+            while k > lo and xc[k - 1] > 0:
+                k -= 1
+                j -= 1
+            if j <= pos:
+                raise RuntimeError(
+                    f"chunk [{pos}, {e}) has no silent state to snap "
+                    "to; track with a larger chunk")
+        x[pos + lo : j] = xc[lo:k]
+        pos = j
+    return x
+
+
 def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
                    repair: bool = True):
     """Decode `y` with the tracked per-chunk templates in one parallel
@@ -330,12 +364,22 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
                          "chunk (or pass a smaller decode halo H)")
 
     dtype = jnp.zeros(0).dtype
-    x, seam_ok = _tracked_overlap_save(
-        jnp.asarray(y, dtype), jnp.asarray(track.lp, dtype),
-        jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
-        L=L, H=H, overlaps=track.allow_overlaps)
-    x = np.asarray(x)
-    seam_ok = np.asarray(seam_ok)
+    if B > 1 and T < L + 2 * H:
+        # too short to window but multi-chunk: the one-shot branch would
+        # decode the tail with chunk 0's parameters — use the sequential
+        # per-chunk protocol instead (seams silence-snapped by
+        # construction)
+        from ..models.api import _decoder_for
+
+        x = _protocol_decode_tracked(track, y, _decoder_for)
+        seam_ok = np.ones(0, bool)
+    else:
+        x, seam_ok = _tracked_overlap_save(
+            jnp.asarray(y, dtype), jnp.asarray(track.lp, dtype),
+            jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
+            L=L, H=H, overlaps=track.allow_overlaps)
+        x = np.asarray(x)
+        seam_ok = np.asarray(seam_ok)
 
     n_repaired = 0
     if repair and not seam_ok.all():
@@ -587,12 +631,20 @@ def decode_tracked_mc(track: DriftTrack, yc, *, H: int | None = None,
                          "chunk (or pass a smaller decode halo H)")
 
     dtype = jnp.zeros(0).dtype
-    x, seam_ok = _tracked_overlap_save_mc(
-        jnp.asarray(yc, dtype), jnp.asarray(track.lp, dtype),
-        jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
-        L=L, H=H, overlaps=track.allow_overlaps)
-    x = np.asarray(x)
-    seam_ok = np.asarray(seam_ok)
+    if B > 1 and T < L + 2 * H:
+        # same short-signal rule as decode_tracked: sequential per-chunk
+        # protocol so the tail keeps its own chunk's parameters
+        from ..models.multichannel import _mc_decoder_for
+
+        x = _protocol_decode_tracked(track, yc, _mc_decoder_for)
+        seam_ok = np.ones(0, bool)
+    else:
+        x, seam_ok = _tracked_overlap_save_mc(
+            jnp.asarray(yc, dtype), jnp.asarray(track.lp, dtype),
+            jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
+            L=L, H=H, overlaps=track.allow_overlaps)
+        x = np.asarray(x)
+        seam_ok = np.asarray(seam_ok)
 
     n_repaired = 0
     if repair and not seam_ok.all():

@@ -17,6 +17,39 @@ from hmmspikesorter_tpu.train.em import (
     EMTables, _m_step_from_stats, em_chunk_stats, em_step)
 
 
+def _onset_errors(onsets, truth, tol=2):
+    """False + missed detections under a ONE-TO-ONE greedy matching of
+    decoded to true onsets within +-tol (two-pointer over the sorted
+    lists — maximal for interval matching, so a double-detection can
+    never cancel a miss)."""
+    tot = 0
+    for n in range(truth.shape[0]):
+        to = np.sort(np.nonzero(truth[n] == 1)[0])
+        dec = np.sort(np.asarray(onsets[n], np.int64))
+        i = j = hit = 0
+        while i < len(dec) and j < len(to):
+            if abs(int(dec[i]) - int(to[j])) <= tol:
+                hit += 1
+                i += 1
+                j += 1
+            elif dec[i] < to[j] - tol:
+                i += 1
+            else:
+                j += 1
+        tot += (len(dec) - hit) + (len(to) - hit)
+    return tot
+
+
+def _model_onsets(model, N, K, overlaps=True):
+    ons = model.spike_onsets
+    if ons is None:
+        from hmmspikesorter_tpu.core.events import _onsets_dense
+
+        ons = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
+                            overlaps=overlaps)
+    return ons
+
+
 def _case(N=2, K=8, T=600, sigma=0.35, seed=7):
     rng = np.random.default_rng(seed)
     temps = np.stack(
@@ -106,23 +139,13 @@ def test_tracker_recovers_drift_static_decode_does_not():
                                          rng=rng)
     tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
 
-    def onset_errors(m):
-        tot = 0
-        for n in range(2):
-            true_on = set(np.nonzero(truth[n] == 1)[0].tolist())
-            dec = set(np.asarray(m.spike_onsets[n]).tolist())
-            hit = sum(1 for t in dec
-                      if any(t + d in true_on for d in range(-2, 3)))
-            tot += (len(dec) - hit) + (len(true_on) - hit)
-        return tot
-
     m_static = fit_spiking_model_fast(tm, y, L=4096, H=64,
                                       transfer="events")
     tr = track_drift(tm, y, chunk=8192, forget=0.4, fb_mode="ring")
     m_tracked = decode_tracked(tr, y)
 
-    e_static = onset_errors(m_static)
-    e_tracked = onset_errors(m_tracked)
+    e_static = _onset_errors(m_static.spike_onsets, truth)
+    e_tracked = _onset_errors(m_tracked.spike_onsets, truth)
     assert e_static >= 20          # the drift genuinely breaks static decode
     assert e_tracked == 0          # ...and tracking fully recovers it
     assert np.isfinite(m_tracked.ll)
@@ -208,15 +231,27 @@ def test_tracked_confidence_under_drift():
 
 
 def test_tracked_posteriors_guards():
-    from hmmspikesorter_tpu.core.posterior import onset_posteriors_tracked
+    from hmmspikesorter_tpu.core.posterior import (
+        onset_posteriors_tracked, onset_posteriors_windowed)
 
     y, temps, lp, sigma, _ = _case(T=6000, K=8)
     tm = HMMTemplateModel(temps, sigma, lp)
     tr = track_drift(tm, y, chunk=3000, forget=0.5, fb_mode="ring")
-    with pytest.raises(ValueError, match="multiple"):
-        onset_posteriors_tracked(tr, y, L=999, H=100)
     with pytest.raises(ValueError, match="does not cover"):
         onset_posteriors_tracked(tr, y[:-5])
+    # a window length that does NOT divide the chunk is allowed: owner-
+    # by-core-start, bounded < L-sample parameter offset at boundaries.
+    # With a constant-parameter track it stays exactly the stationary
+    # windowed posterior.
+    B = tr.n_chunks
+    tr_const = DriftTrack(lp=np.tile(lp, (B, 1)),
+                          mu=np.tile(temps, (B, 1, 1)),
+                          sigma=np.full(B, sigma), lls=tr.lls,
+                          bounds=tr.bounds, chunk=tr.chunk, forget=0.5,
+                          allow_overlaps=False)
+    p = onset_posteriors_tracked(tr_const, y, L=999, H=100)
+    p_st = onset_posteriors_windowed(tm, y, L=999, H=100)
+    np.testing.assert_array_equal(p, p_st)
 
 
 def test_cli_adaptive(tmp_path):
@@ -357,25 +392,11 @@ def test_mc_tracker_recovers_drift():
     tm = HMMTemplateModelMC(mu, sigmas, lp=np.log(pp),
                             allow_overlaps=True)
 
-    def onset_errors(model):
-        ons = model.spike_onsets
-        if ons is None:
-            ons = _onsets_dense(np.asarray(model.ml_seq), N=2, K=K,
-                                overlaps=True)
-        tot = 0
-        for n in range(2):
-            to = set(np.nonzero(truth[n] == 1)[0].tolist())
-            dec = set(np.asarray(ons[n]).tolist())
-            hit = sum(1 for t in dec
-                      if any(t + d in to for d in range(-2, 3)))
-            tot += (len(dec) - hit) + (len(to) - hit)
-        return tot
-
     m_static = fit_spiking_model_mc_fast(tm, yc, L=4096, H=64)
     tr = track_drift_mc(tm, yc, chunk=4096, forget=0.5, fb_mode="gather")
     m = decode_tracked_mc(tr, yc)
-    assert onset_errors(m_static) >= 5
-    assert onset_errors(m) == 0
+    assert _onset_errors(_model_onsets(m_static, 2, K), truth) >= 5
+    assert _onset_errors(_model_onsets(m, 2, K), truth) == 0
     assert np.isfinite(m.ll)
     amp = np.abs(tr.mu[:, :, 0, 0]).max(axis=1) / np.abs(mu[:, 0, 0]).max()
     assert amp[-1] > 1.5
@@ -447,3 +468,83 @@ def test_cli_adaptive_multichannel(tmp_path):
         tc = int((truth[n] == 1).sum())
         assert abs(dec - tc) <= 1, (n, dec, tc)
     assert np.isfinite(out["ll"])
+
+
+# ---- review-fix regressions ----------------------------------------------
+
+def test_confidence_works_with_clamped_chunk():
+    """Default adapt_chunk exceeding T clamps to a single whole-signal
+    chunk; spike_confidence must still work (it used to demand
+    chunk % 4096 == 0)."""
+    from hmmspikesorter_tpu.core.posterior import spike_confidence
+    from hmmspikesorter_tpu.models.api import fit_spiking_model_adaptive
+
+    y, temps, lp, sigma, truth = _case(T=20_000, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+    m = fit_spiking_model_adaptive(tm, y, forget=1.0)   # chunk -> 20000
+    conf = spike_confidence(m)
+    for n, c in enumerate(conf):
+        assert len(c) == len(m.spike_onsets[n])
+
+
+def test_adaptive_zero_templates_null_model():
+    """Training can prune every template: the adaptive fit keeps the
+    stationary paths' degenerate all-silent contract."""
+    from hmmspikesorter_tpu.models.api import fit_spiking_model_adaptive
+
+    tm = HMMTemplateModel(np.zeros((8, 0)), 0.4, np.zeros(0),
+                          allow_overlaps=True)
+    y = 0.4 * np.random.default_rng(0).standard_normal(3000)
+    m = fit_spiking_model_adaptive(tm, y)
+    assert (np.asarray(m.ml_seq) == 0).all()
+    assert np.isfinite(m.ll)
+    assert m.spike_onsets == []
+
+
+def test_short_signal_multichunk_protocol_decode():
+    """T < chunk + 2H with a multi-chunk track: the decode must not fall
+    back to chunk-0 parameters for the tail — with constant parameters
+    the sequential protocol path reproduces the reference chunked decode
+    exactly."""
+    from hmmspikesorter_tpu.models.api import fit_spiking_model
+
+    y, temps, lp, sigma, _ = _case(T=1100, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+    chunk, H = 1024, 48              # T=1100 < chunk + 2H = 1120, B=2
+    B = 2
+    tr = DriftTrack(lp=np.tile(lp, (B, 1)), mu=np.tile(temps, (B, 1, 1)),
+                    sigma=np.full(B, sigma), lls=np.zeros(B),
+                    bounds=[(0, 1024), (1024, 1100)], chunk=chunk,
+                    forget=1.0, allow_overlaps=True)
+    mt = decode_tracked(tr, y, H=H)
+    mf = fit_spiking_model(tm, y, chunksize=chunk)
+    np.testing.assert_array_equal(np.asarray(mt.ml_seq),
+                                  np.asarray(mf.ml_seq))
+    assert np.isfinite(mt.ll)
+
+
+def test_tracked_posterior_short_signal_uses_chunk_params():
+    """The too-short-to-window fallback evaluates each chunk under its
+    own parameters (per-chunk haloed exact), not the last chunk's."""
+    from hmmspikesorter_tpu.core.posterior import (
+        onset_posteriors, onset_posteriors_tracked)
+
+    y, temps, lp, sigma, _ = _case(T=1050, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+    B, chunk = 2, 1024
+    tr = DriftTrack(lp=np.tile(lp, (B, 1)), mu=np.tile(temps, (B, 1, 1)),
+                    sigma=np.full(B, sigma), lls=np.zeros(B),
+                    bounds=[(0, 1024), (1024, 1050)], chunk=chunk,
+                    forget=1.0, allow_overlaps=True)
+    p_tr = onset_posteriors_tracked(tr, y)      # T=1050 < W -> fallback
+    p_ex = onset_posteriors(tm, y)
+    np.testing.assert_allclose(p_tr, p_ex, rtol=0, atol=1e-8)
+
+    # and a perturbed last chunk must CHANGE the tail rows, proving the
+    # fallback reads per-chunk parameters
+    tr2 = DriftTrack(lp=tr.lp, mu=tr.mu * np.array([1.0, 1.5])[:, None, None],
+                     sigma=tr.sigma, lls=tr.lls, bounds=tr.bounds,
+                     chunk=chunk, forget=1.0, allow_overlaps=True)
+    p2 = onset_posteriors_tracked(tr2, y)
+    np.testing.assert_allclose(p2[:900], p_tr[:900], rtol=0, atol=1e-6)
+    assert not np.allclose(p2[1024:], p_tr[1024:], atol=1e-12)
