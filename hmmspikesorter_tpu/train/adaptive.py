@@ -115,9 +115,79 @@ def _auto_fb_mode(K: int, N: int, Tc: int) -> tuple[str, int]:
     return "blocked", 256
 
 
+@partial(jax.jit, static_argnames=("K", "fb_mode", "block",
+                                   "inner_steps", "kind"))
+def _track_scan(y_blocks, lp0, mu0, sg0, forget, tables, *, K: int,
+                fb_mode: str, block: int, inner_steps: int, kind: str):
+    """The whole online-EM chunk loop as ONE compiled program: lax.scan
+    over uniform chunks carrying (theta, blended statistics). The chunk
+    recursion is inherently sequential, but nothing in it needs the
+    host — running it on-device removes the per-chunk dispatch+fetch
+    round trips that dominate wall time on remote-attached backends
+    (measured: 64 chunks at T=2^21 took 17.7 s host-driven vs well
+    under a second of device work).
+
+    kind selects the single-channel ("sc") or multi-channel ("mc")
+    statistics/M-step pair. Returns per-chunk stacked (lp, mu, sg, ll)
+    plus the final carry's blended statistics (for a host-side
+    ragged-tail update).
+    """
+    Tc = y_blocks.shape[1]
+    dtype = mu0.dtype
+    f = jnp.asarray(forget, dtype)
+
+    if kind == "sc":
+        N = mu0.shape[1]
+
+        def stats_fn(y_c, lp, mu, sg):
+            return em_chunk_stats(y_c, lp, mu, sg, tables, K=K,
+                                  fb_mode=fb_mode, block=block)
+
+        def m_step(sbar):
+            return _m_step_from_stats(
+                sbar[0], sbar[1], sbar[2], jnp.log(sbar[3]),
+                jnp.log(sbar[4]), tables.states, dtype, K, N)
+    else:
+        from .em_mc import _m_step_from_stats_mc, em_chunk_stats_mc
+
+        N, C = mu0.shape[1], mu0.shape[2]
+
+        def stats_fn(y_c, lp, mu, sg):
+            return em_chunk_stats_mc(y_c, lp, mu, sg, tables, K=K,
+                                     fb_mode=fb_mode, block=block)
+
+        def m_step(sbar):
+            return _m_step_from_stats_mc(
+                sbar[0], sbar[1], sbar[2], jnp.log(sbar[3]),
+                jnp.log(sbar[4]), dtype, K, N, C)
+
+    shapes = jax.eval_shape(stats_fn, y_blocks[0], lp0, mu0, sg0)
+    sbar0 = tuple(jnp.zeros(s.shape, s.dtype) for s in shapes[:5])
+
+    def chunk_step(carry, y_c):
+        def one(carry2, _):
+            lp, mu, sg, sbar, first = carry2
+            G1, Gy, Gy2, X, Xd, ll = stats_fn(y_c, lp, mu, sg)
+            s_c = tuple(v / Tc for v in (G1, Gy, Gy2, X, Xd))
+            sbar = tuple(jnp.where(first, a, (1.0 - f) * b + f * a)
+                         for a, b in zip(s_c, sbar))
+            lp2, mu2, sg2 = m_step(sbar)
+            return (lp2, mu2, sg2, sbar, jnp.asarray(False)), ll
+
+        carry, lls = jax.lax.scan(one, carry, None, length=inner_steps)
+        lp, mu, sg, sbar, first = carry
+        return carry, (lp, mu, sg, lls[0])   # predictive (first-pass) ll
+
+    init = (lp0, mu0, sg0, sbar0, jnp.asarray(True))
+    (lp_f, mu_f, sg_f, sbar_f, _), traj = jax.lax.scan(
+        chunk_step, init, y_blocks)
+    return traj, sbar_f
+
+
 def track_drift(templates, y, *, chunk: int = 32768, forget: float = 0.3,
                 inner_steps: int = 1, fb_mode: str | None = None,
-                block: int | None = None, callback=None) -> DriftTrack:
+                block: int | None = None, callback=None,
+                device_loop: bool | None = None) -> DriftTrack:
     """Track drifting templates through `y` with online EM.
 
     templates: the starting HMMTemplateModel (e.g. from train_model on a
@@ -127,6 +197,11 @@ def track_drift(templates, y, *, chunk: int = 32768, forget: float = 0.3,
     inherits the previous parameters instead of updating. inner_steps > 1
     re-blends each chunk that many times (sharper per-chunk adaptation,
     shorter memory). callback(c, lp, mu, sigma, ll) observes each update.
+
+    device_loop (None = auto: on for accelerator backends without a
+    callback) runs the full-chunk sequence as ONE compiled lax.scan
+    program (_track_scan) — same update, no per-chunk host round trips;
+    the host loop remains for CPU, callbacks, and the ragged tail.
 
     Training statistics use the non-overlap topology (the reference's
     training space, src/baumwelch.jl:311); the decode topology of the
@@ -165,7 +240,34 @@ def track_drift(templates, y, *, chunk: int = 32768, forget: float = 0.3,
     mu_out = np.empty((len(bounds), K, N))
     sg_out = np.empty(len(bounds))
     lls = np.empty(len(bounds))
+
+    n_full = T // chunk
+    use_device = (device_loop if device_loop is not None
+                  else (jax.default_backend() != "cpu"
+                        and callback is None))
+    start = 0
+    if use_device and n_full >= 2:
+        if fb_mode is None:
+            mode, blk = _auto_fb_mode(K, N, chunk)
+        else:
+            mode, blk = fb_mode, (block if block is not None else 256)
+        if block is not None:
+            blk = block
+        (lp_t, mu_t, sg_t, ll_t), sbar_f = _track_scan(
+            y_dev[: n_full * chunk].reshape(n_full, chunk), lp_c, mu_c,
+            sg_c, forget, tables, K=K, fb_mode=mode, block=blk,
+            inner_steps=max(1, inner_steps), kind="sc")
+        lp_out[:n_full] = np.asarray(lp_t)
+        mu_out[:n_full] = np.asarray(mu_t)
+        sg_out[:n_full] = np.asarray(sg_t)
+        lls[:n_full] = np.asarray(ll_t)
+        lp_c, mu_c, sg_c = lp_t[-1], mu_t[-1], sg_t[-1]
+        sbar = [np.asarray(v, np.float64) for v in sbar_f]
+        start = n_full
+
     for c, (s, e) in enumerate(bounds):
+        if c < start:
+            continue
         Tc = e - s
         if Tc < min_stats and c > 0:
             # tail too short to estimate from; carry the parameters
@@ -412,11 +514,13 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
 def track_drift_mc(templates, yc, *, chunk: int = 32768,
                    forget: float = 0.3, inner_steps: int = 1,
                    fb_mode: str | None = None, block: int | None = None,
-                   callback=None) -> DriftTrack:
+                   callback=None,
+                   device_loop: bool | None = None) -> DriftTrack:
     """Track drifting multi-channel templates through a (T, C) recording
     with online EM — the MC mirror of track_drift (per-channel moment
     statistics, train/em_mc.em_chunk_stats_mc; engine auto-rule
-    train/em_mc.auto_fb_mode_mc per chunk length)."""
+    train/em_mc.auto_fb_mode_mc per chunk length; device_loop runs the
+    full-chunk sequence as one compiled _track_scan program)."""
     from ..train.em_mc import (auto_fb_mode_mc, em_chunk_stats_mc,
                                _m_step_from_stats_mc)
 
@@ -455,7 +559,31 @@ def track_drift_mc(templates, yc, *, chunk: int = 32768,
     mu_out = np.empty((len(bounds), K, N, C))
     sg_out = np.empty((len(bounds), C))
     lls = np.empty(len(bounds))
+
+    n_full = T // chunk
+    use_device = (device_loop if device_loop is not None
+                  else (jax.default_backend() != "cpu"
+                        and callback is None))
+    start = 0
+    if use_device and n_full >= 2:
+        mode = fb_mode if fb_mode is not None else auto_fb_mode_mc(
+            chunk, K, N, C, block if block is not None else 2048)
+        blk = block if block is not None else 2048
+        (lp_t, mu_t, sg_t, ll_t), sbar_f = _track_scan(
+            yc_dev[: n_full * chunk].reshape(n_full, chunk, C), lp_c,
+            mu_c, sg_c, forget, tables, K=K, fb_mode=mode, block=blk,
+            inner_steps=max(1, inner_steps), kind="mc")
+        lp_out[:n_full] = np.asarray(lp_t)
+        mu_out[:n_full] = np.asarray(mu_t)
+        sg_out[:n_full] = np.asarray(sg_t)
+        lls[:n_full] = np.asarray(ll_t)
+        lp_c, mu_c, sg_c = lp_t[-1], mu_t[-1], sg_t[-1]
+        sbar = [np.asarray(v, np.float64) for v in sbar_f]
+        start = n_full
+
     for c, (s, e) in enumerate(bounds):
+        if c < start:
+            continue
         Tc = e - s
         if Tc < min_stats and c > 0:
             lp_out[c], mu_out[c], sg_out[c] = (lp_out[c - 1],

@@ -548,3 +548,32 @@ def test_tracked_posterior_short_signal_uses_chunk_params():
     p2 = onset_posteriors_tracked(tr2, y)
     np.testing.assert_allclose(p2[:900], p_tr[:900], rtol=0, atol=1e-6)
     assert not np.allclose(p2[1024:], p_tr[1024:], atol=1e-12)
+
+
+def test_device_loop_matches_host_loop():
+    """The one-program lax.scan tracker (_track_scan) computes the same
+    trajectory as the host-driven loop, SC and MC, tail included."""
+    y, temps, lp, sigma, _ = _case(T=3000 + 500, K=8)
+    tm = HMMTemplateModel(temps, sigma, lp)
+    th = track_drift(tm, y, chunk=1000, forget=0.4, fb_mode="ring",
+                     device_loop=False)
+    td = track_drift(tm, y, chunk=1000, forget=0.4, fb_mode="ring",
+                     device_loop=True)
+    np.testing.assert_allclose(td.lp, th.lp, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(td.mu, th.mu, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(td.sigma, th.sigma, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(td.lls, th.lls, rtol=0, atol=1e-6)
+
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+    from hmmspikesorter_tpu.train.adaptive import track_drift_mc
+
+    yc, mu, sigmas, lpm, _ = _mc_case(T=3500)
+    tmc = HMMTemplateModelMC(mu, sigmas, lpm)
+    th = track_drift_mc(tmc, yc, chunk=1000, forget=0.4,
+                        fb_mode="gather", device_loop=False)
+    td = track_drift_mc(tmc, yc, chunk=1000, forget=0.4,
+                        fb_mode="gather", device_loop=True)
+    np.testing.assert_allclose(td.lp, th.lp, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(td.mu, th.mu, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(td.sigma, th.sigma, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(td.lls, th.lls, rtol=0, atol=1e-6)
