@@ -320,6 +320,49 @@ def main() -> int:
     record["posterior_windowed_max_abs_diff"] = float(
         np.max(np.abs(p_win - p_on)))
 
+    # drift-adaptive lane (round 4b): a stationary-parameter track must
+    # reproduce the fast decode bit-exactly on hardware (the per-window
+    # vmap is the same engine), and on a 2x amplitude-drifted signal the
+    # tracker must recover the exact generator onset counts where the
+    # static decode mis-detects
+    from hmmspikesorter_tpu.data.synthetic import create_drifting_signal
+    from hmmspikesorter_tpu.train.adaptive import (DriftTrack,
+                                                   decode_tracked,
+                                                   track_drift)
+
+    chunk_a = 8192
+    Ba = Tp // chunk_a
+    tr_const = DriftTrack(
+        lp=np.tile(lp, (Ba, 1)), mu=np.tile(temps, (Ba, 1, 1)),
+        sigma=np.full(Ba, sigma), lls=np.zeros(Ba),
+        bounds=[(s, min(s + chunk_a, Tp))
+                for s in range(0, Tp, chunk_a)],
+        chunk=chunk_a, forget=1.0, allow_overlaps=True)
+    m_tc = decode_tracked(tr_const, np.float32(y[:Tp]), H=256)
+    m_fc = fit_spiking_model_fast(tm_p, jnp.asarray(y[:Tp], jnp.float32),
+                                  L=chunk_a, H=256)
+    record["agreement_tracked_const_vs_fast_2e15"] = float(
+        (np.asarray(m_tc.ml_seq) == np.asarray(m_fc.ml_seq)).mean())
+
+    Ta = 1 << 17
+    y_dr, truth_dr, _ = create_drifting_signal(
+        Ta, sigma, pp, temps, scale_start=1.0, scale_end=2.0,
+        rng=np.random.default_rng(17))
+    tr_dr = track_drift(tm_p, np.float32(y_dr), chunk=16384, forget=0.4)
+    m_dr = decode_tracked(tr_dr, np.float32(y_dr))
+    truth_counts = [int((truth_dr[n] == 1).sum())
+                    for n in range(temps.shape[1])]
+    dec_dr = [len(o) for o in m_dr.spike_onsets]
+    record["adaptive_drift_decoded_vs_truth_counts"] = [
+        [d, t] for d, t in zip(dec_dr, truth_counts)]
+    record["adaptive_drift_count_err"] = int(
+        sum(abs(d - t) for d, t in zip(dec_dr, truth_counts)))
+    record["adaptive_ll_finite"] = bool(np.isfinite(m_dr.ll))
+    confs_dr = spike_confidence(m_dr)
+    record["adaptive_conf_median"] = [
+        round(float(np.median(c)), 4) if len(c) else None
+        for c in confs_dr]
+
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
