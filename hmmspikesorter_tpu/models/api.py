@@ -461,11 +461,23 @@ def fit_spiking_model_adaptive(templates: HMMTemplateModel, y, *,
 
 
 def predict(model: HMMSpikingModel) -> np.ndarray:
-    """Reconstructed (denoised) signal (reference fit.jl:54-56)."""
+    """Reconstructed (denoised) signal (reference fit.jl:54-56).
+
+    A drift-decoded model (it carries `.track`) reconstructs each chunk
+    span with ITS OWN tracked templates — the last chunk's set alone
+    would mis-amplitude early spikes under drift."""
     ss = model.template_model.state_space
+    states = jnp.asarray(ss.states)
+    x = jnp.asarray(model.ml_seq)
+    track = getattr(model, "track", None)
+    if track is not None and not track.is_mc:
+        out = np.empty(len(model.ml_seq))
+        for c, (s, e) in enumerate(track.bounds):
+            out[s:e] = np.asarray(reconstruct_signal(
+                x[s:e], states, jnp.asarray(track.mu[c])))
+        return out
     return np.asarray(reconstruct_signal(
-        jnp.asarray(model.ml_seq), jnp.asarray(ss.states),
-        jnp.asarray(model.template_model.mu)))
+        x, states, jnp.asarray(model.template_model.mu)))
 
 
 def loglikelihood(model: HMMSpikingModel) -> float:

@@ -255,12 +255,23 @@ def _mc_repair_decoder(templates: HMMTemplateModelMC):
 
 def predict_mc(model: HMMSpikingModel) -> np.ndarray:
     """Per-channel reconstruction: (T, C) denoised signal — the C-channel
-    generalization of reconstruct_signal (src/reconstruction.jl:1-9)."""
+    generalization of reconstruct_signal (src/reconstruction.jl:1-9).
+    Drift-decoded models reconstruct each chunk span with its own
+    tracked templates (the api.predict rule)."""
     tm = model.template_model
     ss = tm.state_space
+    x = np.asarray(model.ml_seq)
+    track = getattr(model, "track", None)
+    if track is not None and track.is_mc:
+        out = np.empty((len(x), tm.n_channels))
+        for c, (s, e) in enumerate(track.bounds):
+            smu_c = np.asarray(state_means_mc(jnp.asarray(ss.states),
+                                              jnp.asarray(track.mu[c])))
+            out[s:e] = smu_c[x[s:e]]
+        return out
     smu_c = np.asarray(state_means_mc(jnp.asarray(ss.states),
                                       jnp.asarray(tm.mu)))
-    return smu_c[np.asarray(model.ml_seq)]
+    return smu_c[x]
 
 
 def refit_template_model_mc(model: HMMTemplateModelMC, yc, nsteps: int,

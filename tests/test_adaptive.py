@@ -577,3 +577,80 @@ def test_device_loop_matches_host_loop():
     np.testing.assert_allclose(td.mu, th.mu, rtol=0, atol=1e-9)
     np.testing.assert_allclose(td.sigma, th.sigma, rtol=0, atol=1e-10)
     np.testing.assert_allclose(td.lls, th.lls, rtol=0, atol=1e-6)
+
+
+def test_cli_train_then_adaptive(tmp_path):
+    """--train --adaptive: templates learned from the (stationary) start
+    of the recording, then tracked through the drift; decoded counts
+    match truth where they would drift apart stationarily."""
+    import h5py
+
+    from hmmspikesorter_tpu import cli
+
+    K = 12
+    rng = np.random.default_rng(21)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.006])
+    T = 1 << 14
+    y, truth, _ = create_drifting_signal(T, 0.3, pp, temps,
+                                         scale_start=1.0, scale_end=1.9,
+                                         rng=rng)
+    dfile = str(tmp_path / "d.h5")
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = y
+    out = cli.sort_data(None, dfile, str(tmp_path / "o.mat"), train=True,
+                        n_templates=3, K=K, nsteps=6, train_samples=4096,
+                        adaptive=True, adapt_chunk=4096, forget=0.5,
+                        rng=np.random.default_rng(0), dosave=False)
+    assert np.isfinite(out["ll"])
+    n_learned = out["waveforms"].shape[1]
+    assert n_learned >= 1
+    # total decoded onsets across learned units ~ total true onsets
+    # (learned unit order/identity is training-dependent)
+    dec_total = int((out["mlseq"] == 2).sum())
+    true_total = int((truth == 1).sum())
+    assert abs(dec_total - true_total) <= max(3, 0.05 * true_total)
+
+
+def test_predict_uses_tracked_templates():
+    """Reconstruction of a drift decode uses each chunk's own templates:
+    the tracked prediction fits the drifted signal better than the
+    static-template reconstruction, SC and MC."""
+    from hmmspikesorter_tpu.models.api import predict
+    from hmmspikesorter_tpu.models.multichannel import predict_mc
+
+    K = 20
+    rng = np.random.default_rng(3)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    T = 1 << 15
+    y, truth, _ = create_drifting_signal(T, 0.3, pp, temps,
+                                         scale_start=1.0, scale_end=2.0,
+                                         rng=rng)
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+    tr = track_drift(tm, y, chunk=4096, forget=0.5, fb_mode="ring")
+    m = decode_tracked(tr, y)
+    rec_tracked = predict(m)
+    # static reconstruction of the same labels with the start templates
+    from hmmspikesorter_tpu.core.reconstruction import reconstruct_signal
+    rec_static = np.asarray(reconstruct_signal(
+        jnp.asarray(m.ml_seq), jnp.asarray(tm.state_space.states),
+        jnp.asarray(temps)))
+    err_tracked = float(np.std(y - rec_tracked))
+    err_static = float(np.std(y - rec_static))
+    assert err_tracked < err_static - 0.01
+
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+    from hmmspikesorter_tpu.train.adaptive import (decode_tracked_mc,
+                                                   track_drift_mc)
+
+    yc, mu, sigmas, lpm, _ = _mc_case(T=6000)
+    tmc = HMMTemplateModelMC(mu, sigmas, lpm, allow_overlaps=True)
+    trm = track_drift_mc(tmc, yc, chunk=2000, forget=0.5,
+                         fb_mode="gather")
+    mm = decode_tracked_mc(trm, yc)
+    rec = predict_mc(mm)
+    assert rec.shape == yc.shape
+    assert float(np.std(yc - rec)) < float(np.std(yc))
