@@ -81,6 +81,18 @@ def main():
     assert (np.asarray(m2.ml_seq) == np.asarray(m.ml_seq)).all()
     print("\nfit_spiking_model_adaptive labels identical: True")
 
+    # reconstruction uses each chunk's own templates; confidence scores
+    # each spike under the chunk parameters that decoded it
+    from hmmspikesorter_tpu.core.posterior import spike_confidence
+
+    q_tr = 1.0 - np.std(y - api.predict(m2)) / np.std(y)
+    q_st = 1.0 - np.std(y - api.predict(m_static)) / np.std(y)
+    print(f"reconstruction quality: tracked {q_tr:.3f} vs "
+          f"stationary {q_st:.3f}")
+    conf = spike_confidence(m2)
+    print("confidence medians:",
+          [round(float(np.median(c)), 3) for c in conf])
+
 
 if __name__ == "__main__":
     main()
