@@ -11,6 +11,7 @@ Public surface:
 from .models import api  # noqa: F401
 from .models import multichannel  # noqa: F401
 from .core import posterior  # noqa: F401
+from .core import qc  # noqa: F401  (per-unit quality metrics)
 from .io import extraction  # noqa: F401
 from .train import adaptive  # noqa: F401  (drift tracking, beyond reference)
 from .config import (Config, DecodeConfig, MeshConfig, ModelConfig,  # noqa: F401

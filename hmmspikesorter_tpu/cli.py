@@ -191,6 +191,24 @@ def _confidence_cells(models) -> np.ndarray:
     return cc
 
 
+def _qc_struct(model, conf_cell=None) -> dict:
+    """Per-unit QC metrics as a MAT struct of arrays (core/qc.py);
+    reuses already-computed confidence scores when --confidence also
+    ran (posteriors are the expensive part)."""
+    from .core.qc import qc_arrays, unit_qc
+
+    conf = list(conf_cell) if conf_cell is not None else None
+    return qc_arrays(unit_qc(model, confidence=conf))
+
+
+def _qc_cells(models, conf_cells=None) -> np.ndarray:
+    cc = np.empty(len(models), dtype=object)
+    for i, mod in enumerate(models):
+        cc[i] = _qc_struct(mod, None if conf_cells is None
+                           else conf_cells[i])
+    return cc
+
+
 def _emit_output(output: dict, outputfile: str, dosave: bool) -> dict:
     """Shared result epilogue: optionally write the MAT file, return the
     reference output dict ({mlseq, ll, waveforms, lp, sigma},
@@ -215,7 +233,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
               confidence: bool | None = None,
               adaptive: bool | None = None,
               adapt_chunk: int | None = None,
-              forget: float | None = None) -> dict:
+              forget: float | None = None,
+              qc: bool | None = None) -> dict:
     """End-to-end batch sort (reference sort_data, hmmsort.jl:36-104).
 
     engine="reference": the reference's sequential chunked decode (exact
@@ -292,6 +311,7 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                              dc("multichannel"), False))
     confidence = bool(pick(UNSET if confidence is None else confidence,
                            dc("confidence"), False))
+    qc = bool(pick(UNSET if qc is None else qc, dc("qc"), False))
     adaptive = bool(pick(UNSET if adaptive is None else adaptive,
                          dc("adaptive"), False))
     adapt_chunk = pick(UNSET if adapt_chunk is None else adapt_chunk,
@@ -401,6 +421,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         }
         if confidence:
             output["confidence"] = _confidence_cell(model)
+        if qc:
+            output["qc"] = _qc_struct(model, output.get("confidence"))
         return _emit_output(output, outputfile, dosave)
 
     if train:
@@ -478,6 +500,9 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
             }
             if confidence:
                 output["confidence"] = _confidence_cells(models)
+            if qc:
+                output["qc"] = _qc_cells(models,
+                                         output.get("confidence"))
             return _emit_output(output, outputfile, dosave)
         tm = tms[0]
         data = rows[0]
@@ -541,6 +566,10 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         output["confidence"] = (_confidence_cells(models)
                                 if channels == "all"
                                 else _confidence_cell(model))
+    if qc:
+        output["qc"] = (_qc_cells(models, output.get("confidence"))
+                        if channels == "all"
+                        else _qc_struct(model, output.get("confidence")))
     return _emit_output(output, outputfile, dosave)
 
 
@@ -630,6 +659,12 @@ def main(argv=None) -> int:
                    help="also write the learned templates as a "
                         "{spikeForms, cinv, p} HDF5 file reusable as "
                         "--inputfile of a plain decode run")
+    p.add_argument("--qc", action="store_true",
+                   help="add a per-unit quality-control struct to the "
+                        "MAT output (key 'qc': spike counts/rates, ISI "
+                        "violations, SNR, presence ratio, confidence "
+                        "summary, drift metrics when --adaptive; "
+                        "core/qc.py)")
     p.add_argument("--adaptive", action="store_true",
                    help="drift-adaptive decode: track the templates "
                         "through the recording with online EM and decode "
@@ -663,6 +698,7 @@ def main(argv=None) -> int:
                                      multichannel=args.multichannel,
                                      transfer=args.transfer,
                                      confidence=args.confidence,
+                                     qc=args.qc,
                                      adaptive=args.adaptive,
                                      adapt_chunk=(args.adapt_chunk
                                                   if args.adapt_chunk

@@ -105,6 +105,8 @@ class DecodeConfig:
     max_templates: int = 4           # CLI bail threshold (hmmsort.jl:50)
     confidence: bool = False         # add per-spike posterior confidence
     #                                  to the CLI output (core/posterior)
+    qc: bool = False                 # per-unit quality-control struct in
+    #                                  the CLI output (core/qc.py)
     adaptive: bool = False           # drift-adaptive decode: online-EM
     #                                  template tracking + per-chunk
     #                                  decode (train/adaptive.py)
