@@ -63,17 +63,28 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _make_kernel(Km1: int, Wc: int):
+def _make_kernel(Km1: int, Wc: int, per_lane: bool = False):
     def kernel(y_ref, consts_ref, b0m_ref, b1m_ref, pm_ref, sil_ref,
                flags_ref, rings_ref, vsT_ref, v0T_ref, v1T_ref, vpT_ref,
                vs_s, v0s, v1s, vps):
         c = pl.program_id(1)
-        lp0 = consts_ref[0, 0]
-        lp1 = consts_ref[0, 1]
-        lpz = consts_ref[0, 2]
-        log_sigma = consts_ref[0, 3]
-        inv_2s2 = consts_ref[0, 4]
-        silent_mean = consts_ref[0, 5]
+        if per_lane:
+            # drift-tracked decode: each LANE (= window) carries its own
+            # parameters as (1, G) rows; every use below broadcasts over
+            # the leading state dims, so the score math is unchanged
+            lp0 = consts_ref[0, 0:1, :]
+            lp1 = consts_ref[0, 1:2, :]
+            lpz = consts_ref[0, 2:3, :]
+            log_sigma = consts_ref[0, 3:4, :]
+            inv_2s2 = consts_ref[0, 4:5, :]
+            silent_mean = consts_ref[0, 5:6, :]
+        else:
+            lp0 = consts_ref[0, 0]
+            lp1 = consts_ref[0, 1]
+            lpz = consts_ref[0, 2]
+            log_sigma = consts_ref[0, 3]
+            inv_2s2 = consts_ref[0, 4]
+            silent_mean = consts_ref[0, 5]
 
         sub1 = jax.lax.broadcasted_iota(jnp.int32, (KP, G), 0)
         seg3 = jax.lax.broadcasted_iota(jnp.int32, (KP, KP, G), 0)
@@ -83,11 +94,15 @@ def _make_kernel(Km1: int, Wc: int):
         econst = -HALF_LOG_2PI - log_sigma
 
         def em_all(y_t):
-            # y_t: (1, G). Means are pre-broadcast over lanes.
+            # y_t: (1, G). Means are pre-broadcast over lanes (shared) or
+            # per-lane columns (tracked).
+            b0m = b0m_ref[0] if per_lane else b0m_ref[...]
+            b1m = b1m_ref[0] if per_lane else b1m_ref[...]
+            pm = pm_ref[0] if per_lane else pm_ref[...]
             es = econst - (y_t - silent_mean) ** 2 * inv_2s2      # (1, G)
-            d0 = y_t - b0m_ref[...]                               # (KP, G)
-            d1 = y_t - b1m_ref[...]
-            dp = y_t[None, :, :] - pm_ref[...].reshape(KP, KP, G)
+            d0 = y_t - b0m                                        # (KP, G)
+            d1 = y_t - b1m
+            dp = y_t[None, :, :] - pm.reshape(KP, KP, G)
             return (es, econst - d0 * d0 * inv_2s2,
                     econst - d1 * d1 * inv_2s2,
                     econst - dp * dp * inv_2s2)
@@ -215,7 +230,7 @@ def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
     rings (Bg, W*KP, G) i8, vsT (Bg, 1, G), v0T/v1T (Bg, KP, G),
     vpT (Bg, KP*KP, G)."""
     B, W = y_win.shape
-    K = mu.shape[0]
+    K = jnp.asarray(mu).shape[-2]   # (K, 2) shared / (B, K, 2) per-window
     Km1 = K - 1
     if Km1 > KP:
         raise ValueError(f"multi-block kernel supports K <= {KP + 1}")
@@ -229,17 +244,44 @@ def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
     lp = jnp.asarray(lp, dtype)
     mu = jnp.asarray(mu, dtype)
     sigma = jnp.asarray(sigma, dtype)
-    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
-    consts = jnp.stack([lp[0], lp[1], lpz, jnp.log(sigma),
-                        1.0 / (2.0 * sigma * sigma),
-                        mu[0, 0] + mu[0, 1], 0.0, 0.0])[None, :]
-    b0m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(mu[1:, 0] + mu[0, 1])
-    b1m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(mu[1:, 1] + mu[0, 0])
-    pmg = jnp.zeros((KP, KP), dtype).at[:Km1, :Km1].set(
-        mu[1:, 0][:, None] + mu[1:, 1][None, :])
-    b0m = jnp.broadcast_to(b0m, (KP, G))
-    b1m = jnp.broadcast_to(b1m, (KP, G))
-    pm = jnp.broadcast_to(pmg.reshape(KP * KP, 1), (KP * KP, G))
+    per_window = lp.ndim == 2       # (B, 2) / (B, K, 2) / (B,) params:
+    #                                 each lane decodes with its own set
+    #                                 (the drift-tracked decode)
+    if per_window:
+        lpz = jnp.log1p(-jnp.exp(jnp.sum(lp, axis=1)))        # (B,)
+        rows = jnp.stack([lp[:, 0], lp[:, 1], lpz, jnp.log(sigma),
+                          1.0 / (2.0 * sigma * sigma),
+                          mu[:, 0, 0] + mu[:, 0, 1],
+                          jnp.zeros_like(sigma),
+                          jnp.zeros_like(sigma)], axis=1)      # (B, 8)
+        # pad lanes get benign finite params (lanes never mix)
+        pad_row = jnp.asarray([-1.0, -1.0, -0.15, 0.0, 0.5, 0.0,
+                               0.0, 0.0], dtype)
+        rows_p = jnp.broadcast_to(pad_row, (Bp, 8)).at[:B].set(rows)
+        consts = rows_p.reshape(Bg, G, 8).transpose(0, 2, 1)  # (Bg,8,G)
+        b0r = jnp.zeros((Bp, KP), dtype).at[:B, :Km1].set(
+            mu[:, 1:, 0] + mu[:, 0, 1][:, None])
+        b1r = jnp.zeros((Bp, KP), dtype).at[:B, :Km1].set(
+            mu[:, 1:, 1] + mu[:, 0, 0][:, None])
+        pmr = jnp.zeros((Bp, KP, KP), dtype).at[:B, :Km1, :Km1].set(
+            mu[:, 1:, 0][:, :, None] + mu[:, 1:, 1][:, None, :])
+        b0m = b0r.reshape(Bg, G, KP).transpose(0, 2, 1)       # (Bg,KP,G)
+        b1m = b1r.reshape(Bg, G, KP).transpose(0, 2, 1)
+        pm = pmr.reshape(Bg, G, KP * KP).transpose(0, 2, 1)
+    else:
+        lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+        consts = jnp.stack([lp[0], lp[1], lpz, jnp.log(sigma),
+                            1.0 / (2.0 * sigma * sigma),
+                            mu[0, 0] + mu[0, 1], 0.0, 0.0])[None, :]
+        b0m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(
+            mu[1:, 0] + mu[0, 1])
+        b1m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(
+            mu[1:, 1] + mu[0, 0])
+        pmg = jnp.zeros((KP, KP), dtype).at[:Km1, :Km1].set(
+            mu[1:, 0][:, None] + mu[1:, 1][None, :])
+        b0m = jnp.broadcast_to(b0m, (KP, G))
+        b1m = jnp.broadcast_to(b1m, (KP, G))
+        pm = jnp.broadcast_to(pmg.reshape(KP * KP, 1), (KP * KP, G))
 
     # pack blocks onto lanes: block b_global = bg * G + g
     ypad = jnp.zeros((Bp, W), dtype).at[:B].set(y_win.astype(dtype))
@@ -251,11 +293,21 @@ def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
         sil = sil.at[0].set(1)
     sil_in = sil.reshape(Bg, G)[:, None, :]                   # (Bg, 1, G)
 
-    kernel = _make_kernel(Km1, Wc)
+    kernel = _make_kernel(Km1, Wc, per_lane=per_window)
     grid = (Bg, Wc)
-    in_specs = [
-            pl.BlockSpec((1, CH, G), lambda b, c: (b, c, 0),
+    if per_window:
+        param_specs = [
+            pl.BlockSpec((1, 8, G), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KP * KP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        param_specs = [
             pl.BlockSpec((1, 8), lambda b, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((KP, G), lambda b, c: (0, 0),
@@ -264,6 +316,11 @@ def _forward_native(y_win, lp, mu, sigma, *, silent_start0=True,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KP * KP, G), lambda b, c: (0, 0),
                          memory_space=pltpu.VMEM),
+        ]
+    in_specs = [
+            pl.BlockSpec((1, CH, G), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            *param_specs,
             pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
     ]
@@ -342,8 +399,12 @@ def ov2_decode_pallas_mb(y_win, lp, mu, sigma, *, silent_start0=True,
     """(B, W) windows -> (B, W) int32 labels via the fused multi-block
     forward, then either the lane-parallel Pallas backtrace on the native
     layout (fused_backtrace=True — skips the large flag transposes and the
-    serial XLA chase) or the XLA backtrace (identical labels)."""
-    K = jnp.asarray(mu).shape[0]
+    serial XLA chase) or the XLA backtrace (identical labels).
+
+    Per-window parameters (lp (B, 2), mu (B, K, 2), sigma (B,)) decode
+    each window under its own set — the drift-tracked decode's block
+    engine (train/adaptive.py)."""
+    K = jnp.asarray(mu).shape[-2]
     Km1 = K - 1
     if not fused_backtrace:
         outs = ov2_forward_pallas_mb(y_win, lp, mu, sigma,

@@ -314,13 +314,16 @@ def track_drift(templates, y, *, chunk: int = 32768, forget: float = 0.3,
 
 @partial(jax.jit, static_argnames=("L", "H", "overlaps"))
 def _tracked_overlap_save(y, lp_all, mu_all, sg_all, *, L, H, overlaps):
-    """Overlap-save decode with PER-WINDOW parameters: the vmap carries
-    (lp, mu, sigma) alongside each halo window, so window b decodes with
-    the templates adapted to its span. Window build, all decodes, seam
-    snap, and stitch run as one device program (the
-    parallel/overlap_save._ring_overlap_save_impl structure; the fused
-    multi-block Pallas kernels assume shared parameters, so the block
-    engine here is the vmapped XLA ring scan)."""
+    """Overlap-save decode with PER-WINDOW parameters: window b decodes
+    with the templates adapted to its span. Window build, all decodes,
+    seam snap, and stitch run as one device program (the
+    parallel/overlap_save._ring_overlap_save_impl structure).
+
+    Block engine: on a TPU backend the N=2 overlap topology uses the
+    fused multi-block Pallas kernel with PER-LANE parameters
+    (ops/pallas_viterbi_mb — windows ride the VPU lanes, so per-window
+    parameters are per-lane (1, G) rows; bit-identical labels, tested);
+    every other topology/backend uses the vmapped XLA ring scan."""
     from ..ops.ring_viterbi import ring_viterbi_nov, ring_viterbi_ov2
     from ..ops.ring_viterbi_ovn import ring_viterbi_ovn
     from ..parallel.overlap_save import _build_windows, _snap_and_stitch
@@ -349,10 +352,22 @@ def _tracked_overlap_save(y, lp_all, mu_all, sg_all, *, L, H, overlaps):
 
     y_win, edge_rows = _build_windows(y, T=T, L=L, H=H, B=B, W=W)
     sil0 = jnp.arange(B) == 0       # forced silent start, block 0 only
-    xb = jax.vmap(
-        lambda yy, s0, lp, mu, sg: engine(yy, lp, mu, sg, silent_start=s0,
-                                          with_ll=False)[0])(
-        y_win, sil0, lp_all, mu_all, sg_all)
+
+    from ..ops.pallas_viterbi_mb import CH, KP
+    from ..utils.platform import is_tpu_backend
+
+    if (overlaps and N == 2 and K - 1 <= KP and W % CH == 0
+            and is_tpu_backend()):
+        from ..ops.pallas_viterbi_mb import ov2_decode_pallas_mb
+
+        xb = ov2_decode_pallas_mb(y_win, lp_all, mu_all, sg_all,
+                                  silent_start0=True)
+    else:
+        xb = jax.vmap(
+            lambda yy, s0, lp, mu, sg: engine(yy, lp, mu, sg,
+                                              silent_start=s0,
+                                              with_ll=False)[0])(
+            y_win, sil0, lp_all, mu_all, sg_all)
     x, seam_ok = _snap_and_stitch(xb, T=T, L=L, H=H, B=B,
                                   edge_rows=edge_rows)
     return x.astype(out_dtype), seam_ok
