@@ -171,42 +171,51 @@ def load_data_file(datafile: str, *, channels=1,
     return np.asarray(data, dtype=np.float64)
 
 
-def _confidence_cell(model) -> np.ndarray:
-    """Per-neuron per-spike posterior confidence as a MAT cell array
-    (core/posterior.spike_confidence; SC and MC models alike)."""
-    from .core.posterior import spike_confidence
-
-    confs = spike_confidence(model)
-    cell = np.empty(len(confs), dtype=object)
-    for n, c in enumerate(confs):
-        cell[n] = np.asarray(c, np.float64)
-    return cell
-
-
-def _confidence_cells(models) -> np.ndarray:
-    """Per-channel cell of per-neuron confidence cells."""
-    cc = np.empty(len(models), dtype=object)
-    for i, mod in enumerate(models):
-        cc[i] = _confidence_cell(mod)
-    return cc
-
-
-def _qc_struct(model, conf_cell=None) -> dict:
-    """Per-unit QC metrics as a MAT struct of arrays (core/qc.py);
-    reuses already-computed confidence scores when --confidence also
-    ran (posteriors are the expensive part)."""
+def _conf_and_qc(model, confidence: bool, qc: bool):
+    """(--confidence MAT cell or None, --qc MAT struct or None) for one
+    decoded model. The (T, N) onset-posterior grid — the expensive part
+    — is computed ONCE and shared by both outputs (per-spike confidence
+    AND QC's missing-spike-mass), in the windowed fast mode past the
+    exact two-pass's practical range (mirroring core/qc's heuristic)."""
+    if not (confidence or qc):
+        return None, None
+    from .core.events import _onsets_dense
+    from .core.posterior import (confidence_from_posteriors,
+                                 model_posteriors)
     from .core.qc import qc_arrays, unit_qc
 
-    conf = list(conf_cell) if conf_cell is not None else None
-    return qc_arrays(unit_qc(model, confidence=conf))
+    tm = model.template_model
+    T = len(np.asarray(model.ml_seq))
+    p = model_posteriors(model, windowed=(T > 65536))
+    cell = None
+    if confidence:
+        onsets = getattr(model, "spike_onsets", None)
+        if onsets is None:
+            onsets = _onsets_dense(np.asarray(model.ml_seq),
+                                   N=tm.n_neurons, K=tm.K,
+                                   overlaps=tm.allow_overlaps)
+        confs = confidence_from_posteriors(p, onsets,
+                                           half_width=(tm.K - 1) // 2)
+        cell = np.empty(len(confs), dtype=object)
+        for n, c in enumerate(confs):
+            cell[n] = np.asarray(c, np.float64)
+    qcs = None
+    if qc:
+        conf = list(cell) if cell is not None else None
+        qcs = qc_arrays(unit_qc(model, confidence=conf, posteriors=p))
+    return cell, qcs
 
 
-def _qc_cells(models, conf_cells=None) -> np.ndarray:
-    cc = np.empty(len(models), dtype=object)
+def _conf_and_qc_cells(models, confidence: bool, qc: bool):
+    """Per-channel cells of _conf_and_qc outputs."""
+    if not (confidence or qc):
+        return None, None
+    conf_cells = np.empty(len(models), dtype=object)
+    qc_cells = np.empty(len(models), dtype=object)
     for i, mod in enumerate(models):
-        cc[i] = _qc_struct(mod, None if conf_cells is None
-                           else conf_cells[i])
-    return cc
+        conf_cells[i], qc_cells[i] = _conf_and_qc(mod, confidence, qc)
+    return (conf_cells if confidence else None,
+            qc_cells if qc else None)
 
 
 def _emit_output(output: dict, outputfile: str, dosave: bool) -> dict:
@@ -419,10 +428,11 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
             "lp": tmc.lp,
             "sigma": tmc.sigmas,
         }
+        conf_cell, qc_struct = _conf_and_qc(model, confidence, qc)
         if confidence:
-            output["confidence"] = _confidence_cell(model)
+            output["confidence"] = conf_cell
         if qc:
-            output["qc"] = _qc_struct(model, output.get("confidence"))
+            output["qc"] = qc_struct
         return _emit_output(output, outputfile, dosave)
 
     if train:
@@ -498,11 +508,12 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
                 "lp": lp_cell,
                 "sigma": np.array([m.sigma for m in tms]),
             }
+            conf_cells, qc_cells = _conf_and_qc_cells(models,
+                                                      confidence, qc)
             if confidence:
-                output["confidence"] = _confidence_cells(models)
+                output["confidence"] = conf_cells
             if qc:
-                output["qc"] = _qc_cells(models,
-                                         output.get("confidence"))
+                output["qc"] = qc_cells
             return _emit_output(output, outputfile, dosave)
         tm = tms[0]
         data = rows[0]
@@ -562,14 +573,14 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         "lp": tm.lp,
         "sigma": tm.sigma,
     }
+    if channels == "all":
+        conf_cells, qc_cells = _conf_and_qc_cells(models, confidence, qc)
+    else:
+        conf_cells, qc_cells = _conf_and_qc(model, confidence, qc)
     if confidence:
-        output["confidence"] = (_confidence_cells(models)
-                                if channels == "all"
-                                else _confidence_cell(model))
+        output["confidence"] = conf_cells
     if qc:
-        output["qc"] = (_qc_cells(models, output.get("confidence"))
-                        if channels == "all"
-                        else _qc_struct(model, output.get("confidence")))
+        output["qc"] = qc_cells
     return _emit_output(output, outputfile, dosave)
 
 

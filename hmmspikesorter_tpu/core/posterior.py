@@ -792,11 +792,15 @@ def _windowed_sc_run(y, *, T, L, H, B, W, proj_d, batch_windows,
         if nw < batch_windows:
             # pad the ragged tail batch to the one compiled shape
             # (windows are independent; padded outputs are discarded;
-            # sigma pads to 1 so the dead lanes stay finite)
+            # sigma pads to 1 and lp to log(1/2N) — NOT 0, which would
+            # make lpz = log1p(-exp(sum lp)) = -inf and fill the dead
+            # lanes with NaN gammas that trip jax_debug_nans)
             pad = batch_windows - nw
+            lp_fill = float(np.log(0.5 / max(lpb.shape[-1], 1)))
             yb = jnp.concatenate([yb, jnp.zeros((pad, W), yb.dtype)])
             lpb = jnp.concatenate(
-                [lpb, jnp.zeros((pad,) + lpb.shape[1:], lpb.dtype)])
+                [lpb, jnp.full((pad,) + lpb.shape[1:], lp_fill,
+                               lpb.dtype)])
             mub = jnp.concatenate(
                 [mub, jnp.zeros((pad,) + mub.shape[1:], mub.dtype)])
             sgb = jnp.concatenate([sgb, jnp.ones((pad,), sgb.dtype)])
@@ -1178,9 +1182,11 @@ def onset_posteriors_tracked_mc(track, yc, *, L: int = 4096,
         sgb = sg_all[i:i + nw]
         if nw < batch_windows:
             pad = batch_windows - nw
+            lp_fill = float(np.log(0.5 / max(lpb.shape[-1], 1)))
             yb = jnp.concatenate([yb, jnp.zeros((pad, W, C), yb.dtype)])
             lpb = jnp.concatenate(
-                [lpb, jnp.zeros((pad,) + lpb.shape[1:], lpb.dtype)])
+                [lpb, jnp.full((pad,) + lpb.shape[1:], lp_fill,
+                               lpb.dtype)])
             mub = jnp.concatenate(
                 [mub, jnp.zeros((pad,) + mub.shape[1:], mub.dtype)])
             sgb = jnp.concatenate(
@@ -1193,6 +1199,45 @@ def onset_posteriors_tracked_mc(track, yc, *, L: int = 4096,
             e0 = T if b == B - 1 else s0 + L
             lo = s0 - starts[b]
             out[s0:e0] = gb[k, lo:lo + (e0 - s0)]
+    return out
+
+
+def model_posteriors(model, *, block: int = 8192,
+                     windowed: bool = False) -> np.ndarray:
+    """(T, N) onset posteriors for a decoded model, routed by model
+    type: drift-decoded models (carrying `.track`) go through the
+    tracked windowed posteriors; multi-channel models through the MC
+    engines; `windowed=True` selects the halo-parallel fast mode
+    (mixing-limited accuracy — see onset_posteriors_windowed) on the
+    stationary paths. spike_confidence and core/qc consume this."""
+    tm = model.template_model
+    y = np.asarray(model.y)
+    track = getattr(model, "track", None)
+    if track is not None:
+        return (onset_posteriors_tracked_mc(track, y) if y.ndim == 2
+                else onset_posteriors_tracked(track, y))
+    if y.ndim == 2:
+        return (onset_posteriors_windowed_mc(tm, y) if windowed
+                else onset_posteriors_mc(tm, y, block=block))
+    if windowed:
+        return onset_posteriors_windowed(tm, y)
+    return onset_posteriors(tm, y, block=block)
+
+
+def confidence_from_posteriors(p: np.ndarray, onsets,
+                               *, half_width: int) -> list:
+    """Per-spike posterior-mass scores from a precomputed (T, N) onset
+    posterior grid: for each decoded onset t0 of neuron n, the sum of
+    p[:, n] within half_width samples (see spike_confidence)."""
+    T = p.shape[0]
+    w = int(half_width)
+    out = []
+    for n in range(p.shape[1]):
+        cs = np.concatenate([[0.0], np.cumsum(p[:, n])])
+        pos = np.asarray(onsets[n], np.int64)
+        lo = np.clip(pos - w, 0, T)
+        hi = np.clip(pos + w + 1, 0, T)
+        out.append(cs[hi] - cs[lo])
     return out
 
 
@@ -1229,26 +1274,5 @@ def spike_confidence(model, *, half_width: int | None = None,
 
         onsets = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
                                overlaps=tm.allow_overlaps)
-    y = np.asarray(model.y)
-    track = getattr(model, "track", None)
-    if track is not None:
-        p = (onset_posteriors_tracked_mc(track, y) if y.ndim == 2
-             else onset_posteriors_tracked(track, y))
-    elif y.ndim == 2:
-        p = (onset_posteriors_windowed_mc(tm, y) if windowed
-             else onset_posteriors_mc(tm, y, block=block))
-    elif windowed:
-        # halo-parallel fast mode (mixing-limited accuracy; exact at the
-        # signal edges) — the production choice for long recordings
-        p = onset_posteriors_windowed(tm, y)
-    else:
-        p = onset_posteriors(tm, y, block=block)     # (T, N)
-    T = p.shape[0]
-    out = []
-    for n in range(N):
-        cs = np.concatenate([[0.0], np.cumsum(p[:, n])])
-        pos = np.asarray(onsets[n], np.int64)
-        lo = np.clip(pos - w, 0, T)
-        hi = np.clip(pos + w + 1, 0, T)
-        out.append(cs[hi] - cs[lo])
-    return out
+    p = model_posteriors(model, block=block, windowed=windowed)
+    return confidence_from_posteriors(p, onsets, half_width=w)

@@ -10,9 +10,18 @@ framework can provide (posterior confidence, drift trajectories):
   * spike count and firing rate;
   * ISI statistics and refractory violations. The decode topology
     structurally enforces ISI >= K (a neuron's ring must finish before
-    it can re-onset), so violations against `refractory` <= K are an
-    internal-consistency invariant (always 0); physiological refractory
-    windows longer than K samples measure real contamination;
+    it can re-onset), so violations against a window <= K are an
+    internal-consistency invariant — reported separately, always
+    against K (`isi_invariant_violations`, always 0 on a healthy
+    decode). The headline `isi_violations` uses a PHYSIOLOGICAL
+    window: 1.5 ms when `fs` is given (the usual absolute refractory
+    period), else K samples — so on real recordings it measures
+    contamination, not the invariant;
+  * missing-spike mass: the posterior expected onset count
+    sum_t P(neuron n onsets at t) minus the decoded count, as a
+    fraction — the model-based analog of the amplitude-cutoff
+    "fraction missing" metric (spikes the MAP decode rejected but the
+    posterior still assigns mass to);
   * SNR: peak template amplitude over the noise SD (best channel for
     multi-channel models);
   * presence ratio: the fraction of time bins containing at least one
@@ -41,12 +50,18 @@ class UnitQC:
     n_spikes: int
     rate: float                  # spikes/sample, or Hz when fs given
     isi_min: float               # samples (nan when < 2 spikes)
-    isi_violations: int          # ISIs < refractory
+    isi_violations: int          # ISIs < refractory (physiological)
     isi_violation_frac: float
+    isi_invariant_violations: int  # ISIs < K — decode invariant, 0 on
+    #                              a healthy decode (always computed)
     snr: float                   # peak |template| / noise SD (best chan)
     presence_ratio: float        # fraction of bins with >= 1 spike
     conf_median: float           # nan when confidence not computed
     conf_frac_low: float         # fraction of spikes with conf < 0.5
+    missing_mass: float          # est. fraction of spikes missed:
+    #                              max(0, E[count] - decoded)/E[count]
+    #                              from posterior onset mass (nan when
+    #                              posteriors unavailable)
     amp_drift_ratio: float       # tracked last/first amplitude (nan if
     #                              not a drift decode)
     shape_stability: float       # min corr(template_c, template_0)
@@ -65,35 +80,50 @@ def _template_amp_snr(mu, sigma, n):
 
 def unit_qc(model, *, fs: float | None = None,
             refractory: int | None = None, n_bins: int = 100,
-            confidence=None) -> list[UnitQC]:
+            confidence=None, posteriors=None) -> list[UnitQC]:
     """Per-unit QC metrics for a decoded model (SC or MC, stationary or
     drift-decoded).
 
     fs: sampling rate — rates become Hz (else spikes/sample).
-    refractory: violation window in samples; defaults to K (the
-    structural minimum — violations then assert the decode invariant).
-    confidence: None computes spike_confidence (windowed fast mode on
-    long recordings); False skips it (NaN summaries); or pass the
+    refractory: violation window in samples. Defaults to 1.5 ms when
+    `fs` is given (a physiological absolute refractory period — the
+    window that measures real contamination), else to K. The K-window
+    decode invariant is ALWAYS reported separately
+    (`isi_invariant_violations`), whatever `refractory` is.
+    n_bins: presence-ratio binning — the recording is split into this
+    many equal time bins and `presence_ratio` is the fraction
+    containing at least one spike (coarser bins are more forgiving of
+    bursty units; 100 matches the common ecosystem default).
+    confidence: None computes per-spike posterior confidence (from
+    `posteriors` when given, else via the windowed fast mode on long
+    recordings); False skips it (NaN summaries); or pass the
     precomputed per-unit list to reuse it.
+    posteriors: optional precomputed (T, N) onset-posterior grid
+    (core/posterior.model_posteriors) — reused for both the confidence
+    scores and the missing-spike-mass estimate. When neither
+    posteriors nor confidence is available, missing_mass is NaN.
     """
     from .events import _onsets_dense
-    from .posterior import spike_confidence
+    from .posterior import confidence_from_posteriors, model_posteriors
 
     tm = model.template_model
     K = tm.K
     N = tm.n_neurons
     T = len(np.asarray(model.ml_seq))
     if refractory is None:
-        refractory = K
+        refractory = max(1, round(0.0015 * fs)) if fs is not None else K
     onsets = getattr(model, "spike_onsets", None)
     if onsets is None:
         onsets = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
                                overlaps=tm.allow_overlaps)
-    if confidence is None:
+    if posteriors is None and confidence is None:
         # windowed fast posteriors past the point where the exact
         # two-pass would dominate the whole QC pass (drift-decoded
         # models route through their track either way)
-        confidence = spike_confidence(model, windowed=(T > 65536))
+        posteriors = model_posteriors(model, windowed=(T > 65536))
+    if confidence is None:
+        confidence = confidence_from_posteriors(
+            posteriors, onsets, half_width=(K - 1) // 2)
     elif confidence is False:
         confidence = [None] * N
 
@@ -109,7 +139,14 @@ def unit_qc(model, *, fs: float | None = None,
         on = np.sort(np.asarray(onsets[n], np.int64))
         isis = np.diff(on).astype(np.float64)
         viol = int((isis < refractory).sum())
+        inv_viol = int((isis < K).sum())
         rate = len(on) / T * (fs if fs is not None else 1.0)
+        if posteriors is not None:
+            expected = float(np.asarray(posteriors)[:, n].sum())
+            miss = (max(0.0, expected - len(on)) / expected
+                    if expected > 0 else float("nan"))
+        else:
+            miss = float("nan")
         _, snr = _template_amp_snr(mu, sigma, n)
         hist, _ = np.histogram(on, bins=edges)
         conf = confidence[n]
@@ -149,9 +186,11 @@ def unit_qc(model, *, fs: float | None = None,
             isi_min=float(isis.min()) if len(isis) else float("nan"),
             isi_violations=viol,
             isi_violation_frac=float(viol / max(len(isis), 1)),
+            isi_invariant_violations=inv_viol,
             snr=snr,
             presence_ratio=float((hist > 0).mean()),
             conf_median=cmed, conf_frac_low=clow,
+            missing_mass=miss,
             amp_drift_ratio=drift_ratio, shape_stability=stability,
             amp_trajectory=amp_traj))
     return out

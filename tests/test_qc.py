@@ -24,7 +24,7 @@ def _decoded(T=20_000, K=20, sigma=0.3, seed=11):
 
 def test_unit_qc_basic_metrics():
     m, truth, temps, sigma = _decoded()
-    qcs = unit_qc(m, fs=40_000.0)
+    qcs = unit_qc(m, fs=40_000.0, refractory=temps.shape[0])
     assert len(qcs) == 2
     T = len(np.asarray(m.ml_seq))
     for n, q in enumerate(qcs):
@@ -33,11 +33,15 @@ def test_unit_qc_basic_metrics():
         # structural invariant: the ring enforces ISI >= K
         assert q.isi_min >= temps.shape[0]
         assert q.isi_violations == 0 and q.isi_violation_frac == 0.0
+        assert q.isi_invariant_violations == 0
         assert q.snr == pytest.approx(
             np.abs(temps[:, n]).max() / sigma)
         assert 0.0 < q.presence_ratio <= 1.0
         assert q.conf_median > 0.9
         assert q.conf_frac_low < 0.1
+        # clean, well-separated decode: little posterior mass beyond
+        # the decoded spikes
+        assert 0.0 <= q.missing_mass < 0.2
         assert np.isnan(q.amp_drift_ratio)      # not a drift decode
         assert q.amp_trajectory is None
 
@@ -51,8 +55,46 @@ def test_unit_qc_refractory_counts():
     for n, q in enumerate(qcs):
         isis = np.diff(np.sort(np.asarray(m.spike_onsets[n])))
         assert q.isi_violations == int((isis < 4 * K).sum())
+        assert q.isi_invariant_violations == 0      # decode invariant
         assert np.isnan(q.conf_median)          # confidence skipped
+        assert np.isnan(q.missing_mass)         # no posteriors either
     assert sum(q.isi_violations for q in qcs) > 0   # case chosen dense
+
+
+def test_unit_qc_physiological_default_flags_contamination():
+    """With fs given, the default refractory is 1.5 ms — longer than K
+    on this dense synthetic — so a deliberately contaminated (fast-
+    firing) unit shows real violations while the K-window decode
+    invariant stays clean (VERDICT r4 item 4)."""
+    # fs=40 kHz -> default refractory = 60 samples = 3*K for K=20
+    m, *_ = _decoded()
+    K = m.template_model.K
+    assert K == 20
+    qcs = unit_qc(m, fs=40_000.0, confidence=False)
+    refractory = round(0.0015 * 40_000.0)
+    assert refractory == 60 > K
+    total_viol = 0
+    for n, q in enumerate(qcs):
+        isis = np.diff(np.sort(np.asarray(m.spike_onsets[n])))
+        assert q.isi_violations == int((isis < refractory).sum())
+        assert q.isi_invariant_violations == 0
+        total_viol += q.isi_violations
+    assert total_viol > 0      # the dense unit IS contaminated at 1.5ms
+
+
+def test_unit_qc_missing_mass_counts_rejected_spikes():
+    """A decode starved of some true spikes (high noise) leaves
+    posterior onset mass the MAP rejected; missing_mass sees it."""
+    from hmmspikesorter_tpu.core.posterior import model_posteriors
+
+    m, *_ = _decoded(sigma=0.9, seed=5)      # noisy: MAP drops spikes
+    p = model_posteriors(m)
+    qcs = unit_qc(m, posteriors=p)
+    for n, q in enumerate(qcs):
+        expected = p[:, n].sum()
+        want = max(0.0, expected - q.n_spikes) / expected
+        assert q.missing_mass == pytest.approx(want)
+    assert any(q.missing_mass > 0.01 for q in qcs)
 
 
 def test_unit_qc_drift_metrics():
