@@ -76,14 +76,37 @@ def main() -> int:
     lp = np.log(pp)
     ss_ov = build_state_space(N, K, True)
 
-    # --- 1. full-T production decode vs native reference semantics
+    # --- 1. full-T production decode vs native reference semantics.
+    # The native single-thread decode of a CONSTANT (signal, params) pair
+    # is ~10 min/round; cache its labels keyed on a content hash so the
+    # lane re-pays only when the fixture or the topology changes
+    # (VERDICT r4 item 8). The cache lives untracked next to this script.
+    import hashlib
+
     x_tpu = np.asarray(ring_overlap_save(
         jnp.asarray(y, jnp.float32), jnp.asarray(lp, jnp.float32),
         jnp.asarray(temps, jnp.float32), sigma, L=8192, H=256,
         overlaps=True)[0])
-    t0 = time.perf_counter()
-    x_nat, ll_nat = native.viterbi(y, ss_ov, lp, temps, sigma)
-    record["native_full_T_seconds"] = round(time.perf_counter() - t0, 1)
+    h = hashlib.sha256()
+    for a in (y, ss_ov.states, lp, temps, np.float64(sigma)):
+        h.update(np.ascontiguousarray(a).tobytes())
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".parity_cache")
+    cache_path = os.path.join(cache_dir,
+                              f"native_{h.hexdigest()[:24]}.npz")
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        x_nat, ll_nat = z["x"], float(z["ll"])
+        record["native_full_T_seconds"] = 0.0
+        record["native_cache_hit"] = True
+    else:
+        t0 = time.perf_counter()
+        x_nat, ll_nat = native.viterbi(y, ss_ov, lp, temps, sigma)
+        record["native_full_T_seconds"] = round(
+            time.perf_counter() - t0, 1)
+        record["native_cache_hit"] = False
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(cache_path, x=x_nat, ll=ll_nat)
     agree = float((x_tpu == x_nat).mean())
     record["full_T"] = T
     record["agreement_ring_overlap_save_vs_native_full_T"] = agree

@@ -357,6 +357,7 @@ def test_mc_fast_auto_streams_past_block_cap(monkeypatch):
                                   np.asarray(one.ml_seq))
 
 
+@pytest.mark.slow
 def test_mc_engines_randomized_property_sweep():
     """Randomized topology sweep (the MC mirror of test_path_score's
     property check): random N/K/C/overlaps/rates/noise/gains — the

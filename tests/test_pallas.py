@@ -3,12 +3,14 @@ verified on v5e hardware — see module docstring for measured status)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hmmspikesorter_tpu.ops.pallas_viterbi import ov2_decode_pallas
 from hmmspikesorter_tpu.ops.ring_viterbi import ring_viterbi_ov2
 from hmmspikesorter_tpu.data.synthetic import create_signal, create_spike_template
 
 
+@pytest.mark.slow
 def test_pallas_ov2_bitmatches_ring_interpret():
     K, sigma = 12, 0.3
     temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),

@@ -32,6 +32,7 @@ def _run_both(N, K, T, block, seed=0):
     return ref, out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("N,K,T", [(2, 16, 6000), (3, 16, 9000)])
 def test_pallas_em_matches_overlap_engine(N, K, T):
     # H = 64, L = max(block, 256): same geometry in both engines so the
@@ -54,6 +55,7 @@ def test_pallas_em_matches_overlap_engine(N, K, T):
                                        err_msg=name)
 
 
+@pytest.mark.slow
 def test_pallas_em_ragged_tail():
     """0 < T mod L < H: the clamped B-2 row must keep statistics exact
     (the round-1 halo-bias regression, now for the fused kernel)."""
@@ -65,6 +67,7 @@ def test_pallas_em_ragged_tail():
                                    rtol=2e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_em_chain_improves_ll():
     """Three chained fused-kernel EM iterations: ll must be finite and
     non-decreasing (EM monotonicity, up to halo/f32 noise)."""

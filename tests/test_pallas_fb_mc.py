@@ -52,6 +52,7 @@ def _compare(ref, out, ll_rel=1e-5):
 
 @pytest.mark.parametrize("N,K,C,T", [(2, 16, 3, 6000), (3, 16, 2, 9000),
                                      (4, 12, 2, 9000)])   # N=4: ch=16 path
+@pytest.mark.slow
 def test_pallas_mc_em_matches_overlap_engine(N, K, C, T):
     block = 1024
     L, H = pallas_em_geometry(K, block)
@@ -65,6 +66,7 @@ def test_pallas_mc_em_matches_overlap_engine(N, K, C, T):
     _compare(ref, out)
 
 
+@pytest.mark.slow
 def test_pallas_mc_em_ragged_tail():
     """0 < T mod L < H: the clamped B-2 row must keep statistics exact."""
     N, K, C = 2, 16, 2
@@ -79,6 +81,7 @@ def test_pallas_mc_em_ragged_tail():
     _compare(ref, out)
 
 
+@pytest.mark.slow
 def test_pallas_mc_em_c1_matches_single_channel_kernel():
     """With one channel the MC fused kernel reproduces the single-channel
     fused kernel (emission streams equal the fused Gaussian up to float

@@ -68,6 +68,7 @@ def _scan_ref(es, d, lp, c1, c2, sil):
     (3, 9, 2, 3, 7),
     (4, 9, 2, 2, 11),   # N=4 x MC: reachable via the raised VMEM ceiling
 ])
+@pytest.mark.slow
 def test_mc_mb_bitmatches_scan_engine(N, K, C, B, seed):
     W = 4 * STEP
     y_win, mu, sigmas, lp = _mk_mc(N, K, C, B, W, seed)
@@ -81,6 +82,7 @@ def test_mc_mb_bitmatches_scan_engine(N, K, C, B, seed):
     assert (x_ref >= pair_base).any()        # pair states were exercised
 
 
+@pytest.mark.slow
 def test_mc_mb_c1_matches_single_channel_kernel():
     """With one channel the MC kernel and the single-channel general-N
     kernel decode the same signal identically (the streams reduce to the
@@ -103,6 +105,7 @@ def test_mc_mb_c1_matches_single_channel_kernel():
     assert agree > 0.999, agree
 
 
+@pytest.mark.slow
 def test_mc_overlap_save_pallas_engine_matches_ring():
     """mc_overlap_save with the forced pallas engine (interpret via the
     kernel's own test hook is not reachable through the jitted driver, so

@@ -46,6 +46,7 @@ def _ovn_ref(y_win, lp, temps, sil0=True):
     (4, 7, 3, 4 * CH, 11),
     (2, 12, 4, 4 * CH, 12),
 ])
+@pytest.mark.slow
 def test_ovn_mb_bitmatches_xla_engine(N, K, B, W, seed):
     y_win, temps, lp = _mk(N, K, B, W, seed)
     x_ref = _ovn_ref(y_win, lp, temps)
@@ -56,6 +57,7 @@ def test_ovn_mb_bitmatches_xla_engine(N, K, B, W, seed):
     assert (x_ref >= pair_base).any()        # pair states were exercised
 
 
+@pytest.mark.slow
 def test_ovn_mb_no_silent_start_extra_noise():
     y_win, temps, lp = _mk(3, 8, 4, 4 * CH, 13, extra_noise=0.2)
     x_ref = _ovn_ref(y_win, lp, temps, sil0=False)

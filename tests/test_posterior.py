@@ -227,6 +227,7 @@ def test_mc_spike_confidence():
             assert np.median(confs[n]) > 0.5, (n, np.median(confs[n]))
 
 
+@pytest.mark.slow
 def test_posterior_randomized_exactness_sweep():
     """Random (K, N, overlaps, T, block) draws: the structural log-plus
     engines must reproduce the gather-table FB marginals on every drawn

@@ -132,6 +132,7 @@ def test_overlap_fb_guards_bad_geometry():
         ring_overlap_forward_backward(y, lp, mu, 0.3, L=512, H=300)
 
 
+@pytest.mark.slow
 def test_fast_path_randomized_exactness_sweep():
     """Randomized production fast-path property: across random (T, L, H,
     topology, rates, noise) draws — including spike-dense signals — the

@@ -28,6 +28,7 @@ def test_time_sharded_viterbi_exact(ndev):
     assert float(ll_sh) == pytest.approx(float(ll_seq), rel=1e-9)
 
 
+@pytest.mark.slow
 def test_channel_sharded_batch_decode():
     ys = []
     for seed in range(8):

@@ -71,6 +71,7 @@ def test_sharded_em_distinct_channels():
         assert ll_sh[c] == pytest.approx(float(ll_1), rel=1e-10)
 
 
+@pytest.mark.slow
 def test_batched_training_recovers_templates():
     import jax
     from jax.sharding import Mesh
@@ -144,6 +145,7 @@ def test_sharded_em_overlap_mode_matches_single_device(tdev, cdev):
         np.testing.assert_allclose(pi_sh[c], np.asarray(pi_1), atol=1e-7)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tdev,cdev", [(4, 1), (2, 2)])
 def test_sharded_em_overlap_pallas_matches_single_device(tdev, cdev):
     """Distributed fused-kernel EM (fb_mode='overlap_pallas', ROADMAP #11):
