@@ -406,7 +406,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
 
             model = fit_spiking_model_adaptive_mc(
                 tmc, np.asarray(yc, np.float64), chunk=adapt_chunk,
-                forget=forget)
+                forget=forget,
+                transfer=pick(UNSET, dc("transfer"), "dense"))
         elif engine == "fast":
             model = fit_spiking_model_mc_fast(
                 tmc, yc,
@@ -551,7 +552,8 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
 
             model = fit_spiking_model_adaptive(
                 tm, np.asarray(data, np.float64), chunk=adapt_chunk,
-                forget=forget)
+                forget=forget,
+                transfer=pick(UNSET, dc("transfer"), "dense"))
         elif engine == "fast":
             # streaming: one fixed-shape compiled program serves any
             # recording length (a per-T one-shot program can compile for

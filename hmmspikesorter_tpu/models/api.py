@@ -431,7 +431,8 @@ def fit_spiking_model_adaptive(templates: HMMTemplateModel, y, *,
                                chunk: int = 32768, forget: float = 0.3,
                                inner_steps: int = 1, H: int | None = None,
                                repair: bool = True,
-                               fb_mode: str | None = None
+                               fb_mode: str | None = None,
+                               transfer: str = "dense"
                                ) -> HMMSpikingModel:
     """Drift-adaptive decode: track the templates through the recording
     with online EM (train/adaptive.track_drift — sufficient-statistic
@@ -457,7 +458,7 @@ def fit_spiking_model_adaptive(templates: HMMTemplateModel, y, *,
                                  templates.sigma, transfer="events")
     tr = track_drift(templates, y, chunk=chunk, forget=forget,
                      inner_steps=inner_steps, fb_mode=fb_mode)
-    return decode_tracked(tr, y, H=H, repair=repair)
+    return decode_tracked(tr, y, H=H, repair=repair, transfer=transfer)
 
 
 def predict(model: HMMSpikingModel) -> np.ndarray:

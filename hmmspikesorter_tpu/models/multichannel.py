@@ -321,7 +321,8 @@ def fit_spiking_model_adaptive_mc(templates: HMMTemplateModelMC, yc, *,
                                   inner_steps: int = 1,
                                   H: int | None = None,
                                   repair: bool = True,
-                                  fb_mode: str | None = None
+                                  fb_mode: str | None = None,
+                                  transfer: str = "dense"
                                   ) -> HMMSpikingModel:
     """Drift-adaptive joint multi-channel decode — the MC mirror of
     models/api.fit_spiking_model_adaptive: online-EM template tracking
@@ -338,4 +339,5 @@ def fit_spiking_model_adaptive_mc(templates: HMMTemplateModelMC, yc, *,
                                  templates.sigmas, transfer="events")
     tr = track_drift_mc(templates, yc, chunk=chunk, forget=forget,
                         inner_steps=inner_steps, fb_mode=fb_mode)
-    return decode_tracked_mc(tr, yc, H=H, repair=repair)
+    return decode_tracked_mc(tr, yc, H=H, repair=repair,
+                             transfer=transfer)

@@ -373,6 +373,25 @@ def _tracked_overlap_save(y, lp_all, mu_all, sg_all, *, L, H, overlaps):
     return x.astype(out_dtype), seam_ok
 
 
+@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
+def _tracked_overlap_save_events(y, lp_all, mu_all, sg_all, *, L, H,
+                                 overlaps):
+    """Tracked decode + sparse event extraction as ONE device program —
+    the per-window-parameter mirror of
+    core/events._ring_overlap_save_events_impl: only the packed onset
+    blob crosses the wire when every seam snapped (the dense labels stay
+    on device for the fallback)."""
+    from ..core.events import _u8, extract_onsets_packed
+
+    x, seam_ok = _tracked_overlap_save(y, lp_all, mu_all, sg_all, L=L,
+                                       H=H, overlaps=overlaps)
+    K, N = mu_all.shape[1], mu_all.shape[2]
+    packed, counts = extract_onsets_packed(x, N=N, K=K, overlaps=overlaps)
+    blob = jnp.concatenate([_u8(packed), _u8(counts),
+                            _u8(x[0].astype(jnp.int32)), _u8(seam_ok)])
+    return blob, x
+
+
 def _piecewise_path_ll(y, x, track: DriftTrack, ss) -> float:
     """Reference cumulative-score ll of the stitched path, each step's
     transition + emission increment charged under the parameters of the
@@ -451,12 +470,17 @@ def _protocol_decode_tracked(track: DriftTrack, y, decoder_for):
 
 
 def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
-                   repair: bool = True):
+                   repair: bool = True, transfer: str = "dense"):
     """Decode `y` with the tracked per-chunk templates in one parallel
     device program (see _tracked_overlap_save). Returns an
     HMMSpikingModel whose template_model is the LAST chunk's model, with
     the usual fast-path extras (`seam_ok`, `seams_repaired`,
     `spike_onsets`) and the piecewise cumulative-score ll.
+
+    transfer="events" fetches only the packed spike-onset events and
+    reconstructs the labels exactly on the host (core/events.py) — the
+    same lossless ~16x-smaller transfer as the stationary fast path;
+    flagged seams fall back to the dense labels automatically.
 
     Flagged seams (no common silence within +-H) are re-decoded with the
     seam's left-chunk parameters over widening windows
@@ -465,6 +489,9 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
     """
     from ..core.events import _onsets_dense
     from ..models.api import HMMSpikingModel
+
+    if transfer not in ("dense", "events"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
 
     y = np.asarray(y, np.float64)
     T = y.shape[0]
@@ -481,6 +508,8 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
                          "chunk (or pass a smaller decode halo H)")
 
     dtype = jnp.zeros(0).dtype
+    N = track.mu.shape[2]
+    onsets = None
     if B > 1 and T < L + 2 * H:
         # too short to window but multi-chunk: the one-shot branch would
         # decode the tail with chunk 0's parameters — use the sequential
@@ -490,6 +519,28 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
 
         x = _protocol_decode_tracked(track, y, _decoder_for)
         seam_ok = np.ones(0, bool)
+    elif transfer == "events" and B > 1 and T >= L + 2 * H:
+        from ..core.events import (_parse_event_blob, labels_from_onsets,
+                                   onsets_from_packed)
+
+        blob, x_dense = _tracked_overlap_save_events(
+            jnp.asarray(y, dtype), jnp.asarray(track.lp, dtype),
+            jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
+            L=L, H=H, overlaps=track.allow_overlaps)
+        packed, counts, x0, seam_ok = _parse_event_blob(
+            np.asarray(blob), T=T, N=N, K=K, B=B)
+        x = None
+        if seam_ok.all():
+            try:
+                onsets = onsets_from_packed(packed, counts, K=K)
+                x = labels_from_onsets(onsets, x0, T=T, N=N, K=K,
+                                       overlaps=track.allow_overlaps)
+            except ValueError:
+                onsets = None                   # packing cross-check failed
+        if x is None:
+            # raw-cut seams can splice mid-spike — fetch the dense labels
+            # (already computed on device)
+            x = np.asarray(x_dense).astype(np.int32)
     else:
         x, seam_ok = _tracked_overlap_save(
             jnp.asarray(y, dtype), jnp.asarray(track.lp, dtype),
@@ -509,14 +560,16 @@ def decode_tracked(track: DriftTrack, y, *, H: int | None = None,
             x, _ = repair_seams(y, x, [(int(s) + 1) * L], dec, H=H)
         n_repaired = int((~seam_ok).sum())
         seam_ok = np.ones_like(seam_ok)
+        onsets = None                    # labels changed under the repair
 
-    ss = build_state_space(track.mu.shape[2], K, track.allow_overlaps)
+    ss = build_state_space(N, K, track.allow_overlaps)
     ll = _piecewise_path_ll(y, x, track, ss)
     model = HMMSpikingModel(track.model_at(B - 1), x, ll, y)
     model.seam_ok = seam_ok
     model.seams_repaired = n_repaired
-    model.spike_onsets = _onsets_dense(x, N=track.mu.shape[2], K=K,
-                                       overlaps=track.allow_overlaps)
+    model.spike_onsets = (onsets if onsets is not None else
+                          _onsets_dense(x, N=N, K=K,
+                                        overlaps=track.allow_overlaps))
     model.track = track
     return model
 
@@ -705,6 +758,22 @@ def _tracked_overlap_save_mc(yc, lp_all, mu_all, sg_all, *, L, H,
     return x.astype(out_dtype), seam_ok
 
 
+@partial(jax.jit, static_argnames=("L", "H", "overlaps"))
+def _tracked_overlap_save_mc_events(yc, lp_all, mu_all, sg_all, *, L, H,
+                                    overlaps):
+    """MC tracked decode + sparse event extraction as one program (the
+    _tracked_overlap_save_events mirror over (T, C) recordings)."""
+    from ..core.events import _u8, extract_onsets_packed
+
+    x, seam_ok = _tracked_overlap_save_mc(yc, lp_all, mu_all, sg_all,
+                                          L=L, H=H, overlaps=overlaps)
+    K, N = mu_all.shape[1], mu_all.shape[2]
+    packed, counts = extract_onsets_packed(x, N=N, K=K, overlaps=overlaps)
+    blob = jnp.concatenate([_u8(packed), _u8(counts),
+                            _u8(x[0].astype(jnp.int32)), _u8(seam_ok)])
+    return blob, x
+
+
 def _piecewise_path_ll_mc(yc, x, track: DriftTrack, ss) -> float:
     """MC mirror of _piecewise_path_ll: per-channel Gaussian emission
     sums, each step charged under its owning chunk's parameters, the
@@ -746,13 +815,17 @@ def _piecewise_path_ll_mc(yc, x, track: DriftTrack, ss) -> float:
 
 
 def decode_tracked_mc(track: DriftTrack, yc, *, H: int | None = None,
-                      repair: bool = True):
+                      repair: bool = True, transfer: str = "dense"):
     """Decode a (T, C) recording with the tracked per-chunk MC templates
     in one parallel device program — the MC mirror of decode_tracked
     (same seam protocol; flagged seams re-decoded with the seam's
-    left-chunk parameters)."""
+    left-chunk parameters; transfer="events" fetches the packed onset
+    blob instead of the dense labels)."""
     from ..core.events import _onsets_dense
     from ..models.api import HMMSpikingModel
+
+    if transfer not in ("dense", "events"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
 
     yc = np.asarray(yc, np.float64)
     if yc.ndim != 2:
@@ -774,6 +847,7 @@ def decode_tracked_mc(track: DriftTrack, yc, *, H: int | None = None,
                          "chunk (or pass a smaller decode halo H)")
 
     dtype = jnp.zeros(0).dtype
+    onsets = None
     if B > 1 and T < L + 2 * H:
         # same short-signal rule as decode_tracked: sequential per-chunk
         # protocol so the tail keeps its own chunk's parameters
@@ -781,6 +855,26 @@ def decode_tracked_mc(track: DriftTrack, yc, *, H: int | None = None,
 
         x = _protocol_decode_tracked(track, yc, _mc_decoder_for)
         seam_ok = np.ones(0, bool)
+    elif transfer == "events" and B > 1 and T >= L + 2 * H:
+        from ..core.events import (_parse_event_blob, labels_from_onsets,
+                                   onsets_from_packed)
+
+        blob, x_dense = _tracked_overlap_save_mc_events(
+            jnp.asarray(yc, dtype), jnp.asarray(track.lp, dtype),
+            jnp.asarray(track.mu, dtype), jnp.asarray(track.sigma, dtype),
+            L=L, H=H, overlaps=track.allow_overlaps)
+        packed, counts, x0, seam_ok = _parse_event_blob(
+            np.asarray(blob), T=T, N=N, K=K, B=B)
+        x = None
+        if seam_ok.all():
+            try:
+                onsets = onsets_from_packed(packed, counts, K=K)
+                x = labels_from_onsets(onsets, x0, T=T, N=N, K=K,
+                                       overlaps=track.allow_overlaps)
+            except ValueError:
+                onsets = None
+        if x is None:
+            x = np.asarray(x_dense).astype(np.int32)
     else:
         x, seam_ok = _tracked_overlap_save_mc(
             jnp.asarray(yc, dtype), jnp.asarray(track.lp, dtype),
@@ -799,13 +893,15 @@ def decode_tracked_mc(track: DriftTrack, yc, *, H: int | None = None,
             x, _ = repair_seams(yc, x, [(int(s) + 1) * L], dec, H=H)
         n_repaired = int((~seam_ok).sum())
         seam_ok = np.ones_like(seam_ok)
+        onsets = None                    # labels changed under the repair
 
     ss = build_state_space(N, K, track.allow_overlaps)
     ll = _piecewise_path_ll_mc(yc, x, track, ss)
     model = HMMSpikingModel(track.model_at(B - 1), x, ll, yc)
     model.seam_ok = seam_ok
     model.seams_repaired = n_repaired
-    model.spike_onsets = _onsets_dense(x, N=N, K=K,
-                                      overlaps=track.allow_overlaps)
+    model.spike_onsets = (onsets if onsets is not None else
+                          _onsets_dense(x, N=N, K=K,
+                                        overlaps=track.allow_overlaps))
     model.track = track
     return model

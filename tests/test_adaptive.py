@@ -654,3 +654,60 @@ def test_predict_uses_tracked_templates():
     rec = predict_mc(mm)
     assert rec.shape == yc.shape
     assert float(np.std(yc - rec)) < float(np.std(yc))
+
+
+def test_tracked_events_transfer_bit_matches_dense():
+    """decode_tracked(transfer="events") reconstructs the dense labels
+    exactly from the packed onset blob (the stationary fast path's
+    lossless sparse transfer, now on the per-window-parameter decode)."""
+    K = 20
+    rng = np.random.default_rng(3)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.004, 0.002])
+    T = 1 << 16
+    y, truth, _ = create_drifting_signal(T, 0.3, pp, temps,
+                                         scale_start=1.0, scale_end=2.0,
+                                         rng=rng)
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+    tr = track_drift(tm, y, chunk=8192, forget=0.4, fb_mode="ring")
+    m_dense = decode_tracked(tr, y)
+    m_ev = decode_tracked(tr, y, transfer="events")
+    np.testing.assert_array_equal(np.asarray(m_ev.ml_seq),
+                                  np.asarray(m_dense.ml_seq))
+    assert m_ev.ll == m_dense.ll
+    for a, b in zip(m_ev.spike_onsets, m_dense.spike_onsets):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        decode_tracked(tr, y, transfer="nope")
+
+
+def test_tracked_events_transfer_mc_bit_matches_dense():
+    """decode_tracked_mc(transfer="events") == dense labels."""
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+    from hmmspikesorter_tpu.train.adaptive import (decode_tracked_mc,
+                                                   track_drift_mc)
+
+    K, C = 12, 3
+    rng = np.random.default_rng(5)
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    gains = np.array([[1.0, 0.3, 0.6], [0.2, 1.0, 0.5]])
+    mu = temps[:, :, None] * gains[None, :, :]
+    pp = np.array([0.01, 0.006])
+    sig = np.array([0.3, 0.32, 0.28])
+    T = 1 << 14
+    yc = sig[None, :] * rng.standard_normal((T, C))
+    _, truth = create_signal(T, 0.3, pp, temps,
+                             rng=np.random.default_rng(9))
+    for n in range(2):
+        k = truth[n]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n]
+    tmc = HMMTemplateModelMC(mu, sig, np.log(pp), allow_overlaps=True)
+    tr = track_drift_mc(tmc, yc, chunk=4096, forget=0.4)
+    m_dense = decode_tracked_mc(tr, yc)
+    m_ev = decode_tracked_mc(tr, yc, transfer="events")
+    np.testing.assert_array_equal(np.asarray(m_ev.ml_seq),
+                                  np.asarray(m_dense.ml_seq))
+    assert m_ev.ll == m_dense.ll
