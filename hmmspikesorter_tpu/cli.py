@@ -175,8 +175,8 @@ def _conf_and_qc(model, confidence: bool, qc: bool):
     """(--confidence MAT cell or None, --qc MAT struct or None) for one
     decoded model. The (T, N) onset-posterior grid — the expensive part
     — is computed ONCE and shared by both outputs (per-spike confidence
-    AND QC's missing-spike-mass), in the windowed fast mode past the
-    exact two-pass's practical range (mirroring core/qc's heuristic)."""
+    AND QC's missing-spike-mass). Exact at any length: long recordings
+    route to the chained parallel two-pass (core/posterior)."""
     if not (confidence or qc):
         return None, None
     from .core.events import _onsets_dense
@@ -185,8 +185,7 @@ def _conf_and_qc(model, confidence: bool, qc: bool):
     from .core.qc import qc_arrays, unit_qc
 
     tm = model.template_model
-    T = len(np.asarray(model.ml_seq))
-    p = model_posteriors(model, windowed=(T > 65536))
+    p = model_posteriors(model)
     cell = None
     if confidence:
         onsets = getattr(model, "spike_onsets", None)

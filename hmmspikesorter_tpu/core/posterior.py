@@ -137,7 +137,26 @@ def _first_rest(inps):
             jax.tree.map(lambda a: a[1:], inps))
 
 
-def _nov_fb_scan(carry_flat, inps, em, w, N, Km1, *, first, reverse):
+def _reverse_scan(bstep, carry, inps, valid):
+    """Reverse scan with optional per-step validity masking: an invalid
+    step passes the carry through unchanged (and emits it as its row).
+    The chained-window driver uses this to place beta[T-1] = 0 exactly
+    at the true signal end inside a zero-padded tail window — the pad
+    steps beyond T leave the terminal carry untouched."""
+    if valid is None:
+        return jax.lax.scan(bstep, carry, inps, reverse=True)
+
+    def mstep(c, inp_v):
+        inp, v = inp_v
+        new, _ = bstep(c, inp)
+        out = jax.tree.map(lambda a, b: jnp.where(v, a, b), new, c)
+        return out, out
+
+    return jax.lax.scan(mstep, carry, (inps, valid), reverse=True)
+
+
+def _nov_fb_scan(carry_flat, inps, em, w, N, Km1, *, first, reverse,
+                 valid=None):
     """Non-overlap log-plus block scan, generic over the emission model
     (`em(inp_t) -> (es, ebm)`) — wraps ops/ring_fb's structural step
     functions (single source of truth for the transition structure).
@@ -172,12 +191,12 @@ def _nov_fb_scan(carry_flat, inps, em, w, N, Km1, *, first, reverse):
         out = _flat(bs, bb)
         return out, out
 
-    return jax.lax.scan(bstep, carry_flat, inps, reverse=True)
+    return _reverse_scan(bstep, carry_flat, inps, valid)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _nov_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
-                  reverse: bool):
+                  reverse: bool, valid=None):
     """Single-channel non-overlap block (raw-sample emission)."""
     from ..ops.ring_fb import _emission_fns, _weights
 
@@ -186,12 +205,13 @@ def _nov_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
     lp = jnp.asarray(lp, dtype)
     return _nov_fb_scan(carry_flat, y_blk.astype(dtype),
                         _emission_fns(mu, sigma), _weights(lp, dtype),
-                        N, K - 1, first=first, reverse=reverse)
+                        N, K - 1, first=first, reverse=reverse,
+                        valid=valid)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _nov_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, *, first: bool,
-                     reverse: bool):
+                     reverse: bool, valid=None):
     """Multi-channel non-overlap block, consuming the factorized stream
     slices of core/emission_mc.mc_streams: eb = (es + d) - c1 (the
     ring_viterbi_mc association)."""
@@ -209,10 +229,11 @@ def _nov_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, *, first: bool,
 
     return _nov_fb_scan(carry_flat, (es_blk, d_blk), em,
                         _weights(lp, dtype), N, Km1,
-                        first=first, reverse=reverse)
+                        first=first, reverse=reverse, valid=valid)
 
 
-def _ov2_fb_scan(carry_flat, inps, em, lp, lpz, Km1, *, first, reverse):
+def _ov2_fb_scan(carry_flat, inps, em, lp, lpz, Km1, *, first, reverse,
+                 valid=None):
     """N=2 pairwise-overlap log-plus block scan, generic over the
     emission model (`em(inp_t) -> (es, e0, e1, ep)`).
 
@@ -290,12 +311,12 @@ def _ov2_fb_scan(carry_flat, inps, em, lp, lpz, Km1, *, first, reverse):
         out = flat(new_bs, new_b0, new_b1, new_bp)
         return out, out
 
-    return jax.lax.scan(bstep, carry_flat, inps, reverse=True)
+    return _reverse_scan(bstep, carry_flat, inps, valid)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
-                  reverse: bool):
+                  reverse: bool, valid=None):
     """Single-channel N=2 overlap block (raw-sample emission)."""
     dtype = mu.dtype
     Km1 = mu.shape[0] - 1
@@ -313,12 +334,12 @@ def _ov2_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
         return g(silent_mean), g(b0_mean), g(b1_mean), g(pair_mean)
 
     return _ov2_fb_scan(carry_flat, y_blk.astype(dtype), em, lp, lpz, Km1,
-                        first=first, reverse=reverse)
+                        first=first, reverse=reverse, valid=valid)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _ov2_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, x2, *,
-                     first: bool, reverse: bool):
+                     first: bool, reverse: bool, valid=None):
     """Multi-channel N=2 overlap block from the factorized streams —
     the exact emission of the ov2 MC Viterbi scan
     (ops/ring_viterbi_mc.mc_em_ov2, cross-form pair table x2)."""
@@ -334,11 +355,11 @@ def _ov2_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, x2, *,
         return em_sd(*inp)
 
     return _ov2_fb_scan(carry_flat, (es_blk, d_blk), em, lp, lpz, Km1,
-                        first=first, reverse=reverse)
+                        first=first, reverse=reverse, valid=valid)
 
 
 def _ovn_fb_scan(carry_flat, inps, em, lp, N, Km1, dtype, *,
-                 first, reverse):
+                 first, reverse, valid=None):
     """Any-N pairwise-overlap log-plus block scan, generic over the
     emission model (`em(inp_t) -> (es, eb (N, K-1), ep (P, K-1, K-1))`).
 
@@ -538,12 +559,12 @@ def _ovn_fb_scan(carry_flat, inps, em, lp, N, Km1, dtype, *,
         out = flat(new_bs, new_bb, new_bp)
         return out, out
 
-    return jax.lax.scan(bstep, carry_flat, inps, reverse=True)
+    return _reverse_scan(bstep, carry_flat, inps, valid)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
-                  reverse: bool):
+                  reverse: bool, valid=None):
     """Single-channel any-N overlap block (raw-sample emission)."""
     from ..ops.ring_viterbi_ovn import sc_em_ovn
 
@@ -553,12 +574,12 @@ def _ovn_fb_block(carry_flat, y_blk, lp, mu, sigma, *, first: bool,
     lp = jnp.asarray(lp, dtype)
     em = sc_em_ovn(mu, sigma)
     return _ovn_fb_scan(carry_flat, y_blk.astype(dtype), em, lp, N, K - 1,
-                        dtype, first=first, reverse=reverse)
+                        dtype, first=first, reverse=reverse, valid=valid)
 
 
 @partial(jax.jit, static_argnames=("first", "reverse"))
 def _ovn_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
-                     first: bool, reverse: bool):
+                     first: bool, reverse: bool, valid=None):
     """Multi-channel any-N overlap block from the factorized streams:
     eb = (es + d) - c1; ep[q] = ((es + d_i) + d_j) - c2[q] (direct-form
     pair tables, pairs i-major — the ovn MC association)."""
@@ -574,7 +595,7 @@ def _ovn_fb_block_mc(carry_flat, es_blk, d_blk, lp, c1, c2, *,
         return em_sd(*inp)
 
     return _ovn_fb_scan(carry_flat, (es_blk, d_blk), em, lp, N, Km1,
-                        dtype, first=first, reverse=reverse)
+                        dtype, first=first, reverse=reverse, valid=valid)
 
 
 def _sc_engine_name(templates) -> str:
@@ -859,6 +880,396 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
         mu_all=jnp.broadcast_to(mu_d, (B,) + mu_d.shape),
         sg_all=jnp.broadcast_to(sg_d, (B,)),
         engine=_sc_engine_name(templates), dtype=dtype)
+
+
+# --------------------------------------------------------------------------
+# Exact parallel posteriors: chained windows (parallel-in-time two-pass).
+#
+# The windowed mode above is mixing-limited: each window cold-starts, so
+# its core carries an O(decay^H) boundary error (~2e-2 max at the K=60
+# production overlap config on hardware, TPU_PARITY_r04). The chained
+# mode removes that error while KEEPING the window parallelism:
+#
+#   1. a cold forward sweep over disjoint L-windows (vmapped, O(S) memory
+#      per window — scan row outputs are DCE'd) yields each window's
+#      terminal alpha;
+#   2. those terminals become the next window's ENTRY alpha — after one
+#      such chaining the entry error is the cold-start error contracted
+#      through a full L samples, decay^L, astronomically below f32/f64
+#      noise for any L >> the chain's mixing time (window 0's entry is
+#      the exact reference cold init);
+#   3. the mirrored backward sweep chains exit betas right-to-left (the
+#      last window's beta[T-1] = 0 is exact; the zero-padded tail is
+#      handled by validity masking in _reverse_scan);
+#   4. a final batched gamma pass rematerializes each window's alpha and
+#      beta rows from its chained entry/exit and projects per-t
+#      renormalized posteriors — numerically the exact sequential
+#      two-pass up to decay^(refine*L) + dtype round-off (anchored at
+#      1e-8 vs the gather oracle in f64 tests).
+#
+# `refine` repeats the chaining (entry error decay^(refine*L)) for
+# pathological never-silent signals; refine=1 is exact to round-off on
+# anything physiological. Cost: ~2x the windowed mode (4 sweeps vs 2),
+# against the exact host-loop's per-block device syncs (3 orders slower).
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("engine", "first"))
+def _chained_fwd_sweep(y_win, entries, lp, mu, sg, *, engine, first):
+    """Terminal alpha of each (b, L) window given entry alphas (ignored
+    when first=True: cold emission init). Row outputs are unused, so XLA
+    DCE keeps this O(S) per window."""
+    fb = _SC_FB[engine]
+
+    def one(yw, en):
+        c, _ = fb(en, yw, lp, mu, sg, first=first, reverse=False)
+        return c
+
+    return jax.vmap(one)(y_win, entries)
+
+
+@partial(jax.jit, static_argnames=("engine",))
+def _chained_bwd_sweep(y_next_win, valid, exits, lp, mu, sg, *, engine):
+    """First-position beta of each window given exit betas: the reverse
+    sweep mirror of _chained_fwd_sweep (inputs are the NEXT-step
+    emissions; invalid pad steps pass the carry through)."""
+    fb = _SC_FB[engine]
+
+    def one(ynw, v, ex):
+        c, _ = fb(ex, ynw, lp, mu, sg, first=False, reverse=True, valid=v)
+        return c
+
+    return jax.vmap(one)(y_next_win, valid, exits)
+
+
+@partial(jax.jit, static_argnames=("engine", "first"))
+def _chained_gamma_batch(y_win, y_next_win, valid, entries, exits,
+                         lp, mu, sg, proj, *, engine, first):
+    """Per-window alpha (from entry) + beta (from exit) rows, per-t
+    renormalized, projected: the final pass of the chained two-pass."""
+    fb = _SC_FB[engine]
+
+    def one(yw, ynw, v, en, ex):
+        _, a_all = fb(en, yw, lp, mu, sg, first=first, reverse=False)
+        _, b_all = fb(ex, ynw, lp, mu, sg, first=False, reverse=True,
+                      valid=v)
+        g = a_all + b_all
+        g = g - logsumexp_rows(g, axis=1)[:, None]
+        return jnp.matmul(jnp.exp(g), proj,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return jax.vmap(one)(y_win, y_next_win, valid, entries, exits)
+
+
+def _recenter(v):
+    """Per-row max-shift of chained carries: gamma renormalizes per t, so
+    only the O(1) structure matters and the shift keeps f32 finite."""
+    return v - jnp.max(v, axis=1, keepdims=True)
+
+
+def _pallas_gamma_ok(templates, dtype) -> bool:
+    """Fused-kernel eligibility of the chained posteriors: TPU backend,
+    non-overlap topology (N < 2 overlap spaces included), the kernels'
+    K/N ceilings, f32 (the kernels are f32-only)."""
+    from ..ops.pallas_gamma_mb import KP as _KP
+    from ..ops.pallas_gamma_mb import NR as _NR
+    from ..utils.platform import is_tpu_backend
+
+    N = templates.n_neurons
+    return ((not templates.allow_overlaps or N < 2)
+            and 0 < N <= _NR and templates.K - 1 <= _KP
+            and dtype == jnp.float32 and is_tpu_backend())
+
+
+def onset_posteriors_chained(templates, y, *, L: int = 4096,
+                             refine: int = 1, proj=None,
+                             batch_windows: int | None = None
+                             ) -> np.ndarray:
+    """EXACT (T, N) onset marginals with window parallelism — the chained
+    two-pass (see the section comment above). Matches onset_posteriors
+    to dtype round-off on every topology (nov / ov2 / any-N overlap) at
+    a wall-clock within ~2x of the approximate windowed mode; on TPU the
+    non-overlap topologies route to the fused Pallas backend
+    (ops/pallas_gamma_mb — ~75M samples/s device-side at K=60 N=2,
+    T=2^21; the (T, N) fetch dominates wall time on tunneled backends).
+
+    L: window length (the parallel grain; decay^L bounds the chaining
+    error). refine: extra chaining sweeps for pathological never-silent
+    signals. proj/batch_windows as in onset_posteriors_windowed.
+    """
+    y = np.asarray(y)
+    if y.ndim != 1:
+        raise ValueError("onset_posteriors_chained takes a (T,) trace")
+    ss = templates.state_space
+    dtype = jnp.zeros(0).dtype
+    T = y.shape[0]
+    B = -(-T // L)
+    if B < 2:
+        return onset_posteriors(templates, y, proj=proj)
+    _check_window_f32(L, dtype)
+    if proj is None and _pallas_gamma_ok(templates, dtype):
+        from ..ops.pallas_gamma_mb import _chunk as _gchunk
+        from ..ops.pallas_gamma_mb import onset_gammas_pallas
+
+        ch = _gchunk(templates.n_neurons)
+        if L % ch == 0:
+            return onset_gammas_pallas(
+                np.asarray(y, np.float32), templates.lp, templates.mu,
+                templates.sigma, L=L, refine=refine)
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj_d = jnp.asarray(proj, dtype)
+    S = ss.nstates
+    M = proj_d.shape[1]
+    engine = _sc_engine_name(templates)
+
+    lp_d = jnp.asarray(templates.lp, dtype)
+    mu_d = jnp.asarray(templates.mu, dtype)
+    sg_d = jnp.asarray(templates.sigma, dtype)
+
+    y_pad = np.zeros(B * L + 1, dtype=np.asarray(y).dtype)
+    y_pad[:T] = y
+    y_win = jnp.asarray(y_pad[: B * L].reshape(B, L), dtype)
+    y_next = jnp.asarray(y_pad[1 : B * L + 1].reshape(B, L), dtype)
+    tpos = np.arange(B * L).reshape(B, L)
+    valid = jnp.asarray(tpos < T - 1)      # beta step t uses em at t+1
+
+    zeros = jnp.zeros((B, S), dtype)
+    # forward chaining: cold sweep, then entry := predecessor's terminal
+    finals = _chained_fwd_sweep(y_win, zeros, lp_d, mu_d, sg_d,
+                                engine=engine, first=True)
+    entries = jnp.concatenate([zeros[:1], _recenter(finals)[:-1]])
+    for _ in range(max(0, refine - 1)):
+        f0 = _chained_fwd_sweep(y_win[:1], zeros[:1], lp_d, mu_d, sg_d,
+                                engine=engine, first=True)
+        fr = _chained_fwd_sweep(y_win[1:], entries[1:], lp_d, mu_d, sg_d,
+                                engine=engine, first=False)
+        finals = jnp.concatenate([f0, fr])
+        entries = jnp.concatenate([zeros[:1], _recenter(finals)[:-1]])
+
+    # backward chaining: cold sweep (last window's 0 exit is exact),
+    # then exit := successor's first-position beta
+    bfirsts = _chained_bwd_sweep(y_next, valid, zeros, lp_d, mu_d, sg_d,
+                                 engine=engine)
+    exits = jnp.concatenate([_recenter(bfirsts)[1:], zeros[:1]])
+    for _ in range(max(0, refine - 1)):
+        bfirsts = _chained_bwd_sweep(y_next, valid, exits, lp_d, mu_d,
+                                     sg_d, engine=engine)
+        exits = jnp.concatenate([_recenter(bfirsts)[1:], zeros[:1]])
+
+    # final gamma pass: window 0 cold (exact reference init), the rest
+    # from their chained entries, in bounded-memory batches
+    out = np.empty((T, M), np.float64)
+    g0 = np.asarray(_chained_gamma_batch(
+        y_win[:1], y_next[:1], valid[:1], zeros[:1], exits[:1],
+        lp_d, mu_d, sg_d, proj_d, engine=engine, first=True))
+    out[: min(L, T)] = g0[0, : min(L, T)]
+    if batch_windows is None:
+        batch_windows = max(1, int(2e9 // (2 * L * S * 4)))
+    batch_windows = min(batch_windows, B - 1)
+    for i in range(1, B, batch_windows):
+        nw = min(batch_windows, B - i)
+        sl = slice(i, i + nw)
+        yb, ynb, vb = y_win[sl], y_next[sl], valid[sl]
+        enb, exb = entries[sl], exits[sl]
+        if nw < batch_windows:
+            pad = batch_windows - nw
+            yb = jnp.concatenate([yb, jnp.zeros((pad, L), yb.dtype)])
+            ynb = jnp.concatenate([ynb, jnp.zeros((pad, L), ynb.dtype)])
+            vb = jnp.concatenate([vb, jnp.zeros((pad, L), bool)])
+            enb = jnp.concatenate([enb, jnp.zeros((pad, S), enb.dtype)])
+            exb = jnp.concatenate([exb, jnp.zeros((pad, S), exb.dtype)])
+        gb = np.asarray(_chained_gamma_batch(
+            yb, ynb, vb, enb, exb, lp_d, mu_d, sg_d, proj_d,
+            engine=engine, first=False))
+        for k in range(nw):
+            b = i + k
+            s0 = b * L
+            e0 = min(s0 + L, T)
+            out[s0:e0] = gb[k, : e0 - s0]
+    return out
+
+
+@partial(jax.jit, static_argnames=("engine", "first"))
+def _chained_fwd_sweep_mc(es_win, d_win, entries, lp, tables, *,
+                          engine, first):
+    """MC mirror of _chained_fwd_sweep over factorized stream windows."""
+    fb = _MC_FB[engine]
+
+    def one(ew, dw, en):
+        c, _ = fb(en, ew, dw, lp, *tables, first=first, reverse=False)
+        return c
+
+    return jax.vmap(one)(es_win, d_win, entries)
+
+
+@partial(jax.jit, static_argnames=("engine",))
+def _chained_bwd_sweep_mc(es_next, d_next, valid, exits, lp, tables, *,
+                          engine):
+    fb = _MC_FB[engine]
+
+    def one(ew, dw, v, ex):
+        c, _ = fb(ex, ew, dw, lp, *tables, first=False, reverse=True,
+                  valid=v)
+        return c
+
+    return jax.vmap(one)(es_next, d_next, valid, exits)
+
+
+@partial(jax.jit, static_argnames=("engine", "first"))
+def _chained_gamma_batch_mc(es_win, d_win, es_next, d_next, valid,
+                            entries, exits, lp, tables, proj, *,
+                            engine, first):
+    fb = _MC_FB[engine]
+
+    def one(ew, dw, enw, dnw, v, en, ex):
+        _, a_all = fb(en, ew, dw, lp, *tables, first=first,
+                      reverse=False)
+        _, b_all = fb(ex, enw, dnw, lp, *tables, first=False,
+                      reverse=True, valid=v)
+        g = a_all + b_all
+        g = g - logsumexp_rows(g, axis=1)[:, None]
+        return jnp.matmul(jnp.exp(g), proj,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return jax.vmap(one)(es_win, d_win, es_next, d_next, valid,
+                         entries, exits)
+
+
+def onset_posteriors_chained_mc(templates, yc, *, L: int = 4096,
+                                refine: int = 1, proj=None,
+                                batch_windows: int | None = None
+                                ) -> np.ndarray:
+    """EXACT multi-channel onset marginals with window parallelism — the
+    chained two-pass of onset_posteriors_chained over the factorized
+    channel streams. Streams are pointwise in t, so each phase computes
+    its batch's stream windows from the raw (T, C) slice (windowing
+    commutes with the channel collapse; nothing (T, N, K-1)-shaped is
+    ever live)."""
+    from .emission_mc import MCTables, mc_streams
+
+    yc = np.asarray(yc)
+    if yc.ndim != 2:
+        raise ValueError("onset_posteriors_chained_mc takes (T, C)")
+    ss = templates.state_space
+    dtype = jnp.zeros(0).dtype
+    T, C = yc.shape
+    B = -(-T // L)
+    if B < 2:
+        return onset_posteriors_mc(templates, yc, proj=proj)
+    _check_window_f32(L, dtype)
+    if proj is None:
+        proj = onset_projection(ss.states)
+    proj_d = jnp.asarray(proj, dtype)
+    S = ss.nstates
+    M = proj_d.shape[1]
+    engine = _sc_engine_name(templates)
+    tables = MCTables(templates.mu, templates.sigmas)
+    extra = _mc_extra_tables(engine, tables, dtype)
+    lp_d = jnp.asarray(templates.lp, dtype)
+
+    yc_pad = np.zeros((B * L + 1, C), dtype=yc.dtype)
+    yc_pad[:T] = yc
+    yc_pad = jnp.asarray(yc_pad, dtype)
+    tpos = np.arange(B * L).reshape(B, L)
+    valid_all = jnp.asarray(tpos < T - 1)
+
+    if batch_windows is None:
+        batch_windows = max(1, int(2e9 // (2 * L * S * 4)))
+    bw = min(batch_windows, B)
+
+    def batch_streams(i, nw):
+        """Stream windows + next-step stream windows for windows
+        [i, i+nw) — one mc_streams call over the contiguous slice."""
+        seg = yc_pad[i * L : (i + nw) * L + 1]
+        es_f, d_f = mc_streams(seg, tables, dtype=dtype)
+        shp = d_f.shape[1:]
+        return (es_f[:-1].reshape(nw, L),
+                d_f[:-1].reshape((nw, L) + shp),
+                es_f[1:].reshape(nw, L),
+                d_f[1:].reshape((nw, L) + shp))
+
+    zeros = jnp.zeros((B, S), dtype)
+
+    def fwd_sweep(entries):
+        """Full forward sweep in batches; entries=None -> all cold."""
+        outs = []
+        for i in range(0, B, bw):
+            nw = min(bw, B - i)
+            es_w, d_w, _, _ = batch_streams(i, nw)
+            if entries is None:
+                f = _chained_fwd_sweep_mc(es_w, d_w, zeros[:nw], lp_d,
+                                          extra, engine=engine,
+                                          first=True)
+            elif i == 0:
+                f0 = _chained_fwd_sweep_mc(es_w[:1], d_w[:1], zeros[:1],
+                                           lp_d, extra, engine=engine,
+                                           first=True)
+                fr = (_chained_fwd_sweep_mc(
+                    es_w[1:], d_w[1:], entries[1:nw], lp_d, extra,
+                    engine=engine, first=False) if nw > 1 else
+                    jnp.zeros((0, S), dtype))
+                f = jnp.concatenate([f0, fr])
+            else:
+                f = _chained_fwd_sweep_mc(es_w, d_w, entries[i : i + nw],
+                                          lp_d, extra, engine=engine,
+                                          first=False)
+            outs.append(f)
+        return jnp.concatenate(outs)
+
+    def bwd_sweep(exits):
+        outs = []
+        for i in range(0, B, bw):
+            nw = min(bw, B - i)
+            _, _, es_n, d_n = batch_streams(i, nw)
+            outs.append(_chained_bwd_sweep_mc(
+                es_n, d_n, valid_all[i : i + nw], exits[i : i + nw],
+                lp_d, extra, engine=engine))
+        return jnp.concatenate(outs)
+
+    finals = fwd_sweep(None)
+    entries = jnp.concatenate([zeros[:1], _recenter(finals)[:-1]])
+    for _ in range(max(0, refine - 1)):
+        finals = fwd_sweep(entries)
+        entries = jnp.concatenate([zeros[:1], _recenter(finals)[:-1]])
+
+    bfirsts = bwd_sweep(zeros)
+    exits = jnp.concatenate([_recenter(bfirsts)[1:], zeros[:1]])
+    for _ in range(max(0, refine - 1)):
+        bfirsts = bwd_sweep(exits)
+        exits = jnp.concatenate([_recenter(bfirsts)[1:], zeros[:1]])
+
+    out = np.empty((T, M), np.float64)
+    for i in range(0, B, bw):
+        nw = min(bw, B - i)
+        es_w, d_w, es_n, d_n = batch_streams(i, nw)
+        if i == 0:
+            g0 = np.asarray(_chained_gamma_batch_mc(
+                es_w[:1], d_w[:1], es_n[:1], d_n[:1], valid_all[:1],
+                zeros[:1], exits[:1], lp_d, extra, proj_d,
+                engine=engine, first=True))
+            out[: min(L, T)] = g0[0, : min(L, T)]
+            if nw == 1:
+                continue
+            gb = np.asarray(_chained_gamma_batch_mc(
+                es_w[1:], d_w[1:], es_n[1:], d_n[1:],
+                valid_all[1:nw], entries[1:nw], exits[1:nw], lp_d,
+                extra, proj_d, engine=engine, first=False))
+            ks = range(1, nw)
+            gb_off = 1
+        else:
+            gb = np.asarray(_chained_gamma_batch_mc(
+                es_w, d_w, es_n, d_n, valid_all[i : i + nw],
+                entries[i : i + nw], exits[i : i + nw], lp_d, extra,
+                proj_d, engine=engine, first=False))
+            ks = range(nw)
+            gb_off = 0
+        for k in ks:
+            b = i + k
+            s0 = b * L
+            e0 = min(s0 + L, T)
+            out[s0:e0] = gb[k - gb_off, : e0 - s0]
+    return out
 
 
 def _tracked_fallback(track, y, proj, H, exact_fn) -> np.ndarray:
@@ -1207,21 +1618,30 @@ def model_posteriors(model, *, block: int = 8192,
     """(T, N) onset posteriors for a decoded model, routed by model
     type: drift-decoded models (carrying `.track`) go through the
     tracked windowed posteriors; multi-channel models through the MC
-    engines; `windowed=True` selects the halo-parallel fast mode
-    (mixing-limited accuracy — see onset_posteriors_windowed) on the
-    stationary paths. spike_confidence and core/qc consume this."""
+    engines. The stationary default is EXACT at any length — long
+    recordings route to the chained parallel two-pass
+    (onset_posteriors_chained[_mc], same accuracy as the sequential
+    exact path, window-parallel speed); `windowed=True` opts into the
+    cheaper halo-window approximation (mixing-limited accuracy — see
+    onset_posteriors_windowed). spike_confidence and core/qc consume
+    this."""
     tm = model.template_model
     y = np.asarray(model.y)
+    T = y.shape[0]
+    long = T >= 8192
     track = getattr(model, "track", None)
     if track is not None:
         return (onset_posteriors_tracked_mc(track, y) if y.ndim == 2
                 else onset_posteriors_tracked(track, y))
     if y.ndim == 2:
-        return (onset_posteriors_windowed_mc(tm, y) if windowed
+        if windowed:
+            return onset_posteriors_windowed_mc(tm, y)
+        return (onset_posteriors_chained_mc(tm, y) if long
                 else onset_posteriors_mc(tm, y, block=block))
     if windowed:
         return onset_posteriors_windowed(tm, y)
-    return onset_posteriors(tm, y, block=block)
+    return (onset_posteriors_chained(tm, y) if long
+            else onset_posteriors(tm, y, block=block))
 
 
 def confidence_from_posteriors(p: np.ndarray, onsets,

@@ -117,10 +117,10 @@ def unit_qc(model, *, fs: float | None = None,
         onsets = _onsets_dense(np.asarray(model.ml_seq), N=N, K=K,
                                overlaps=tm.allow_overlaps)
     if posteriors is None and confidence is None:
-        # windowed fast posteriors past the point where the exact
-        # two-pass would dominate the whole QC pass (drift-decoded
-        # models route through their track either way)
-        posteriors = model_posteriors(model, windowed=(T > 65536))
+        # EXACT posteriors at any length: long recordings route to the
+        # chained parallel two-pass (drift-decoded models go through
+        # their track either way)
+        posteriors = model_posteriors(model)
     if confidence is None:
         confidence = confidence_from_posteriors(
             posteriors, onsets, half_width=(K - 1) // 2)

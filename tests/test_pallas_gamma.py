@@ -1,0 +1,58 @@
+"""Fused chained-posterior Pallas kernels (ops/pallas_gamma_mb.py) vs the
+f64 exact oracle, interpret mode on CPU (hardware validation:
+scripts/tpu_parity.py posterior lane + BENCHMARKS.md round 5)."""
+
+import numpy as np
+import pytest
+
+from hmmspikesorter_tpu.core.posterior import onset_posteriors
+from hmmspikesorter_tpu.data.synthetic import (create_signal,
+                                               create_spike_template)
+from hmmspikesorter_tpu.models.api import HMMTemplateModel
+from hmmspikesorter_tpu.ops.pallas_gamma_mb import onset_gammas_pallas
+
+
+def _case(N, K, T, seed):
+    temps = np.stack([create_spike_template(K, 3.0 + n, 0.6 + 0.1 * n, 0.2)
+                      for n in range(N)], axis=1)
+    pp = np.full(N, 0.01)
+    y, _ = create_signal(T, 0.3, pp, temps,
+                         rng=np.random.default_rng(seed))
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=False)
+    return y, temps, pp, tm
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("N,K,T,L", [
+    (2, 12, 800, 128),      # ragged tail (800 = 6.25 * 128)
+    (2, 12, 777, 128),      # ragged tail, mid-chunk terminal
+    (3, 9, 500, 96),        # N=3 (chunk 32 divides 96)
+    (1, 8, 300, 64),        # single neuron
+    (2, 12, 256, 128),      # exact multiple, minimum B
+])
+def test_gamma_kernel_matches_f64_oracle(N, K, T, L):
+    """The f32 kernel's onset posteriors vs the f64 sequential exact
+    path: only f32 round-off remains (the chaining is exact)."""
+    y, temps, pp, tm = _case(N, K, T, seed=N + T)
+    p_ex = onset_posteriors(tm, y)                         # f64 oracle
+    p_k = onset_gammas_pallas(np.float32(y), np.log(pp), temps, 0.3,
+                              L=L, interpret=True)
+    assert np.abs(p_ex - p_k).max() < 1e-4
+
+
+@pytest.mark.slow
+def test_gamma_kernel_multi_lane_group():
+    """B > G = 128 windows exercises the second lane group."""
+    y, temps, pp, tm = _case(2, 8, 130 * 32, seed=3)
+    p_ex = onset_posteriors(tm, y)
+    p_k = onset_gammas_pallas(np.float32(y), np.log(pp), temps, 0.3,
+                              L=32, interpret=True)
+    assert np.abs(p_ex - p_k).max() < 1e-4
+
+
+def test_gamma_kernel_guards():
+    y, temps, pp, tm = _case(2, 12, 400, seed=1)
+    with pytest.raises(ValueError):
+        onset_gammas_pallas(y, np.log(pp), temps, 0.3, L=100)  # % chunk
+    with pytest.raises(ValueError):
+        onset_gammas_pallas(y[:100], np.log(pp), temps, 0.3, L=128)

@@ -328,3 +328,83 @@ def test_extract_units_with_confidence(tmp_path):
     back = extraction.load_unit(
         str(tmp_path / "sorted" / sorted(units)[0]))
     assert "confidence" in back
+
+
+# ------------------------------------------------------------------
+# chained exact parallel posteriors (onset_posteriors_chained[_mc])
+
+def _sc_case_n(N, K, T, overlaps, seed=1):
+    temps = np.stack([create_spike_template(K, 3.0 + n, 0.6 + 0.1 * n, 0.2)
+                      for n in range(N)], axis=1)
+    pp = np.full(N, 0.008)
+    y, truth = create_signal(T, 0.3, pp, temps,
+                             rng=np.random.default_rng(seed))
+    tm = api.HMMTemplateModel(temps, 0.3, np.log(pp),
+                              allow_overlaps=overlaps)
+    return y, tm
+
+
+@pytest.mark.parametrize("overlaps,N,K,T,L", [
+    (False, 3, 12, 9000, 1024),     # nov, ragged tail
+    (False, 2, 12, 8192, 1024),     # nov, exact multiple
+    (True, 2, 12, 9000, 1024),      # ov2
+    (True, 3, 9, 7000, 1024),       # any-N overlap
+])
+def test_chained_matches_exact_1e8(overlaps, N, K, T, L):
+    """The chained parallel two-pass IS the exact computation: f64 anchor
+    at 1e-8 vs the sequential exact path (itself oracle-anchored) on
+    every topology (VERDICT r4 item 2)."""
+    y, tm = _sc_case_n(N, K, T, overlaps)
+    p_ex = posterior.onset_posteriors(tm, y)
+    p_ch = posterior.onset_posteriors_chained(tm, y, L=L)
+    assert np.abs(p_ex - p_ch).max() < 1e-8
+
+
+def test_chained_refine_and_short_fallback():
+    y, tm = _sc_case_n(2, 12, 2000, True)
+    p_ex = posterior.onset_posteriors(tm, y)
+    # B < 2 windows: falls back to the exact sequential path
+    p_short = posterior.onset_posteriors_chained(tm, y, L=4096)
+    np.testing.assert_allclose(p_short, p_ex, atol=1e-12)
+    # refine > 1 changes nothing on a physiological signal
+    p1 = posterior.onset_posteriors_chained(tm, y, L=512, refine=1)
+    p2 = posterior.onset_posteriors_chained(tm, y, L=512, refine=2)
+    assert np.abs(p1 - p_ex).max() < 1e-8
+    assert np.abs(p2 - p1).max() < 1e-10
+
+
+@pytest.mark.parametrize("overlaps,N,C", [(False, 2, 3), (True, 2, 2),
+                                          (True, 3, 2)])
+def test_chained_mc_matches_exact_1e8(overlaps, N, C):
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+
+    K, T, L = 10, 6000, 1024
+    rng = np.random.default_rng(5)
+    temps = np.stack([create_spike_template(K, 3.0 + n, 0.6 + 0.1 * n, 0.2)
+                      for n in range(N)], axis=1)
+    gains = rng.uniform(0.3, 1.0, (N, C))
+    mu = temps[:, :, None] * gains[None, :, :]
+    pp = np.full(N, 0.008)
+    sig = rng.uniform(0.25, 0.35, C)
+    yc = sig[None, :] * rng.standard_normal((T, C))
+    _, truth = create_signal(T, 0.3, pp, temps,
+                             rng=np.random.default_rng(9))
+    for n in range(N):
+        k = truth[n]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n]
+    tmc = HMMTemplateModelMC(mu, sig, np.log(pp), allow_overlaps=overlaps)
+    p_ex = posterior.onset_posteriors_mc(tmc, yc)
+    p_ch = posterior.onset_posteriors_chained_mc(tmc, yc, L=L)
+    assert np.abs(p_ex - p_ch).max() < 1e-8
+
+
+def test_model_posteriors_long_routes_chained_and_is_exact():
+    """model_posteriors (the QC/confidence entry) stays EXACT on long
+    recordings — the chained route must match the sequential exact path,
+    not the windowed approximation."""
+    y, tm = _sc_case_n(2, 12, 10000, True)
+    m = api.fit_spiking_model_fast(tm, y, L=2048, H=64, transfer="events")
+    p = posterior.model_posteriors(m)
+    p_ex = posterior.onset_posteriors(tm, y)
+    assert np.abs(p - p_ex).max() < 1e-8
