@@ -96,8 +96,18 @@ def _beta_block(b_exit, em_next_blk, out_idx, out_w):
 def _project_block(a_all, b_all, logz, proj):
     """exp(gamma) @ proj for one block: (block, S) x (S, M) -> (block, M).
     Pinned to HIGHEST precision — the TPU default rounds f32 operands to
-    bf16 on the MXU (same rule as ring_viterbi_ovn._sel)."""
-    return jnp.matmul(jnp.exp(a_all + b_all - logz), proj,
+    bf16 on the MXU (same rule as ring_viterbi_ovn._sel).
+
+    gamma is renormalized PER t (logsumexp over states) after the global
+    logz shift: identical in exact arithmetic (the row-lse of a+b-logz is
+    0), but in f32 it absorbs the in-block log-score drift that a global
+    normalizer leaves in the exponent — measured 2e-2 -> 6e-5 max
+    marginal error at the production overlap config
+    (scripts/posterior_error_study.py; the r04 parity record's windowed
+    'error' was in fact THIS path's drift)."""
+    g = a_all + b_all - logz
+    g = g - logsumexp_rows(g, axis=1)[:, None]
+    return jnp.matmul(jnp.exp(g), proj,
                       precision=jax.lax.Precision.HIGHEST)
 
 
@@ -845,13 +855,17 @@ def onset_posteriors_windowed(templates, y, *, L: int = 4096,
     the posterior mirror of the decode's overlap-save parallelization.
 
     Each window's FB cold-starts at its edges; the halo H absorbs the
-    boundary effect geometrically (the chain's return-to-silence mixing),
-    so the core region's marginals match the exact two-pass to high
-    accuracy for H of a few K (validated in tests; tighten H upward for
-    pathological never-silent signals). Exact at the true signal edges.
+    boundary effect geometrically (the chain's return-to-silence mixing).
+    Measured at the production config (K=60, N=2 overlaps, S=3600,
+    L=4096, scripts/posterior_error_study.py): the mixing error is
+    ~3e-10 in f64 for every H >= K, and the f32 total error is ~6e-5 —
+    the dtype noise floor, shared by every f32 posterior path. Tighten H
+    upward only for pathological never-silent signals. Exact at the
+    true signal edges.
 
-    Use onset_posteriors for the exact (sequential) computation;
-    spike_confidence(model, windowed=True) consumes this path.
+    Prefer onset_posteriors_chained for the same window-parallel speed
+    WITHOUT the mixing approximation (it is the model_posteriors
+    default); spike_confidence(model, windowed=True) consumes this path.
     """
     y = np.asarray(y)
     if y.ndim != 1:
