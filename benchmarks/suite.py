@@ -93,7 +93,11 @@ def config2():
     from hmmspikesorter_tpu.core.state_space import n_states
     from hmmspikesorter_tpu.parallel.overlap_save import ring_overlap_save
 
-    K, T, sigma = 60, 200_000, 0.3
+    # production T: the original 200k-sample run was latency-bound
+    # (dispatch + fetch floor hides engine regressions on the
+    # 10,621-state topology — VERDICT r4 item 6); best-of-3 at 2^20
+    # tracks the real engine
+    K, T, sigma = 60, 1 << 20, 0.3
     pp = [0.003, 0.002, 0.001]
     y, truth, temps = _mk_signal(T, sigma, pp, K)
     lp = jnp.asarray(np.log(pp), jnp.float32)
@@ -113,10 +117,12 @@ def config2():
     x_dense = np.asarray(ring_overlap_save(y_d, lp, mu, sigma, L=8192,
                                            H=256, overlaps=True)[0])
     assert (x == x_dense.astype(np.int32)).all()
-    t0 = time.perf_counter()
-    run()
-    dec_s = time.perf_counter() - t0
-    return {"config": 2, "nstates": n_states(3, K, True),
+    dec_s = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        dec_s = min(dec_s, time.perf_counter() - t0)
+    return {"config": 2, "nstates": n_states(3, K, True), "T": T,
             "decode_samples_per_s": round(T / dec_s, 1),
             "seams_ok_frac": float(np.mean(np.asarray(seam_ok)))}
 
