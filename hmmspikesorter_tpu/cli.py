@@ -290,10 +290,11 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
     its MC mirror under multichannel=True): online-EM template tracking
     with forgetting `forget` over `adapt_chunk`-sample chunks, each
     chunk decoded with its own adapted templates. Composes with train
-    (track from the learned templates) and confidence (each spike is
+    (track from the learned templates), confidence (each spike is
     scored under the chunk parameters that decoded it, core/posterior.
-    onset_posteriors_tracked / _tracked_mc). Not available with
-    channels="all" (independent per-channel batches).
+    onset_posteriors_tracked / _tracked_mc), and channels="all"
+    (independent per-channel drift tracks — one vmapped online-EM
+    program for all channels, train/adaptive.track_drift_batched).
 
     If training prunes every template the decode degenerates to the
     all-silent null model (same contract as the reference's missing-
@@ -329,11 +330,6 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         raise ValueError("multichannel (joint decode) and channels='all' "
                          "(independent per-channel decode) are mutually "
                          "exclusive")
-    if adaptive and channels == "all":
-        raise ValueError("--adaptive decodes one spike train (single-"
-                         "channel or joint --multichannel); drift "
-                         "tracking for independent per-channel batches "
-                         "is not implemented")
 
     from .utils.guards import guard_inputs
 
@@ -534,7 +530,19 @@ def sort_data(inputfile: str | None, datafile: str, outputfile: str, *,
         #                                (integer data skips the NaN scan)
     print("Fitting model...")
     if channels == "all":
-        if engine == "fast":
+        if adaptive:
+            # independent per-channel drift tracks (one vmapped online-EM
+            # device program for all channels), each channel decoded
+            # under its own adapted templates
+            from .train.adaptive import decode_tracked, track_drift_batched
+
+            rows64 = np.asarray(data, np.float64)
+            tracks = track_drift_batched(tm, rows64, chunk=adapt_chunk,
+                                         forget=forget)
+            tr_mode = pick(UNSET, dc("transfer"), "dense")
+            models = [decode_tracked(trk, rows64[c], transfer=tr_mode)
+                      for c, trk in enumerate(tracks)]
+        elif engine == "fast":
             models = fit_spiking_models_fast_batched(tm, data, config=config)
         else:
             models = [fit_spiking_model(tm, row, chunksize=chunksize,

@@ -46,6 +46,7 @@ from ..core.state_space import build_state_space
 from .em import EMTables, _m_step_from_stats, em_chunk_stats, pallas_em_geometry
 
 __all__ = ["DriftTrack", "track_drift", "decode_tracked",
+           "track_drift_batched",
            "track_drift_mc", "decode_tracked_mc"]
 
 
@@ -310,6 +311,114 @@ def track_drift(templates, y, *, chunk: int = 32768, forget: float = 0.3,
     return DriftTrack(lp=lp_out, mu=mu_out, sigma=sg_out, lls=lls,
                       bounds=bounds, chunk=chunk, forget=forget,
                       allow_overlaps=templates.allow_overlaps)
+
+
+def track_drift_batched(templates, ys, *, chunk: int = 32768,
+                        forget: float = 0.3, inner_steps: int = 1,
+                        fb_mode: str | None = None,
+                        block: int | None = None,
+                        device_loop: bool | None = None
+                        ) -> list[DriftTrack]:
+    """Independent per-channel drift tracks over a (C, T) batch against
+    the shared starting templates — the DP axis of the adaptive
+    pipeline (CLI --adaptive --channels all). The full-chunk online-EM
+    scans of ALL channels run as ONE vmapped device program
+    (_track_scan over the channel axis); ragged tails take the same
+    host update as track_drift. Per-channel independence: the result
+    equals [track_drift(templates, ys[c]) for c] (tested)."""
+    ys = np.asarray(ys)
+    if ys.ndim != 2:
+        raise ValueError("track_drift_batched takes a (C, T) batch")
+    C, T = ys.shape
+    K = templates.K
+    N = templates.n_neurons
+    if N == 0:
+        raise ValueError("track_drift_batched needs at least one "
+                         "template")
+    chunk = int(min(chunk, T))
+    n_full = T // chunk
+    use_device = (device_loop if device_loop is not None
+                  else jax.default_backend() != "cpu")
+    if not use_device or n_full < 2:
+        return [track_drift(templates, ys[c], chunk=chunk, forget=forget,
+                            inner_steps=inner_steps, fb_mode=fb_mode,
+                            block=block, device_loop=device_loop)
+                for c in range(C)]
+
+    ss = build_state_space(N, K, False)
+    tables = EMTables.build(ss)
+    dtype = jnp.zeros(0).dtype
+    if fb_mode is None:
+        mode, blk = _auto_fb_mode(K, N, chunk)
+    else:
+        mode, blk = fb_mode, (block if block is not None else 256)
+    if block is not None:
+        blk = block
+    lp0 = jnp.asarray(templates.lp, dtype)
+    mu0 = jnp.asarray(templates.mu, dtype)
+    sg0 = jnp.asarray(templates.sigma, dtype)
+    yb = jnp.asarray(ys[:, : n_full * chunk], dtype).reshape(
+        C, n_full, chunk)
+    run = partial(_track_scan, K=K, fb_mode=mode, block=blk,
+                  inner_steps=max(1, inner_steps), kind="sc")
+    (lp_t, mu_t, sg_t, ll_t), sbar_f = jax.vmap(
+        lambda yy: run(yy, lp0, mu0, sg0, forget, tables))(yb)
+
+    bounds = [(s, min(s + chunk, T)) for s in range(0, T, chunk)]
+    min_stats = max(4 * K, 256)
+    tracks = []
+    for c in range(C):
+        lp_out = np.empty((len(bounds), N))
+        mu_out = np.empty((len(bounds), K, N))
+        sg_out = np.empty(len(bounds))
+        lls = np.empty(len(bounds))
+        lp_out[:n_full] = np.asarray(lp_t[c])
+        mu_out[:n_full] = np.asarray(mu_t[c])
+        sg_out[:n_full] = np.asarray(sg_t[c])
+        lls[:n_full] = np.asarray(ll_t[c])
+        if len(bounds) > n_full:                      # ragged tail chunk
+            s, e = bounds[-1]
+            Tc = e - s
+            if Tc < min_stats:
+                lp_out[-1], mu_out[-1], sg_out[-1] = (
+                    lp_out[-2], mu_out[-2], sg_out[-2])
+                lls[-1] = np.nan
+            else:
+                if fb_mode is None:
+                    mode_t, blk_t = _auto_fb_mode(K, N, Tc)
+                else:
+                    mode_t, blk_t = mode, blk
+                sbar = [np.asarray(v[c], np.float64) for v in sbar_f]
+                lp_c = jnp.asarray(lp_out[n_full - 1], dtype)
+                mu_c = jnp.asarray(mu_out[n_full - 1], dtype)
+                sg_c = jnp.asarray(sg_out[n_full - 1], dtype)
+                ll_c = None
+                for _ in range(max(1, inner_steps)):
+                    G1, Gy, Gy2, X, Xd, ll = em_chunk_stats(
+                        jnp.asarray(ys[c, s:e], dtype), lp_c, mu_c, sg_c,
+                        tables, K=K, fb_mode=mode_t, block=blk_t)
+                    if ll_c is None:
+                        ll_c = float(ll)
+                    s_c = [np.asarray(v, np.float64) / Tc
+                           for v in (G1, Gy, Gy2, X, Xd)]
+                    sbar = [(1.0 - forget) * a + forget * b
+                            for a, b in zip(sbar, s_c)]
+                    lp_c, mu_c, sg_c = _m_step_from_stats(
+                        jnp.asarray(sbar[0], dtype),
+                        jnp.asarray(sbar[1], dtype),
+                        jnp.asarray(sbar[2], dtype),
+                        jnp.log(jnp.asarray(sbar[3], dtype)),
+                        jnp.log(jnp.asarray(sbar[4], dtype)),
+                        tables.states, dtype, K, N)
+                lp_out[-1] = np.asarray(lp_c)
+                mu_out[-1] = np.asarray(mu_c)
+                sg_out[-1] = float(sg_c)
+                lls[-1] = ll_c
+        tracks.append(DriftTrack(
+            lp=lp_out, mu=mu_out, sigma=sg_out, lls=lls, bounds=bounds,
+            chunk=chunk, forget=forget,
+            allow_overlaps=templates.allow_overlaps))
+    return tracks
 
 
 @partial(jax.jit, static_argnames=("L", "H", "overlaps"))

@@ -290,9 +290,7 @@ def test_cli_adaptive(tmp_path):
         assert len(out["confidence"][n]) == dec
     assert np.isfinite(out["ll"])
 
-    with pytest.raises(ValueError, match="single-channel"):
-        cli.sort_data(tfile, dfile, str(tmp_path / "o2.mat"),
-                      adaptive=True, channels="all", dosave=False)
+
 
 
 # ---- multi-channel mirror ------------------------------------------------
@@ -711,3 +709,70 @@ def test_tracked_events_transfer_mc_bit_matches_dense():
     np.testing.assert_array_equal(np.asarray(m_ev.ml_seq),
                                   np.asarray(m_dense.ml_seq))
     assert m_ev.ll == m_dense.ll
+
+
+def test_track_drift_batched_matches_per_channel():
+    """Per-channel track independence: the vmapped batched tracker
+    equals track_drift run channel by channel (same device loop)."""
+    from hmmspikesorter_tpu.train.adaptive import track_drift_batched
+
+    K = 8
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.006])
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+    T, C = 5000, 3                      # ragged tail: 5000 % 2048 != 0
+    rng = np.random.default_rng(8)
+    ys = np.stack([create_signal(T, 0.3, pp, temps, rng=rng)[0]
+                   for _ in range(C)])
+    tracks = track_drift_batched(tm, ys, chunk=2048, forget=0.5,
+                                 device_loop=True)
+    assert len(tracks) == C
+    for c in range(C):
+        ref = track_drift(tm, ys[c], chunk=2048, forget=0.5,
+                          device_loop=True)
+        np.testing.assert_allclose(tracks[c].lp, ref.lp, atol=1e-9)
+        np.testing.assert_allclose(tracks[c].mu, ref.mu, atol=1e-9)
+        np.testing.assert_allclose(tracks[c].sigma, ref.sigma, atol=1e-9)
+        nan = np.isnan(ref.lls)
+        np.testing.assert_allclose(tracks[c].lls[~nan], ref.lls[~nan],
+                                   atol=1e-6)
+        assert tracks[c].bounds == ref.bounds
+
+
+def test_cli_adaptive_channels_all(tmp_path):
+    """--adaptive --channels all: independent per-channel drift tracks,
+    each channel decoded under its own adapted templates."""
+    import h5py
+
+    from hmmspikesorter_tpu import cli
+
+    K = 8
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.006])
+    T, C = 6000, 2
+    rng = np.random.default_rng(4)
+    rows, truths = [], []
+    for _ in range(C):
+        y, tr = create_signal(T, 0.3, pp, temps, rng=rng)
+        rows.append(y)
+        truths.append(tr)
+    data = np.stack(rows)
+    tfile, dfile = str(tmp_path / "t.h5"), str(tmp_path / "d.h5")
+    with h5py.File(tfile, "w") as f:
+        f["spikeForms"] = temps.T[:, None, :]
+        f["cinv"] = np.array([[1.0 / 0.09]])
+        f["p"] = pp
+    with h5py.File(dfile, "w") as f:
+        f["rh/data/analogData"] = data
+    out = cli.sort_data(tfile, dfile, str(tmp_path / "o.mat"),
+                        adaptive=True, channels="all", adapt_chunk=2048,
+                        dosave=False)
+    assert out["mlseq"].shape == (C, 2, T)
+    for c in range(C):
+        for n in range(2):
+            dec = int((out["mlseq"][c, n] == 2).sum())
+            tc = int((truths[c][n] == 1).sum())
+            assert abs(dec - tc) <= 1, (c, n, dec, tc)
+    assert np.isfinite(out["ll"]).all() and out["ll"].shape == (C,)
