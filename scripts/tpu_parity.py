@@ -386,6 +386,82 @@ def main() -> int:
         round(float(np.median(c)), 4) if len(c) else None
         for c in confs_dr]
 
+    # --- 10. round-5 lanes: per-window-parameter Pallas tracked decode
+    # (bit-parity + throughput vs the stationary path at matching
+    # geometry) and the exact chained posteriors (XLA + fused kernels).
+    from hmmspikesorter_tpu.train.adaptive import (_tracked_overlap_save,
+                                                   decode_tracked,
+                                                   track_drift)
+
+    Tt = 1 << 20
+    y_dr2, truth2, _ = create_drifting_signal(
+        Tt, sigma, pp, temps, scale_start=1.0, scale_end=2.0,
+        rng=np.random.default_rng(23))
+    tr5 = track_drift(tm_p, np.float32(y_dr2), chunk=32768, forget=0.4)
+    H5 = max(4 * K, 64)
+    lp_all = jnp.asarray(tr5.lp, jnp.float32)
+    mu_all = jnp.asarray(tr5.mu, jnp.float32)
+    sg_all = jnp.asarray(tr5.sigma, jnp.float32)
+    y_dr2_d = jnp.asarray(y_dr2, jnp.float32)
+
+    def timed_fetch(f, reps=3):
+        np.asarray(f()[0])
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f()[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_trk = timed_fetch(lambda: _tracked_overlap_save(
+        y_dr2_d, lp_all, mu_all, sg_all, L=32768, H=H5, overlaps=True))
+    t_sta = timed_fetch(lambda: ring_overlap_save(
+        y_dr2_d, jnp.asarray(lp, jnp.float32),
+        jnp.asarray(temps, jnp.float32), sigma, L=32768, H=H5,
+        overlaps=True))
+    record["tracked_pallas_samples_per_s_2e20"] = round(Tt / t_trk, 1)
+    record["stationary_same_geom_samples_per_s_2e20"] = round(
+        Tt / t_sta, 1)
+    record["tracked_vs_stationary_ratio"] = round(t_trk / t_sta, 3)
+    m_tr5 = decode_tracked(tr5, np.float32(y_dr2), transfer="events")
+    tc5 = [int((truth2[n] == 1).sum()) for n in range(temps.shape[1])]
+    record["tracked_events_count_err_2e20"] = int(
+        sum(abs(len(o) - t) for o, t in zip(m_tr5.spike_onsets, tc5)))
+
+    # exact chained posteriors: the ov2 XLA route vs the windowed mode
+    # (agreement bound) and the fused non-overlap kernel route
+    from hmmspikesorter_tpu.core.posterior import (
+        onset_posteriors_chained, onset_posteriors_windowed)
+
+    p_ch = onset_posteriors_chained(tm_p, np.float32(y[:Tp]))
+    p_wn = onset_posteriors_windowed(tm_p, np.float32(y[:Tp]))
+    record["posterior_chained_vs_windowed_max_abs_diff"] = float(
+        np.max(np.abs(p_ch - p_wn)))
+    record["posterior_chained_count_rel_err"] = float(
+        np.max(np.abs(p_ch.sum(axis=0) - dec_counts)
+               / np.maximum(dec_counts, 1.0)))
+
+    from hmmspikesorter_tpu.ops.pallas_gamma_mb import onset_gammas_pallas
+
+    tm_nov = HMMTemplateModel(temps, sigma, lp, allow_overlaps=False)
+    t0 = time.perf_counter()
+    p_k = onset_gammas_pallas(np.float32(y[:Tt]), lp, temps, sigma,
+                              L=4096)
+    t0 = time.perf_counter()
+    p_k = onset_gammas_pallas(np.float32(y[:Tt]), lp, temps, sigma,
+                              L=4096)
+    t_k = time.perf_counter() - t0
+    # explicit proj forces the XLA chained route (the kernel route only
+    # serves the default onset projection) — a genuine cross-engine check
+    from hmmspikesorter_tpu.core.posterior import onset_projection
+
+    p_xla = onset_posteriors_chained(
+        tm_nov, np.float32(y[:Tt]),
+        proj=onset_projection(tm_nov.state_space.states))
+    record["gamma_kernel_samples_per_s_2e20"] = round(Tt / t_k, 1)
+    record["gamma_kernel_vs_xla_chained_max_abs_diff"] = float(
+        np.max(np.abs(p_k - p_xla)))
+
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
