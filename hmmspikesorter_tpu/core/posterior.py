@@ -1172,6 +1172,14 @@ def onset_posteriors_chained_mc(templates, yc, *, L: int = 4096,
     if B < 2:
         return onset_posteriors_mc(templates, yc, proj=proj)
     _check_window_f32(L, dtype)
+    if proj is None and _pallas_gamma_ok(templates, dtype):
+        from ..ops.pallas_gamma_mb import _chunk as _gchunk
+        from ..ops.pallas_gamma_mb import onset_gammas_pallas_mc
+
+        if L % _gchunk(templates.n_neurons) == 0:
+            return onset_gammas_pallas_mc(
+                np.asarray(yc, np.float32), templates.lp, templates.mu,
+                templates.sigmas, L=L, refine=refine)
     if proj is None:
         proj = onset_projection(ss.states)
     proj_d = jnp.asarray(proj, dtype)

@@ -50,14 +50,22 @@ from .pallas_fb_mb import (CH, G, KP, NEG, _chunk, _lae, _lse_rows,
 NR = 8           # gamma / beta-exit row padding (N <= 8, sublane rule)
 
 
-def _make_gfwd_kernel(N: int, Km1: int, ch: int):
+def _make_gfwd_kernel(N: int, Km1: int, ch: int, stream_em: bool = False):
     """Forward sweep: per-lane entry alpha (or cold emission init where
     has_init == 0), chunk-boundary checkpoints out. The last chunk's
-    checkpoint is the window terminal (the chaining handoff)."""
+    checkpoint is the window terminal (the chaining handoff).
+    stream_em selects the multi-channel front-end: per-step emissions
+    are READ from precomputed stream windows (the pallas_fb_mb MC
+    pattern) instead of computed from the raw samples."""
     NKP = N * KP
 
-    def kernel(y_ref, consts_ref, lpv_ref, bm_ref, en_s_ref, en_b_ref,
-               hi_ref, cps_ref, cpb_ref, as_s, ab_s):
+    def kernel(*args):
+        if stream_em:
+            (es_ref, eb_ref, consts_ref, lpv_ref, en_s_ref, en_b_ref,
+             hi_ref, cps_ref, cpb_ref, as_s, ab_s) = args
+        else:
+            (y_ref, consts_ref, lpv_ref, bm_ref, en_s_ref, en_b_ref,
+             hi_ref, cps_ref, cpb_ref, as_s, ab_s) = args
         c = pl.program_id(1)
         lpz = consts_ref[0, 0]
         self_w = N * lpz
@@ -70,17 +78,22 @@ def _make_gfwd_kernel(N: int, Km1: int, ch: int):
         fstep = _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w,
                                  subk, maskk)
 
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        econst = -HALF_LOG_2PI - log_sigma
-        bm = bm_ref[...]
+        if stream_em:
+            def em_at(s):
+                return (es_ref[0, s : s + 1, :],
+                        eb_ref[0, s * NKP : (s + 1) * NKP, :])
+        else:
+            log_sigma = consts_ref[0, 1]
+            inv_2s2 = consts_ref[0, 2]
+            silent_mean = consts_ref[0, 3]
+            econst = -HALF_LOG_2PI - log_sigma
+            bm = bm_ref[...]
 
-        def em_at(s):
-            y_t = y_ref[0, s : s + 1, :]
-            es = econst - (y_t - silent_mean) ** 2 * inv_2s2   # (1, G)
-            eb = econst - (y_t - bm) ** 2 * inv_2s2            # (NKP, G)
-            return es, eb
+            def em_at(s):
+                y_t = y_ref[0, s : s + 1, :]
+                es = econst - (y_t - silent_mean) ** 2 * inv_2s2  # (1, G)
+                eb = econst - (y_t - bm) ** 2 * inv_2s2           # (NKP, G)
+                return es, eb
 
         for s in range(ch):
             def step(s=s):
@@ -115,27 +128,30 @@ def _make_gfwd_kernel(N: int, Km1: int, ch: int):
 
 
 def _make_gamma_kernel(N: int, Km1: int, Wc: int, ch: int,
-                       emit_gamma: bool):
+                       emit_gamma: bool, stream_em: bool = False):
     """Beta walk + gamma emission: remat alpha from the checkpoints
     (entry-aware at chunk 0), beta right-to-left from the per-lane exit
     at the per-lane terminal position, onset-row posteriors out.
     emit_gamma=False builds the chaining sweep variant (beta-first
-    output only — no gamma stores)."""
+    output only — no gamma stores); stream_em as in _make_gfwd_kernel
+    (the boundary emission arrives precomputed in both modes)."""
     NKP = N * KP
 
     def kernel(*args):
-        if emit_gamma:
-            (y_ref, cps_ref, cpb_ref, consts_ref, lpv_ref, bm_ref,
+        if stream_em:
+            (es_ref, eb_ref, cps_ref, cpb_ref, consts_ref, lpv_ref,
              en_s_ref, en_b_ref, hi_ref, ex_s_ref, ex_b_ref, term_ref,
-             ybnd_ref, lastw_ref,
-             gam_ref, b0s_ref, b0b_ref,
-             bs_s, bb_s, ems_s, emb_s, ral_s, ral_b) = args
+             exm_s_ref, exm_b_ref, lastw_ref, *rest) = args
         else:
             (y_ref, cps_ref, cpb_ref, consts_ref, lpv_ref, bm_ref,
              en_s_ref, en_b_ref, hi_ref, ex_s_ref, ex_b_ref, term_ref,
-             ybnd_ref, lastw_ref,
-             b0s_ref, b0b_ref,
-             bs_s, bb_s, ems_s, emb_s, ral_s, ral_b) = args
+             exm_s_ref, exm_b_ref, lastw_ref, *rest) = args
+        if emit_gamma:
+            (gam_ref, b0s_ref, b0b_ref,
+             bs_s, bb_s, ems_s, emb_s, ral_s, ral_b) = rest
+        else:
+            (b0s_ref, b0b_ref,
+             bs_s, bb_s, ems_s, emb_s, ral_s, ral_b) = rest
         c = pl.program_id(1)
         cc = Wc - 1 - c
         lpz = consts_ref[0, 0]
@@ -150,17 +166,22 @@ def _make_gamma_kernel(N: int, Km1: int, Wc: int, ch: int,
         fstep = _make_alpha_step(N, Km1, lpn, self_w, stay_w, swap_w,
                                  subk, maskk)
 
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        econst = -HALF_LOG_2PI - log_sigma
-        bm = bm_ref[...]
+        if stream_em:
+            def em_at(s):
+                return (es_ref[0, s : s + 1, :],
+                        eb_ref[0, s * NKP : (s + 1) * NKP, :])
+        else:
+            log_sigma = consts_ref[0, 1]
+            inv_2s2 = consts_ref[0, 2]
+            silent_mean = consts_ref[0, 3]
+            econst = -HALF_LOG_2PI - log_sigma
+            bm = bm_ref[...]
 
-        def em_at(s):
-            y_t = y_ref[0, s : s + 1, :]
-            es = econst - (y_t - silent_mean) ** 2 * inv_2s2
-            eb = econst - (y_t - bm) ** 2 * inv_2s2
-            return es, eb
+            def em_at(s):
+                y_t = y_ref[0, s : s + 1, :]
+                es = econst - (y_t - silent_mean) ** 2 * inv_2s2
+                eb = econst - (y_t - bm) ** 2 * inv_2s2
+                return es, eb
 
         term = term_ref[0, 0:1, :]                             # (1, G) i32
         ex_s = ex_s_ref[0, 0:1, :]
@@ -168,10 +189,9 @@ def _make_gamma_kernel(N: int, Km1: int, Wc: int, ch: int,
         lastw = lastw_ref[0, 0:1, :]                           # (1, G) i32
         # boundary emission: the sample one past the window end (the exit
         # beta lives at that position; one recursion step places it at
-        # the window's last sample)
-        y_x = ybnd_ref[0, 0:1, :]
-        es_x = econst - (y_x - silent_mean) ** 2 * inv_2s2     # (1, G)
-        eb_x = econst - (y_x - bm) ** 2 * inv_2s2              # (NKP, G)
+        # the window's last sample) — precomputed per lane by the driver
+        es_x = exm_s_ref[0, 0:1, :]                            # (1, G)
+        eb_x = exm_b_ref[0, :, :]                              # (NKP, G)
 
         # --- remat this chunk's alphas (entry-aware at actual chunk 0)
         for s in range(ch):
@@ -353,11 +373,20 @@ def _gamma_chained_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
                      w_end - jnp.arange(B) * L, -1).astype(jnp.int32)
     term_in = _pack_lanes(term[:, None], B, Bg).astype(jnp.int32)
     term_in = term_in.reshape(Bg, 1, G)
-    # boundary sample past each window end (zero past the padded signal)
+    # boundary emissions: the sample one past each window end (zero past
+    # the padded signal), through the same Gaussian tables the kernel
+    # uses in-step
     ybnd = jnp.concatenate([y_pad.astype(dtype),
                             jnp.zeros((1,), dtype)])[
         (jnp.arange(B) + 1) * L]
-    ybnd_in = _pack_lanes(ybnd[:, None], B, Bg).reshape(Bg, 1, G)
+    econst_x = -HALF_LOG_2PI - jnp.log(sigma)
+    inv_x = 1.0 / (2.0 * sigma * sigma)
+    smean = jnp.sum(mu[0])
+    exm_s = (econst_x - (ybnd - smean) ** 2 * inv_x)[:, None]  # (B, 1)
+    bmrow = bm[:, 0]                                           # (NKP,)
+    exm_b = econst_x - (ybnd[:, None] - bmrow[None, :]) ** 2 * inv_x
+    exm_s_in = _pack_lanes(exm_s, B, Bg).reshape(Bg, 1, G)
+    exm_b_in = _pack_lanes(exm_b, B, Bg)                   # (Bg, NKP, G)
     lastw = (jnp.arange(B) == B - 1).astype(jnp.int32)
     lastw_in = _pack_lanes(lastw[:, None], B, Bg).astype(
         jnp.int32).reshape(Bg, 1, G)
@@ -435,6 +464,8 @@ def _gamma_chained_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -474,7 +505,7 @@ def _gamma_chained_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
         )(y_in, cps, cpb, consts, lpv, bm, en_s_in, en_b_in, hi_in,
-          ex_s_in, ex_b_in, term_in, ybnd_in, lastw_in)
+          ex_s_in, ex_b_in, term_in, exm_s_in, exm_b_in, lastw_in)
 
     def terminals(cps, cpb):
         """Per-window terminal alpha from the last chunk's checkpoint."""
@@ -526,6 +557,253 @@ def _gamma_chained_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
     gam = gam.reshape(Bg, L, NR, G).transpose(0, 3, 1, 2).reshape(
         Bp * L, NR)[: B * L, :N]
     return gam
+
+
+@partial(jax.jit, static_argnames=("L", "refine", "interpret"))
+def _gamma_chained_impl_mc(es_pad, eb_pad, lp, n_valid, *, L, refine,
+                           interpret=False):
+    """MC device program over precomputed log-emission streams:
+    es_pad (B*L+1,), eb_pad (B*L+1, N, Km1) — the trailing row is the
+    boundary sample past the padded signal. Same sweeps as the SC impl
+    with stream_em kernels (the pallas_fb_mb MC pattern)."""
+    BL = es_pad.shape[0] - 1
+    _, N, Km1 = eb_pad.shape
+    NKP = N * KP
+    dtype = jnp.float32
+
+    lp = jnp.asarray(lp, dtype)
+    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+    consts = jnp.stack([lpz] + [jnp.zeros(())] * 7)[None, :].astype(dtype)
+    lpv = jnp.zeros((8, 1), dtype).at[:N, 0].set(lp)
+    lpv = jnp.broadcast_to(lpv, (8, G))
+
+    B = BL // L
+    Bg = _round_up(B, G) // G
+    Bp = Bg * G
+    ch = _chunk(N)
+    Wc = L // ch
+
+    es = es_pad[:BL].astype(dtype)
+    eb_kp = jnp.zeros((BL, N, KP), dtype).at[:, :, :Km1].set(
+        eb_pad[:BL].astype(dtype)).reshape(BL, NKP)
+    es_in = (jnp.zeros((Bp, L), dtype).at[:B].set(es.reshape(B, L))
+             .reshape(Bg, G, L).transpose(0, 2, 1))            # (Bg, L, G)
+    eb_in = (jnp.zeros((Bp, L, NKP), dtype)
+             .at[:B].set(eb_kp.reshape(B, L, NKP))
+             .reshape(Bg, G, L, NKP).transpose(0, 2, 3, 1)
+             .reshape(Bg, L * NKP, G))
+
+    w_end = jnp.minimum((jnp.arange(B) + 1) * L, n_valid) - 1
+    term = jnp.where(w_end >= jnp.arange(B) * L,
+                     w_end - jnp.arange(B) * L, -1).astype(jnp.int32)
+    term_in = _pack_lanes(term[:, None], B, Bg).astype(jnp.int32)
+    term_in = term_in.reshape(Bg, 1, G)
+    # boundary emissions straight from the streams
+    bidx = (jnp.arange(B) + 1) * L
+    exm_s = es_pad.astype(dtype)[bidx][:, None]                # (B, 1)
+    exm_b = jnp.zeros((B, N, KP), dtype).at[:, :, :Km1].set(
+        eb_pad.astype(dtype)[bidx]).reshape(B, NKP)
+    exm_s_in = _pack_lanes(exm_s, B, Bg).reshape(Bg, 1, G)
+    exm_b_in = _pack_lanes(exm_b, B, Bg)
+    lastw = (jnp.arange(B) == B - 1).astype(jnp.int32)
+    lastw_in = _pack_lanes(lastw[:, None], B, Bg).astype(
+        jnp.int32).reshape(Bg, 1, G)
+
+    zs = jnp.zeros((B, 1), dtype)
+    zb = jnp.zeros((B, NKP), dtype)
+
+    def fwd(en_s, en_b, has_init):
+        kernel = _make_gfwd_kernel(N, Km1, ch, stream_em=True)
+        in_specs = [
+            pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch * NKP, G), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, G), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 8, G), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((Bg, Wc * 8, G), jnp.float32),
+            jax.ShapeDtypeStruct((Bg, Wc * NKP, G), jnp.float32),
+        ]
+        scratch = [pltpu.VMEM((8, G), jnp.float32),
+                   pltpu.VMEM((NKP, G), jnp.float32)]
+        en_s_in = _pack_lanes(en_s, B, Bg).reshape(Bg, 1, G)
+        en_b_in = _pack_lanes(en_b, B, Bg)
+        hi_in = _pack_lanes(has_init[:, None].astype(jnp.int32), B,
+                            Bg).reshape(Bg, 1, G)
+        return pl.pallas_call(
+            kernel, out_shape=out_shape, grid=(Bg, Wc),
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch, interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(es_in, eb_in, consts, lpv, en_s_in, en_b_in, hi_in)
+
+    def bwd(cps, cpb, en_s, en_b, has_init, ex_s, ex_b, emit_gamma):
+        kernel = _make_gamma_kernel(N, Km1, Wc, ch, emit_gamma,
+                                    stream_em=True)
+        rev = lambda b, c: (b, Wc - 1 - c, 0)
+        rev_prev = lambda b, c: (b, jnp.maximum(Wc - 2 - c, 0), 0)
+        in_specs = [
+            pl.BlockSpec((1, ch, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch * NKP, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, G), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, G), lambda b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NKP, G), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((Bg, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((Bg, NKP, G), jnp.float32),
+        ]
+        if emit_gamma:
+            out_specs = [pl.BlockSpec((1, ch * NR, G), rev,
+                                      memory_space=pltpu.VMEM)] + out_specs
+            out_shape = [jax.ShapeDtypeStruct((Bg, L * NR, G),
+                                              jnp.float32)] + out_shape
+        scratch = [
+            pltpu.VMEM((8, G), jnp.float32),
+            pltpu.VMEM((NKP, G), jnp.float32),
+            pltpu.VMEM((8, G), jnp.float32),
+            pltpu.VMEM((NKP, G), jnp.float32),
+            pltpu.VMEM((ch, G), jnp.float32),
+            pltpu.VMEM((ch * NKP, G), jnp.float32),
+        ]
+        en_s_in = _pack_lanes(en_s, B, Bg).reshape(Bg, 1, G)
+        en_b_in = _pack_lanes(en_b, B, Bg)
+        hi_in = _pack_lanes(has_init[:, None].astype(jnp.int32), B,
+                            Bg).reshape(Bg, 1, G)
+        ex_s_in = _pack_lanes(ex_s, B, Bg).reshape(Bg, 1, G)
+        ex_b_in = _pack_lanes(ex_b, B, Bg)
+        return pl.pallas_call(
+            kernel, out_shape=out_shape, grid=(Bg, Wc),
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch, interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(es_in, eb_in, cps, cpb, consts, lpv, en_s_in, en_b_in, hi_in,
+          ex_s_in, ex_b_in, term_in, exm_s_in, exm_b_in, lastw_in)
+
+    def terminals(cps, cpb):
+        ts = _unpack_lanes(cps[:, (Wc - 1) * 8 : (Wc - 1) * 8 + 1, :], B)
+        tb = _unpack_lanes(cpb[:, (Wc - 1) * NKP : Wc * NKP, :], B)
+        return ts, tb
+
+    def recenter(vs, vb):
+        m = jnp.maximum(jnp.max(vb, axis=1, keepdims=True), vs)
+        return vs - m, vb - m
+
+    def shift_down(vs, vb):
+        return (jnp.concatenate([zs[:1], vs[:-1]]),
+                jnp.concatenate([zb[:1], vb[:-1]]))
+
+    def shift_up(vs, vb):
+        return (jnp.concatenate([vs[1:], zs[:1]]),
+                jnp.concatenate([vb[1:], zb[:1]]))
+
+    no_init = jnp.zeros((B,), jnp.int32)
+    chained = jnp.arange(B) > 0
+
+    cps, cpb = fwd(zs, zb, no_init)
+    en_s, en_b = shift_down(*recenter(*terminals(cps, cpb)))
+    for _ in range(max(0, refine - 1)):
+        cps, cpb = fwd(en_s, en_b, chained)
+        en_s, en_b = shift_down(*recenter(*terminals(cps, cpb)))
+    cps, cpb = fwd(en_s, en_b, chained)
+
+    b0s, b0b = bwd(cps, cpb, en_s, en_b, chained, zs, zb,
+                   emit_gamma=False)
+    ex_s, ex_b = shift_up(*recenter(_unpack_lanes(b0s, B),
+                                    _unpack_lanes(b0b, B)))
+    for _ in range(max(0, refine - 1)):
+        b0s, b0b = bwd(cps, cpb, en_s, en_b, chained, ex_s, ex_b,
+                       emit_gamma=False)
+        ex_s, ex_b = shift_up(*recenter(_unpack_lanes(b0s, B),
+                                        _unpack_lanes(b0b, B)))
+
+    gam, _, _ = bwd(cps, cpb, en_s, en_b, chained, ex_s, ex_b,
+                    emit_gamma=True)
+    gam = gam.reshape(Bg, L, NR, G).transpose(0, 3, 1, 2).reshape(
+        Bp * L, NR)[: B * L, :N]
+    return gam
+
+
+def onset_gammas_pallas_mc(yc, lp, mu, sigmas, *, L: int = 4096,
+                           refine: int = 1,
+                           interpret: bool = False) -> np.ndarray:
+    """(T, N) EXACT onset posteriors for a joint multi-channel model on
+    the non-overlap topology via the fused chained-window kernels with
+    stream emissions (train/em_mc._mc_streams_dense — the same channel
+    collapse the MC EM kernels consume). Constraints as
+    onset_gammas_pallas."""
+    from ..train.em_mc import _mc_streams_dense
+
+    yc = np.asarray(yc)
+    if yc.ndim != 2:
+        raise ValueError("onset_gammas_pallas_mc takes (T, C)")
+    T, C = yc.shape
+    K, N = np.shape(mu)[:2]
+    if K - 1 > KP:
+        raise ValueError(f"pallas gamma kernel supports K <= {KP + 1}")
+    if N > NR:
+        raise ValueError(f"pallas gamma kernel supports N <= {NR}")
+    ch = _chunk(N)
+    if L % ch != 0:
+        raise ValueError(f"L={L} must be a multiple of {ch}")
+    B = -(-T // L)
+    if B < 2:
+        raise ValueError("signal shorter than two windows")
+    yc_pad = np.zeros((B * L + 1, C), dtype=yc.dtype)
+    yc_pad[:T] = yc
+    es, body = _mc_streams_dense(jnp.asarray(yc_pad, jnp.float32),
+                                 jnp.asarray(mu, jnp.float32),
+                                 jnp.asarray(sigmas, jnp.float32))
+    eb = body.reshape(B * L + 1, N, K - 1)
+    gam = _gamma_chained_impl_mc(es, eb, jnp.asarray(lp),
+                                 jnp.asarray(T, jnp.int32), L=L,
+                                 refine=refine, interpret=interpret)
+    return np.asarray(gam)[:T].astype(np.float64)
 
 
 def onset_gammas_pallas(y, lp, mu, sigma, *, L: int = 4096,

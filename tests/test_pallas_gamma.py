@@ -56,3 +56,38 @@ def test_gamma_kernel_guards():
         onset_gammas_pallas(y, np.log(pp), temps, 0.3, L=100)  # % chunk
     with pytest.raises(ValueError):
         onset_gammas_pallas(y[:100], np.log(pp), temps, 0.3, L=128)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("N,K,C,T,L", [
+    (2, 12, 3, 800, 128),
+    (2, 12, 2, 777, 128),      # ragged tail
+    (3, 9, 2, 500, 96),
+])
+def test_gamma_kernel_mc_matches_f64_oracle(N, K, C, T, L):
+    """MC stream front-end: the f32 kernel vs the f64 sequential exact
+    MC path (joint multi-channel model, non-overlap topology)."""
+    from hmmspikesorter_tpu.core.posterior import onset_posteriors_mc
+    from hmmspikesorter_tpu.models.multichannel import HMMTemplateModelMC
+    from hmmspikesorter_tpu.ops.pallas_gamma_mb import (
+        onset_gammas_pallas_mc)
+
+    rng = np.random.default_rng(5)
+    temps = np.stack([create_spike_template(K, 3.0 + n, 0.6 + 0.1 * n, 0.2)
+                      for n in range(N)], axis=1)
+    gains = rng.uniform(0.3, 1.0, (N, C))
+    mu = temps[:, :, None] * gains[None, :, :]
+    pp = np.full(N, 0.01)
+    sig = rng.uniform(0.25, 0.35, C)
+    yc = sig[None, :] * rng.standard_normal((T, C))
+    _, truth = create_signal(T, 0.3, pp, temps,
+                             rng=np.random.default_rng(9))
+    for n in range(N):
+        k = truth[n]
+        m = k > 0
+        yc[m] += mu[k[m] - 1, n]
+    tmc = HMMTemplateModelMC(mu, sig, np.log(pp), allow_overlaps=False)
+    p_ex = onset_posteriors_mc(tmc, yc)                # f64 oracle
+    p_k = onset_gammas_pallas_mc(np.float32(yc), np.log(pp), mu, sig,
+                                 L=L, interpret=True)
+    assert np.abs(p_ex - p_k).max() < 1e-4
