@@ -1041,35 +1041,93 @@ def onset_posteriors_chained(templates, y, *, L: int = 4096,
     mu_d = jnp.asarray(templates.mu, dtype)
     sg_d = jnp.asarray(templates.sigma, dtype)
 
-    y_pad = np.zeros(B * L + 1, dtype=np.asarray(y).dtype)
+    # host-side window/batching arrays: every slice/pad/concat below is
+    # NumPy, so the only device programs are the three fixed-(bw, L)
+    # jitted sweep/gamma functions — one compile serves any recording
+    # length (eager jnp slicing would compile a tiny program per shape
+    # through the remote compiler)
+    npdtype = np.dtype(str(jnp.zeros(0, dtype).dtype))
+    y_pad = np.zeros(B * L + 1, dtype=npdtype)
     y_pad[:T] = y
-    y_win = jnp.asarray(y_pad[: B * L].reshape(B, L), dtype)
-    y_next = jnp.asarray(y_pad[1 : B * L + 1].reshape(B, L), dtype)
+    y_win = y_pad[: B * L].reshape(B, L)
+    y_next = y_pad[1 : B * L + 1].reshape(B, L)
     tpos = np.arange(B * L).reshape(B, L)
-    valid = jnp.asarray(tpos < T - 1)      # beta step t uses em at t+1
+    valid = tpos < T - 1                   # beta step t uses em at t+1
 
-    zeros = jnp.zeros((B, S), dtype)
+    zeros = np.zeros((B, S), npdtype)
+    if batch_windows is None:
+        batch_windows = max(1, int(2e9 // (2 * L * S * 4)))
+    bw = max(1, min(batch_windows, B))
+
+    def _padb(x, nw):
+        """Pad a ragged sweep batch to the one compiled (bw, ...) shape
+        (windows are independent; padded outputs are discarded)."""
+        if nw == bw:
+            return x
+        pad = bw - nw
+        return np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    def fwd_sweep(entries):
+        """entries=None: all-cold sweep (window 0's cold init is the
+        exact reference init). Else: window 0 cold, the rest chained."""
+        outs = []
+        for i in range(0, B, bw):
+            nw = min(bw, B - i)
+            yb = _padb(y_win[i : i + nw], nw)
+            if entries is None:
+                f = _chained_fwd_sweep(yb, _padb(zeros[:nw], nw), lp_d,
+                                       mu_d, sg_d, engine=engine,
+                                       first=True)
+            elif i == 0:
+                f0 = _chained_fwd_sweep(y_win[:1], zeros[:1], lp_d,
+                                        mu_d, sg_d, engine=engine,
+                                        first=True)
+                if nw > 1:
+                    fr = _chained_fwd_sweep(
+                        _padb(y_win[1:nw], nw - 1),
+                        _padb(entries[1:nw], nw - 1), lp_d, mu_d, sg_d,
+                        engine=engine, first=False)[: nw - 1]
+                    f = np.concatenate([np.asarray(f0), np.asarray(fr)])
+                else:
+                    f = np.asarray(f0)
+                outs.append(f)
+                continue
+            else:
+                f = _chained_fwd_sweep(yb, _padb(entries[i : i + nw], nw),
+                                       lp_d, mu_d, sg_d, engine=engine,
+                                       first=False)
+            outs.append(np.asarray(f)[:nw])
+        return np.concatenate(outs)
+
+    def bwd_sweep(exits):
+        outs = []
+        for i in range(0, B, bw):
+            nw = min(bw, B - i)
+            outs.append(np.asarray(_chained_bwd_sweep(
+                _padb(y_next[i : i + nw], nw),
+                _padb(valid[i : i + nw], nw),
+                _padb(exits[i : i + nw], nw), lp_d, mu_d, sg_d,
+                engine=engine))[:nw])
+        return np.concatenate(outs)
+
+    def _np_recenter(v):
+        return v - v.max(axis=1, keepdims=True)
+
     # forward chaining: cold sweep, then entry := predecessor's terminal
-    finals = _chained_fwd_sweep(y_win, zeros, lp_d, mu_d, sg_d,
-                                engine=engine, first=True)
-    entries = jnp.concatenate([zeros[:1], _recenter(finals)[:-1]])
+    finals = fwd_sweep(None)
+    entries = np.concatenate([zeros[:1], _np_recenter(finals)[:-1]])
     for _ in range(max(0, refine - 1)):
-        f0 = _chained_fwd_sweep(y_win[:1], zeros[:1], lp_d, mu_d, sg_d,
-                                engine=engine, first=True)
-        fr = _chained_fwd_sweep(y_win[1:], entries[1:], lp_d, mu_d, sg_d,
-                                engine=engine, first=False)
-        finals = jnp.concatenate([f0, fr])
-        entries = jnp.concatenate([zeros[:1], _recenter(finals)[:-1]])
+        finals = fwd_sweep(entries)
+        entries = np.concatenate([zeros[:1], _np_recenter(finals)[:-1]])
 
     # backward chaining: cold sweep (last window's 0 exit is exact),
     # then exit := successor's first-position beta
-    bfirsts = _chained_bwd_sweep(y_next, valid, zeros, lp_d, mu_d, sg_d,
-                                 engine=engine)
-    exits = jnp.concatenate([_recenter(bfirsts)[1:], zeros[:1]])
+    bfirsts = bwd_sweep(zeros)
+    exits = np.concatenate([_np_recenter(bfirsts)[1:], zeros[:1]])
     for _ in range(max(0, refine - 1)):
-        bfirsts = _chained_bwd_sweep(y_next, valid, exits, lp_d, mu_d,
-                                     sg_d, engine=engine)
-        exits = jnp.concatenate([_recenter(bfirsts)[1:], zeros[:1]])
+        bfirsts = bwd_sweep(exits)
+        exits = np.concatenate([_np_recenter(bfirsts)[1:], zeros[:1]])
 
     # final gamma pass: window 0 cold (exact reference init), the rest
     # from their chained entries, in bounded-memory batches
@@ -1078,9 +1136,7 @@ def onset_posteriors_chained(templates, y, *, L: int = 4096,
         y_win[:1], y_next[:1], valid[:1], zeros[:1], exits[:1],
         lp_d, mu_d, sg_d, proj_d, engine=engine, first=True))
     out[: min(L, T)] = g0[0, : min(L, T)]
-    if batch_windows is None:
-        batch_windows = max(1, int(2e9 // (2 * L * S * 4)))
-    batch_windows = min(batch_windows, B - 1)
+    batch_windows = min(batch_windows, B - 1) if B > 1 else 1
     for i in range(1, B, batch_windows):
         nw = min(batch_windows, B - i)
         sl = slice(i, i + nw)
@@ -1088,11 +1144,11 @@ def onset_posteriors_chained(templates, y, *, L: int = 4096,
         enb, exb = entries[sl], exits[sl]
         if nw < batch_windows:
             pad = batch_windows - nw
-            yb = jnp.concatenate([yb, jnp.zeros((pad, L), yb.dtype)])
-            ynb = jnp.concatenate([ynb, jnp.zeros((pad, L), ynb.dtype)])
-            vb = jnp.concatenate([vb, jnp.zeros((pad, L), bool)])
-            enb = jnp.concatenate([enb, jnp.zeros((pad, S), enb.dtype)])
-            exb = jnp.concatenate([exb, jnp.zeros((pad, S), exb.dtype)])
+            yb = np.concatenate([yb, np.zeros((pad, L), yb.dtype)])
+            ynb = np.concatenate([ynb, np.zeros((pad, L), ynb.dtype)])
+            vb = np.concatenate([vb, np.zeros((pad, L), bool)])
+            enb = np.concatenate([enb, np.zeros((pad, S), enb.dtype)])
+            exb = np.concatenate([exb, np.zeros((pad, S), exb.dtype)])
         gb = np.asarray(_chained_gamma_batch(
             yb, ynb, vb, enb, exb, lp_d, mu_d, sg_d, proj_d,
             engine=engine, first=False))
