@@ -31,9 +31,11 @@ def main():
         tm = api.HMMTemplateModel(temps, sigma, np.log(pp),
                                   allow_overlaps=True)
         model = api.fit_spiking_model_fast(tm, y, transfer="events")
-        # windowed=True is the fast parallel mode (halo windows decoded
-        # concurrently; ~16x the exact two-pass on TPU, <1e-6 from it)
-        confs = posterior.spike_confidence(model, windowed=True)
+        # the default is EXACT at any length: long recordings route to
+        # the chained parallel two-pass (fused Pallas kernels on the
+        # non-overlap topologies); windowed=True remains as the cheaper
+        # halo-window approximation
+        confs = posterior.spike_confidence(model)
         print(f"sigma={sigma}:")
         for n in range(2):
             c = np.asarray(confs[n])
