@@ -14,3 +14,22 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+_tests_since_clear = 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_xla_programs():
+    """The XLA:CPU runtime SIGABRTs after too many live compiled programs
+    accumulate in one process (upstream; observed as xdist worker crashes
+    once the suite grew past ~90 tests/worker). Dropping the jit caches
+    every few dozen tests keeps each worker far below the threshold at a
+    small recompile cost."""
+    global _tests_since_clear
+    yield
+    _tests_since_clear += 1
+    if _tests_since_clear >= 20:
+        _tests_since_clear = 0
+        jax.clear_caches()
