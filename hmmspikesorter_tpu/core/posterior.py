@@ -995,6 +995,18 @@ def _pallas_gamma_ok(templates, dtype) -> bool:
             and dtype == jnp.float32 and is_tpu_backend())
 
 
+def _pallas_gamma_ov2_ok(templates, dtype) -> bool:
+    """Fused-kernel eligibility of the chained posteriors on the N=2
+    pairwise-overlap topology (the production confidence path)."""
+    from ..ops.pallas_gamma_ov2 import KP as _KP
+    from ..ops.pallas_gamma_ov2 import ov2_gamma_vmem_ok
+    from ..utils.platform import is_tpu_backend
+
+    return (templates.allow_overlaps and templates.n_neurons == 2
+            and templates.K - 1 <= _KP and dtype == jnp.float32
+            and is_tpu_backend() and ov2_gamma_vmem_ok())
+
+
 def onset_posteriors_chained(templates, y, *, L: int = 4096,
                              refine: int = 1, proj=None,
                              batch_windows: int | None = None
@@ -1028,6 +1040,13 @@ def onset_posteriors_chained(templates, y, *, L: int = 4096,
         ch = _gchunk(templates.n_neurons)
         if L % ch == 0:
             return onset_gammas_pallas(
+                np.asarray(y, np.float32), templates.lp, templates.mu,
+                templates.sigma, L=L, refine=refine)
+    if proj is None and _pallas_gamma_ov2_ok(templates, dtype):
+        from ..ops.pallas_gamma_ov2 import CH2, onset_gammas_pallas_ov2
+
+        if L % CH2 == 0:
+            return onset_gammas_pallas_ov2(
                 np.asarray(y, np.float32), templates.lp, templates.mu,
                 templates.sigma, L=L, refine=refine)
     if proj is None:

@@ -91,3 +91,40 @@ def test_gamma_kernel_mc_matches_f64_oracle(N, K, C, T, L):
     p_k = onset_gammas_pallas_mc(np.float32(yc), np.log(pp), mu, sig,
                                  L=L, interpret=True)
     assert np.abs(p_ex - p_k).max() < 1e-4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("K,T,L", [(12, 400, 64), (12, 377, 64),
+                                   (9, 300, 96)])
+def test_gamma_kernel_ov2_matches_f64_oracle(K, T, L):
+    """The pairwise-overlap (production confidence topology) gamma
+    kernel vs the f64 sequential exact path."""
+    from hmmspikesorter_tpu.ops.pallas_gamma_ov2 import (
+        onset_gammas_pallas_ov2)
+
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.006])
+    y, _ = create_signal(T, 0.3, pp, temps,
+                         rng=np.random.default_rng(K + T))
+    tm = HMMTemplateModel(temps, 0.3, np.log(pp), allow_overlaps=True)
+    p_ex = onset_posteriors(tm, y)                     # f64 oracle
+    p_k = onset_gammas_pallas_ov2(np.float32(y), np.log(pp), temps, 0.3,
+                                  L=L, interpret=True)
+    assert np.abs(p_ex - p_k).max() < 1e-4
+
+
+def test_gamma_kernel_ov2_guards():
+    from hmmspikesorter_tpu.ops.pallas_gamma_ov2 import (
+        onset_gammas_pallas_ov2)
+
+    temps = np.stack([create_spike_template(8, 3.0, 0.8, 0.2),
+                      create_spike_template(8, 4.0, 0.3, 0.2),
+                      create_spike_template(8, 2.5, 0.6, 0.2)], axis=1)
+    pp = np.full(3, 0.01)
+    y = np.zeros(400)
+    with pytest.raises(ValueError):
+        onset_gammas_pallas_ov2(y, np.log(pp), temps, 0.3, L=64)  # N=3
+    with pytest.raises(ValueError):
+        onset_gammas_pallas_ov2(y, np.log(pp[:2]), temps[:, :2], 0.3,
+                                L=100)                 # L % CH2
