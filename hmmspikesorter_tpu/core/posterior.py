@@ -1431,6 +1431,19 @@ def onset_posteriors_tracked(track, y, *, L: int = 4096,
             track, y, proj, H,
             lambda tm, yy, pr: onset_posteriors(tm, yy, proj=pr))
     _check_window_f32(W, dtype)
+    if proj is None and _pallas_gamma_ov2_ok(tm_last, dtype):
+        # fused chained kernels with PER-LANE parameters: the EXACT
+        # piecewise-parameter forward-backward (each disjoint L-window
+        # under its owning chunk's adapted templates; no halo
+        # approximation)
+        from ..ops.pallas_gamma_ov2 import (CH2,
+                                            onset_gammas_pallas_ov2_tracked)
+
+        if L % CH2 == 0:
+            owner = _window_owner(B, L, track)
+            return onset_gammas_pallas_ov2_tracked(
+                np.asarray(y, np.float32), track.lp[owner],
+                track.mu[owner], track.sigma[owner], L=L)
     if proj is None:
         proj = onset_projection(ss.states)
     proj_d = jnp.asarray(proj, dtype)

