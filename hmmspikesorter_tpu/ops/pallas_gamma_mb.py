@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.logmath import HALF_LOG_2PI
-from .pallas_fb_mb import (CH, G, KP, NEG, _chunk, _lae, _lse_rows,
+from .pallas_fb_mb import (G, KP, NEG, _chunk, _lae, _lse_rows,
                            _make_alpha_step, _round_up)
 
 NR = 8           # gamma / beta-exit row padding (N <= 8, sublane rule)
