@@ -213,9 +213,37 @@ def main():
             5 / (time.perf_counter() - t0), 2)
         mc_extras["mc_config"] = f"N={Nm} C={Cm} K={K} T=2^19"
 
+    # --- exact posteriors on the production overlap topology (round 5:
+    # the fused ov2 chained-gamma kernel behind --confidence/--qc); one
+    # small-compile shape (T=2^19 -> one lane group)
+    post_extras = {}
+    try:
+        from hmmspikesorter_tpu.core.posterior import (
+            onset_posteriors_chained)
+        from hmmspikesorter_tpu.models.api import HMMTemplateModel
+
+        Tpo = 1 << 19
+        tm_po = HMMTemplateModel(temps, sigma, lp, allow_overlaps=True)
+        p_po = onset_posteriors_chained(tm_po, np.float32(y[:Tpo]))
+        t0 = time.perf_counter()
+        p_po = onset_posteriors_chained(tm_po, np.float32(y[:Tpo]))
+        post_extras["posterior_exact_samples_per_s"] = round(
+            Tpo / (time.perf_counter() - t0), 1)
+        from hmmspikesorter_tpu.core.events import _onsets_dense
+
+        dec_on = _onsets_dense(np.asarray(x_tpu[:Tpo]), N=N, K=K,
+                               overlaps=True)
+        dec_c = np.array([len(o) for o in dec_on], float)
+        exp_c = p_po.sum(axis=0)
+        post_extras["posterior_count_rel_err"] = round(float(np.max(
+            np.abs(exp_c - dec_c) / np.maximum(dec_c, 1.0))), 5)
+    except Exception as e:                       # pragma: no cover
+        post_extras["posterior_exact_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": "viterbi_decode_samples_per_s_per_chip",
         **mc_extras,
+        **post_extras,
         "value": round(tpu_sps, 1),
         "unit": "samples/s",
         "vs_baseline": (round(tpu_sps / cpu_sps, 2)
