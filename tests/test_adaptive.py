@@ -600,6 +600,7 @@ def test_cli_train_then_adaptive(tmp_path):
     out = cli.sort_data(None, dfile, str(tmp_path / "o.mat"), train=True,
                         n_templates=3, K=K, nsteps=6, train_samples=4096,
                         adaptive=True, adapt_chunk=4096, forget=0.5,
+                        confidence=True, qc=True,
                         rng=np.random.default_rng(0), dosave=False)
     assert np.isfinite(out["ll"])
     n_learned = out["waveforms"].shape[1]
@@ -609,6 +610,11 @@ def test_cli_train_then_adaptive(tmp_path):
     dec_total = int((out["mlseq"] == 2).sum())
     true_total = int((truth == 1).sum())
     assert abs(dec_total - true_total) <= max(3, 0.05 * true_total)
+    # the full composition also carries per-spike confidence and QC
+    # (tracked posteriors under the learned, drift-tracked templates)
+    assert len(out["confidence"]) == n_learned
+    assert (out["qc"]["isi_invariant_violations"] == 0).all()
+    assert np.isfinite(out["qc"]["amp_drift_ratio"]).all()
 
 
 def test_predict_uses_tracked_templates():
