@@ -1043,9 +1043,10 @@ def onset_posteriors_chained(templates, y, *, L: int = 4096,
                 np.asarray(y, np.float32), templates.lp, templates.mu,
                 templates.sigma, L=L, refine=refine)
     if proj is None and _pallas_gamma_ov2_ok(templates, dtype):
-        from ..ops.pallas_gamma_ov2 import CH2, onset_gammas_pallas_ov2
+        from ..ops.pallas_gamma_ov2 import (CH2, onset_gammas_pallas_ov2,
+                                            ov2_gamma_hbm_ok)
 
-        if L % CH2 == 0:
+        if L % CH2 == 0 and ov2_gamma_hbm_ok(T, L):
             return onset_gammas_pallas_ov2(
                 np.asarray(y, np.float32), templates.lp, templates.mu,
                 templates.sigma, L=L, refine=refine)
@@ -1436,10 +1437,10 @@ def onset_posteriors_tracked(track, y, *, L: int = 4096,
         # piecewise-parameter forward-backward (each disjoint L-window
         # under its owning chunk's adapted templates; no halo
         # approximation)
-        from ..ops.pallas_gamma_ov2 import (CH2,
+        from ..ops.pallas_gamma_ov2 import (CH2, ov2_gamma_hbm_ok,
                                             onset_gammas_pallas_ov2_tracked)
 
-        if L % CH2 == 0:
+        if L % CH2 == 0 and ov2_gamma_hbm_ok(T, L):
             owner = _window_owner(B, L, track)
             return onset_gammas_pallas_ov2_tracked(
                 np.asarray(y, np.float32), track.lp[owner],

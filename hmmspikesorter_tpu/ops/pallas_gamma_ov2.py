@@ -744,6 +744,24 @@ def onset_gammas_pallas_ov2_tracked(y, lp_all, mu_all, sg_all, *,
     return np.asarray(gam)[:T].astype(np.float64)
 
 
+def ov2_gamma_hbm_bytes(T: int, L: int = 4096) -> int:
+    """HBM footprint estimate: the chunk-boundary state checkpoints
+    dominate ((T/CH2) * ~17 KB — 4.4 GB at T=2^21, measured to fit on
+    16 GB v5e) plus the gamma output and padded inputs."""
+    B = -(-T // L)
+    state_rows = 8 + 2 * KP + KP * KP
+    return (B * (L // CH2) * state_rows * 4        # checkpoints
+            + B * L * NR * 4                       # gamma output
+            + 4 * B * L * 4)                       # y + small per-lane refs
+
+
+def ov2_gamma_hbm_ok(T: int, L: int = 4096,
+                     budget: int = 10 * 2**30) -> bool:
+    """Conservative fit check against v5e's 16 GB HBM (the XLA chained
+    engines stay memory-bounded via batching and take over past this)."""
+    return ov2_gamma_hbm_bytes(T, L) <= budget
+
+
 def ov2_gamma_vmem_bytes() -> int:
     """Scoped-VMEM estimate of the gamma kernel's live set: remat alpha
     slabs (the pair grid dominates), beta + emission-cache scratch, and
