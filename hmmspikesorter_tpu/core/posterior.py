@@ -1035,10 +1035,10 @@ def onset_posteriors_chained(templates, y, *, L: int = 4096,
     _check_window_f32(L, dtype)
     if proj is None and _pallas_gamma_ok(templates, dtype):
         from ..ops.pallas_gamma_mb import _chunk as _gchunk
-        from ..ops.pallas_gamma_mb import onset_gammas_pallas
+        from ..ops.pallas_gamma_mb import gamma_hbm_ok, onset_gammas_pallas
 
         ch = _gchunk(templates.n_neurons)
-        if L % ch == 0:
+        if L % ch == 0 and gamma_hbm_ok(T, templates.n_neurons, L):
             return onset_gammas_pallas(
                 np.asarray(y, np.float32), templates.lp, templates.mu,
                 templates.sigma, L=L, refine=refine)
@@ -1250,9 +1250,11 @@ def onset_posteriors_chained_mc(templates, yc, *, L: int = 4096,
     _check_window_f32(L, dtype)
     if proj is None and _pallas_gamma_ok(templates, dtype):
         from ..ops.pallas_gamma_mb import _chunk as _gchunk
-        from ..ops.pallas_gamma_mb import onset_gammas_pallas_mc
+        from ..ops.pallas_gamma_mb import (gamma_hbm_ok,
+                                           onset_gammas_pallas_mc)
 
-        if L % _gchunk(templates.n_neurons) == 0:
+        if (L % _gchunk(templates.n_neurons) == 0
+                and gamma_hbm_ok(T, templates.n_neurons, L)):
             return onset_gammas_pallas_mc(
                 np.asarray(yc, np.float32), templates.lp, templates.mu,
                 templates.sigmas, L=L, refine=refine)

@@ -769,6 +769,21 @@ def _gamma_chained_impl_mc(es_pad, eb_pad, lp, n_valid, *, L, refine,
     return gam
 
 
+def gamma_hbm_bytes(T: int, N: int, L: int = 4096) -> int:
+    """HBM estimate: alpha checkpoints ((T/chunk) * (N*KP+8) rows) +
+    the NR-row gamma output + inputs (MC streams add eb (T, N*KP))."""
+    ch = _chunk(N)
+    B = -(-T // L)
+    return (B * (L // ch) * (N * KP + 8) * 4
+            + B * L * NR * 4
+            + B * L * (N * KP + 2) * 4)
+
+
+def gamma_hbm_ok(T: int, N: int, L: int = 4096,
+                 budget: int = 10 * 2**30) -> bool:
+    return gamma_hbm_bytes(T, N, L) <= budget
+
+
 def onset_gammas_pallas_mc(yc, lp, mu, sigmas, *, L: int = 4096,
                            refine: int = 1,
                            interpret: bool = False) -> np.ndarray:
